@@ -1,0 +1,1 @@
+"""Ray-Data-native extraction engine (see SURVEY.md)."""

@@ -1,0 +1,91 @@
+"""Engine-wide configuration constants.
+
+Re-expresses the reference's tuning surface (rengotaku/ebook-ocr) for the
+web/PDF extraction engine:
+
+- extractor weights     <- ENGINE_WEIGHTS, /root/reference/src/rover/ensemble.py:32-36
+- confidence calibration<- normalize_confidence, src/rover/line_processing.py:97-120
+- clustering tolerances <- cluster_lines_by_y / align_lines_by_y / split_multiline_items,
+                           src/rover/line_processing.py:123-279
+- region type priority  <- TYPE_PRIORITY, src/layout/reading_order.py:10-19
+
+All values are plain data so they can be shipped to actors cheaply (no
+module-level model state).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# --- ensemble -------------------------------------------------------------
+
+# Extractor vote weights (analog of yomitoku 1.5 / paddleocr 1.2 / easyocr 1.0).
+EXTRACTOR_WEIGHTS: dict[str, float] = {
+    "dom": 1.5,         # DOM structural rules (primary; analog of yomitoku)
+    "density": 1.2,     # text/link-density boilerplate stripping (analog of paddleocr)
+    "readability": 1.0, # readability-style candidate scoring (analog of easyocr)
+}
+
+PRIMARY_EXTRACTOR = "dom"
+
+# Per-extractor raw-confidence calibration ranges (min, max) -> rescaled to [0,1].
+CONF_RANGES: dict[str, tuple[float, float]] = {
+    "dom": (0.4, 1.0),
+    "density": (0.85, 1.0),
+    "readability": (0.25, 1.0),
+}
+
+# --- geometry tolerances (document-coordinate space) ----------------------
+
+ROW_CLUSTER_TOL = 20.0      # spans within one source -> same visual row
+CROSS_SOURCE_TOL = 30.0     # rows across sources considered the same line
+WORD_ROW_TOL = 15.0         # char/word boxes -> physical line (PDF path)
+TALL_SPAN_GAP = 15.0        # y-gap that splits a paragraph span into lines
+
+MIN_SPAN_CONF = 0.5         # garbage rule 2 threshold
+
+# Synthetic document-coordinate scale for HTML blocks: y = char_offset * scale.
+# Chosen so any two distinct blocks (>=1 char text + >=9 chars of markup
+# between their offsets) sit > CROSS_SOURCE_TOL apart and never merge.
+OFFSET_Y_SCALE = 4.0
+
+# --- PDF layout path ------------------------------------------------------
+
+REGION_TYPE_RANK: dict[str, int] = {
+    "TITLE": 0,
+    "TEXT": 1,
+    "CAPTION": 2,
+    "FOOTNOTE": 3,
+    "FIGURE": 4,
+    "TABLE": 5,
+    "FORMULA": 6,
+    "ABANDON": 7,
+}
+
+OVERLAP_PRUNE_THRESHOLD = 0.5   # intersection / min-area, same-type only
+TITLE_MIN_CHAR_HEIGHT = 18.0    # char boxes at least this tall classify as TITLE
+
+# Sentence-terminal characters for paragraph-continuation merging
+# (analog of merge_continuation_paragraphs, src/book_converter/parser/paragraph.py:97-159).
+SENTENCE_TERMINATORS = ("。", ".", "!", "?", "！", "？", "）。", "」。")
+
+# --- partitioning / lineage ----------------------------------------------
+
+DEFAULT_NUM_PARTITIONS = 64
+# html payloads larger than this are flagged for skew-aware block splitting
+OVERSIZE_BLOB_BYTES = 1 << 20
+
+ENGINE_VERSION = "ebook-ocr-ray/0.1"
+
+
+@dataclass(frozen=True)
+class ExtractionConfig:
+    """Typed config resolved once at pipeline build and shipped to actors."""
+
+    extractors: tuple[str, ...] = ("dom", "density", "readability")
+    primary: str = PRIMARY_EXTRACTOR
+    weights: dict[str, float] = field(default_factory=lambda: dict(EXTRACTOR_WEIGHTS))
+    min_conf: float = MIN_SPAN_CONF
+    row_tol: float = ROW_CLUSTER_TOL
+    align_tol: float = CROSS_SOURCE_TOL
+    num_partitions: int = DEFAULT_NUM_PARTITIONS

@@ -1,0 +1,180 @@
+"""Deterministic synthesis of the Common-Crawl-style ``pages`` table.
+
+The north-rule input table has the exact shape
+``(url: string, warc_ts: timestamp[us], html: binary, text: string,
+lang: string)``. No external data exists in this sandbox, so pages are
+derived deterministically from the driver-provided ``documents`` table
+(doc_id, text, lang): each document is wrapped in boilerplate-laden HTML —
+or a synthetic char-box PDF payload for every 7th doc — such that the
+reference-semantics extractor provably recovers
+``"Document {doc_id}\\n{text}"`` byte-identically. That closed form is what
+makes a DuckDB oracle possible for the whole extraction pipeline.
+
+Generation is pure per-row (no RNG, no clock), so it can run inside
+``map_batches`` at any parallelism with identical results.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import html as _html
+import json
+
+import pyarrow as pa
+
+PAGE_WIDTH = 1000.0
+BODY_Y0 = 100.0
+LINE_STEP = 40.0          # > CROSS_SOURCE_TOL so physical lines never merge
+WORDS_PER_LINE = 10        # retained for docs; wrapping is width-budgeted
+COLUMN_WIDTH = 380.0       # inner column width budget for line wrapping
+CHAR_W = 8.0
+WORD_GAP = 8.0
+BODY_CHAR_H = 12.0
+TITLE_CHAR_H = 24.0
+LEFT_X0 = 60.0
+RIGHT_X0 = 560.0
+
+BASE_TS = _dt.datetime(2026, 1, 1, 0, 0, 0)
+DUP_TS_OFFSET_S = 86400
+
+N_SITES = 20
+PDF_EVERY = 7          # doc_id % 7 == 3 -> PDF payload
+DUP_EVERY = 10         # doc_id % 10 == 0 -> an exact-duplicate later crawl
+
+
+def page_url(doc_id: int) -> str:
+    return f"https://site-{doc_id % N_SITES}.example/doc/{doc_id}"
+
+
+def page_site(doc_id: int) -> str:
+    return f"site-{doc_id % N_SITES}"
+
+
+def page_ts(doc_id: int, dup: bool = False) -> _dt.datetime:
+    return BASE_TS + _dt.timedelta(seconds=doc_id + (DUP_TS_OFFSET_S if dup else 0))
+
+
+def doc_title(doc_id: int) -> str:
+    # >= 10 chars always, so the short-ASCII garbage rule can never eat it
+    return f"Document {doc_id}"
+
+
+def expected_extraction(doc_id: int, text: str) -> str:
+    """The closed-form golden output for a synthesized page; DuckDB oracle:
+    'Document ' || doc_id || chr(10) || text"""
+    return f"{doc_title(doc_id)}\n{text}"
+
+
+def is_pdf_doc(doc_id: int) -> bool:
+    return doc_id % PDF_EVERY == 3
+
+
+def synth_html(doc_id: int, text: str) -> bytes:
+    """Boilerplate-framed article: nav/aside link farms, chrome header and
+    footer, one <main> with the title heading and the document body."""
+    site = page_site(doc_id)
+    tags = " ".join(f'<li><a href="/t/{i}">tag-{(doc_id + i) % 50}</a></li>' for i in range(6))
+    page = (
+        "<html><head><title>"
+        f"{_html.escape(doc_title(doc_id))}"
+        "</title></head><body>\n"
+        '<header><nav><a href="/">Home</a> <a href="/about">About</a> '
+        '<a href="/news">News</a> <a href="/contact">Contact</a></nav></header>\n'
+        f"<aside><ul>{tags}</ul></aside>\n"
+        "<main>\n"
+        f"<h1>{_html.escape(doc_title(doc_id))}</h1>\n"
+        f"<p>{_html.escape(text)}</p>\n"
+        "</main>\n"
+        f'<footer><p><a href="/privacy">privacy</a> <a href="/terms">terms</a> '
+        f"(c) 2026 {site}</p></footer>\n"
+        "</body></html>\n"
+    )
+    return page.encode("utf-8")
+
+
+def synth_pdf(doc_id: int, text: str) -> bytes:
+    """Two-column char-box layout: title row (tall chars), then body words
+    wrapped WORDS_PER_LINE per line, lines filling the left column first.
+    The layout extractor provably inverts this back to the original text
+    (lines merge with single spaces via the continuation rule)."""
+    words: list[list] = []
+    x = LEFT_X0
+    for w in doc_title(doc_id).split(" "):
+        words.append([w, x, 30.0, CHAR_W * len(w), TITLE_CHAR_H])
+        x += CHAR_W * len(w) + WORD_GAP
+
+    # Width-budgeted wrap so line boxes stay inside their column (left
+    # x2 <= 440 < gutter < right x1 = 560) — columns never overlap in x,
+    # which keeps the engine's same-type overlap pruning a no-op here.
+    lines: list[list[str]] = [[]]
+    x = 0.0
+    for w in text.split(" "):
+        width = CHAR_W * len(w)
+        if lines[-1] and x + width > COLUMN_WIDTH:
+            lines.append([])
+            x = 0.0
+        lines[-1].append(w)
+        x += width + WORD_GAP
+    left_rows = (len(lines) + 1) // 2
+    for line_idx, chunk in enumerate(lines):
+        if line_idx < left_rows:
+            x, y = LEFT_X0, BODY_Y0 + LINE_STEP * line_idx
+        else:
+            x, y = RIGHT_X0, BODY_Y0 + LINE_STEP * (line_idx - left_rows)
+        for w in chunk:
+            words.append([w, x, y, CHAR_W * len(w), BODY_CHAR_H])
+            x += CHAR_W * len(w) + WORD_GAP
+
+    layout = json.dumps({"w": PAGE_WIDTH, "words": words})
+    return b"%PDF-1.4\n%EBOOKRAY-CHARBOX " + layout.encode("utf-8") + b"\n%%EOF\n"
+
+
+def synth_payload(doc_id: int, text: str) -> bytes:
+    return synth_pdf(doc_id, text) if is_pdf_doc(doc_id) else synth_html(doc_id, text)
+
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def pages_from_documents_batch(batch: pa.Table, with_duplicates: bool = False) -> pa.Table:
+    """map_batches(batch_format="pyarrow") body: documents rows -> pages
+    rows. With ``with_duplicates``, every DUP_EVERY-th doc also emits an
+    exact-duplicate recrawl one day later (1->N flat map)."""
+    urls: list[str] = []
+    tss: list[_dt.datetime] = []
+    payloads: list[bytes] = []
+    texts: list[str] = []
+    langs: list[str] = []
+    for doc_id, text, lang in zip(
+        batch["doc_id"].to_pylist(), batch["text"].to_pylist(), batch["lang"].to_pylist()
+    ):
+        payload = synth_payload(doc_id, text)
+        urls.append(page_url(doc_id))
+        tss.append(page_ts(doc_id))
+        payloads.append(payload)
+        texts.append(text)
+        langs.append(lang)
+        if with_duplicates and doc_id % DUP_EVERY == 0:
+            urls.append(page_url(doc_id))
+            tss.append(page_ts(doc_id, dup=True))
+            payloads.append(payload)
+            texts.append(text)
+            langs.append(lang)
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.timestamp("us")),
+            pa.array(payloads, pa.binary()),
+            pa.array(texts, pa.string()),
+            pa.array(langs, pa.string()),
+        ],
+        schema=PAGES_SCHEMA,
+    )

@@ -1,0 +1,175 @@
+"""Ray Data stages for the extraction pipeline.
+
+Two stages:
+
+- ``prepare_batch``      stateless map_batches fn: content-type sniff, md5
+                         content hash, url-hash partition id, site, payload
+                         size. Cheap, runs before dedup so duplicate
+                         payloads never reach the expensive extractor.
+- ``DocumentExtractor``  callable CLASS for an actor pool
+                         (map_batches(DocumentExtractor, concurrency=...)).
+                         Holds the compiled extractor ensemble; one
+                         construction per actor, batches of documents per
+                         call (the analog of the reference's lazy engine
+                         singletons, src/rover/engines/core.py:14-64).
+
+All batch IO is Arrow (batch_format="pyarrow"); the binary payload column
+never round-trips through pandas.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from urllib.parse import urlsplit
+
+import pyarrow as pa
+
+from ebook_ocr_ray.config import DEFAULT_NUM_PARTITIONS, ExtractionConfig
+from ebook_ocr_ray.functions.ensemble import merge_sources
+from ebook_ocr_ray.functions.html_dom import parse_blocks
+from ebook_ocr_ray.functions.html_extract import EXTRACTOR_FNS
+from ebook_ocr_ray.functions.pdf_extract import extract_pdf_text, is_pdf_payload
+
+
+def url_partition(url: str, num_partitions: int = DEFAULT_NUM_PARTITIONS) -> int:
+    """Stable url-hash partition id (md5 prefix; never Python's salted
+    hash()). This single key is reused by dedup, lineage and the output
+    layout so downstream groupbys co-locate with it."""
+    return int(hashlib.md5(url.encode("utf-8")).hexdigest()[:8], 16) % num_partitions
+
+
+def site_of(url: str) -> str:
+    host = urlsplit(url).netloc
+    return host.split(".", 1)[0] if host else ""
+
+
+def prepare_batch(batch: pa.Table, num_partitions: int = DEFAULT_NUM_PARTITIONS) -> pa.Table:
+    """Annotate pages rows with routing/dedup metadata. Stateless; the md5
+    over payload bytes is the exact-dedup key (analog of the frame
+    perceptual hash, reference src/preprocessing/deduplicate.py:9-66, in
+    its exact-hash form)."""
+    urls = batch["url"].to_pylist()
+    payloads = batch["html"].to_pylist()
+    shas = [hashlib.md5(p).hexdigest() if p is not None else "" for p in payloads]
+    kinds = ["pdf" if p is not None and is_pdf_payload(p) else "html" for p in payloads]
+    parts = [url_partition(u, num_partitions) for u in urls]
+    sites = [site_of(u) for u in urls]
+    sizes = [len(p) if p is not None else 0 for p in payloads]
+    return (
+        batch.append_column("content_sha", pa.array(shas, pa.string()))
+        .append_column("doc_kind", pa.array(kinds, pa.string()))
+        .append_column("part_id", pa.array(parts, pa.int32()))
+        .append_column("site", pa.array(sites, pa.string()))
+        .append_column("payload_bytes", pa.array(sizes, pa.int64()))
+    )
+
+
+OUT_FIELDS = [
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("site", pa.string()),
+    ("part_id", pa.int32()),
+    ("doc_kind", pa.string()),
+    ("content_sha", pa.string()),
+    ("payload_bytes", pa.int64()),
+    ("extracted_text", pa.large_string()),
+    ("headings", pa.list_(pa.string())),
+    ("n_lines", pa.int32()),
+    ("gaps_filled", pa.int32()),
+    ("contributions", pa.string()),
+    ("error", pa.string()),
+]
+OUT_SCHEMA = pa.schema(OUT_FIELDS)
+
+
+def extract_one(payload: bytes, cfg: ExtractionConfig) -> tuple[str, list[str], int, int, dict[str, int]]:
+    """Pure per-document extraction. Returns
+    (text, headings, n_lines, gaps_filled, contributions)."""
+    if is_pdf_payload(payload):
+        text, n_lines, titles = extract_pdf_text(payload)
+        return text, titles, n_lines, 0, {"layout": n_lines}
+
+    html = payload.decode("utf-8", errors="replace")
+    blocks = parse_blocks(html)
+    source_spans = {name: EXTRACTOR_FNS[name](blocks) for name in cfg.extractors}
+    merged = merge_sources(
+        source_spans,
+        weights=cfg.weights,
+        primary=cfg.primary,
+        min_conf=cfg.min_conf,
+        align_tol=cfg.align_tol,
+    )
+    # headings role comes from the primary variant only (the analog of
+    # yomitoku section_headings, reference src/rover/engines/runners.py:19-86)
+    heading_texts = [b.text for b in blocks if b.is_heading and not b.in_head]
+    return merged.text, heading_texts, len(merged.lines), merged.gaps_filled, merged.contributions
+
+
+class DocumentExtractor:
+    """Actor-pool stage: the extractor ensemble for one worker.
+
+    __init__ runs once per actor (compile config, build registry);
+    __call__ runs per Arrow batch. Per-document failures are caught and
+    recorded in the ``error`` column so a poison document cannot fail a
+    block (reference precedent: per-engine try/except,
+    src/rover/engines/runners.py:85-86).
+    """
+
+    def __init__(self, cfg: ExtractionConfig | None = None):
+        self.cfg = cfg or ExtractionConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        payloads = batch["html"].to_pylist()
+
+        texts: list[str] = []
+        headings: list[list[str]] = []
+        n_lines: list[int] = []
+        gaps: list[int] = []
+        contribs: list[str] = []
+        errors: list[str | None] = []
+        for payload in payloads:
+            try:
+                t, h, n, g, c = extract_one(payload or b"", self.cfg)
+                texts.append(t)
+                headings.append(h)
+                n_lines.append(n)
+                gaps.append(g)
+                contribs.append(json.dumps(c, sort_keys=True))
+                errors.append(None)
+            except Exception as exc:  # poison-document guard
+                texts.append("")
+                headings.append([])
+                n_lines.append(0)
+                gaps.append(0)
+                contribs.append("{}")
+                errors.append(f"{type(exc).__name__}: {exc}")
+
+        has_meta = "content_sha" in batch.column_names
+        arrays = [
+            batch["url"],
+            batch["warc_ts"],
+            batch["site"] if has_meta else pa.array([site_of(u) for u in urls], pa.string()),
+            batch["part_id"]
+            if has_meta
+            else pa.array([url_partition(u) for u in urls], pa.int32()),
+            batch["doc_kind"]
+            if has_meta
+            else pa.array(
+                ["pdf" if p and is_pdf_payload(p) else "html" for p in payloads], pa.string()
+            ),
+            batch["content_sha"]
+            if has_meta
+            else pa.array([hashlib.md5(p or b"").hexdigest() for p in payloads], pa.string()),
+            batch["payload_bytes"]
+            if has_meta
+            else pa.array([len(p or b"") for p in payloads], pa.int64()),
+            pa.array(texts, pa.large_string()),
+            pa.array(headings, pa.list_(pa.string())),
+            pa.array(n_lines, pa.int32()),
+            pa.array(gaps, pa.int32()),
+            pa.array(contribs, pa.string()),
+            pa.array(errors, pa.string()),
+        ]
+        return pa.Table.from_arrays(arrays, schema=OUT_SCHEMA)
