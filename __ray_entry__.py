@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native extraction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray itself; nothing here (or in the library) calls
+ray.init/ray.shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Correctness design note: the north-rule ``pages`` table is synthesized
+deterministically from the ``documents`` table (see
+ebook_ocr_ray/sources/pages.py), constructed so the reference-semantics
+extractor recovers exactly ``'Document {doc_id}' || chr(10) || text`` per
+url. That closed form is what lets even the full HTML/PDF ensemble
+extraction pipeline be verified by a DuckDB oracle, not just rows-only.
 """
 
 from __future__ import annotations
@@ -18,27 +16,203 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from ebook_ocr_ray.functions.textstats import STOPWORDS
+
+_URL_SQL = "'https://site-' || (doc_id % 20) || '.example/doc/' || doc_id"
+_TEXT_SQL = "'Document ' || doc_id || chr(10) || text"
+_TS_SQL = "TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND"
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: pages synthesis (with duplicate
+    recrawls) -> sniff/hash -> exact dedup -> actor-pool ensemble
+    extraction. Returns the streaming Dataset."""
+    from ebook_ocr_ray.pipelines.extraction import extraction_pipeline
+
+    return extraction_pipeline("/root/testdata/sf0.001", with_duplicates=True, dedup=True)
+
+
+# --------------------------------------------------------------------------
+
+
+def _extract_docs(sf_dir: str, kind: str | None = None):
+    from ebook_ocr_ray.pipelines.extraction import extract, pages_dataset, prepare_pages
+
+    ds = extract(prepare_pages(pages_dataset(sf_dir, kind=kind)))
+    return ds.select_columns(["url", "extracted_text"])
+
+
+def _extract_headings(sf_dir: str):
+    import pyarrow as pa
+
+    from ebook_ocr_ray.pipelines.extraction import extract, pages_dataset, prepare_pages
+
+    ds = extract(prepare_pages(pages_dataset(sf_dir)))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls, heads = [], []
+        for url, hs in zip(batch["url"].to_pylist(), batch["headings"].to_pylist()):
+            for h in hs:
+                urls.append(url)
+                heads.append(h)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "heading": pa.array(heads, pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _dedup_pages(sf_dir: str):
+    from ebook_ocr_ray.pipelines.extraction import dedup_exact, pages_dataset, prepare_pages
+
+    ds = dedup_exact(prepare_pages(pages_dataset(sf_dir, with_duplicates=True)))
+    return ds.select_columns(["url", "warc_ts"])
+
+
+def _lineage_sites(sf_dir: str):
+    from ebook_ocr_ray.pipelines.extraction import extraction_pipeline, lineage
+
+    return lineage(extraction_pipeline(sf_dir, dedup=False)).select_columns(
+        ["site", "doc_count", "char_count"]
+    )
+
+
+def _extract_metrics(sf_dir: str):
+    from ebook_ocr_ray.pipelines.extraction import extraction_pipeline
+
+    ds = extraction_pipeline(sf_dir, dedup=False)
+    return ds.select_columns(["url", "doc_kind", "n_lines", "gaps_filled", "contributions"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ebook_ocr_ray.pipelines import analytics, neardup, neighbors
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction family (closed-form oracles)
+        "extract_docs": _extract_docs,
+        "extract_html": lambda sf: _extract_docs(sf, kind="html"),
+        "extract_pdf": lambda sf: _extract_docs(sf, kind="pdf"),
+        "extract_headings": _extract_headings,
+        "dedup_pages": _dedup_pages,
+        "lineage_sites": _lineage_sites,
+        # relational / windowed
+        "q1_pricing": analytics.q1_pricing,
+        "events_hourly": analytics.events_hourly,
+        "orders_by_region": analytics.orders_by_region,
+        "top_terms": analytics.top_terms,
+        "source_stats": analytics.source_stats,
+        # text analysis
+        "token_stats": analytics.token_table,
+        "doc_fingerprint": analytics.fingerprint_table,
+        "dedup_exact_docs": analytics.dedup_exact_docs,
+        "text_profile": analytics.text_profile,          # rows-only
+        # similarity / near-dup
+        "knn_brute": neighbors.knn_brute,
+        "knn_ivf": neighbors.knn_ivf,                    # rows-only (approx)
+        "embedding_dup_pairs": neighbors.embedding_dup_pairs,
+        "minhash_clusters": neardup.minhash_clusters,    # rows-only
+        "simhash_pairs": neardup.simhash_pairs,          # rows-only
+        # extraction metadata (rows-only: ensemble internals)
+        "extract_metrics": _extract_metrics,             # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_docs": f"""
+            SELECT {_URL_SQL} AS url, {_TEXT_SQL} AS extracted_text
+            FROM documents
+        """,
+        "extract_html": f"""
+            SELECT {_URL_SQL} AS url, {_TEXT_SQL} AS extracted_text
+            FROM documents WHERE doc_id % 7 <> 3
+        """,
+        "extract_pdf": f"""
+            SELECT {_URL_SQL} AS url, {_TEXT_SQL} AS extracted_text
+            FROM documents WHERE doc_id % 7 = 3
+        """,
+        "extract_headings": f"""
+            SELECT {_URL_SQL} AS url, 'Document ' || doc_id AS heading
+            FROM documents
+        """,
+        "dedup_pages": f"""
+            SELECT {_URL_SQL} AS url, {_TS_SQL} AS warc_ts
+            FROM documents
+        """,
+        "lineage_sites": f"""
+            SELECT 'site-' || (doc_id % 20) AS site,
+                   COUNT(*) AS doc_count,
+                   SUM(length('Document ' || doc_id) + 1 + length(text)) AS char_count
+            FROM documents GROUP BY 1
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS base_cents,
+                   SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))
+                       AS revenue_cents,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "orders_by_region": """
+            SELECT r.r_name AS region, COUNT(*) AS n_orders,
+                   SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "top_terms": """
+            SELECT term, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+            GROUP BY term ORDER BY n DESC, term LIMIT 50
+        """,
+        "source_stats": """
+            SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+                   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                   len(list_filter(string_split(text, ' '),
+                                   w -> w IN ({_STOPLIST_SQL}))) AS stop_count,
+                   length(text) AS n_chars
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp_md5 FROM documents
+        """,
+        "dedup_exact_docs": """
+            SELECT d.* FROM documents d
+            JOIN (SELECT text, MIN(doc_id) AS keep FROM documents GROUP BY text) k
+              ON d.doc_id = k.keep
+        """,
+        "knn_brute": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                       WHERE vec_id < 10),
+                 s AS (SELECT q.qid, e.vec_id AS nid,
+                              list_cosine_similarity(q.qe, e.embedding) AS sim
+                       FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid)
+            SELECT qid, nid, CAST(rnk AS BIGINT) AS rank
+            FROM (SELECT qid, nid,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY sim DESC, nid) AS rnk
+                  FROM s)
+            WHERE rnk <= 5
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+    }

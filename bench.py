@@ -1,0 +1,141 @@
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and prints ONE JSON line:
+  {"metric": ..., "value": secs, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+--scaling: runs the same bench twice in fresh processes (8 vs 32 cpus) on
+the same input and prints both times plus the scaling efficiency
+(the sandbox stand-in for the N vs 4N node cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    for t in ("documents", "lineitem", "events", "embeddings", "orders"):
+        with open(f"{SF_DIR}/{t}.parquet", "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+    from ebook_ocr_ray.pipelines import analytics, neardup, neighbors
+    from ebook_ocr_ray.pipelines.extraction import extraction_pipeline, lineage
+
+    # untimed warmup: spin up worker processes / imports / one actor pool so
+    # the timed section measures steady-state throughput, not process spawn
+    extraction_pipeline("/root/testdata/sf0.001", dedup=False).count()
+
+    timings: dict[str, float] = {}
+    n_docs = 0
+
+    def timed(name, fn):
+        nonlocal n_docs
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # headline: full extraction pipeline (pages synth -> dedup -> ensemble
+    # extraction -> lineage), consumed by the lineage aggregate so the whole
+    # stream executes without driver materialization
+    factor = int(os.environ.get("GRAFT_BENCH_FACTOR", "8"))
+
+    def headline():
+        lin = lineage(
+            extraction_pipeline(SF_DIR, with_duplicates=True, dedup=True, repeat=factor)
+        ).to_pandas()
+        return int(lin.doc_count.sum())
+
+    n_docs = timed("extract_e2e", headline)
+    timed("q1_pricing", lambda: analytics.q1_pricing(SF_DIR).to_pandas())
+    timed("events_hourly", lambda: analytics.events_hourly(SF_DIR).count())
+    timed("top_terms", lambda: analytics.top_terms(SF_DIR).to_pandas())
+    timed("token_stats", lambda: analytics.token_table(SF_DIR).count())
+    timed("knn_brute", lambda: neighbors.knn_brute(SF_DIR).to_pandas())
+    timed("minhash_clusters", lambda: neardup.minhash_clusters(SF_DIR))
+    timed("dedup_exact_docs", lambda: analytics.dedup_exact_docs(SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs_per_sec": round(n_docs / timings["extract_e2e"], 1) if n_docs else 0.0,
+        "extract_docs": n_docs,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        # bigger corpus for the scaling criterion so compute, not fixed
+        # session cost, dominates at both parallelism levels
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env.setdefault("GRAFT_BENCH_FACTOR", "32")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo = r_lo["queries"]["extract_e2e"]
+    t_hi = r_hi["queries"]["extract_e2e"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "cpus": [lo, hi],
+                "extract_e2e_sec": [t_lo, t_hi],
+                "docs_per_sec": [r_lo["docs_per_sec"], r_hi["docs_per_sec"]],
+                "suite_sec": [r_lo["value"], r_hi["value"]],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,78 @@
+"""Mergeable dedup sketches: MinHash (+LSH banding) and SimHash.
+
+Vectorized with numpy; all hash seeds are fixed constants so signatures
+are reproducible at any parallelism. Designed for the canonical Ray Data
+near-dup flow: signature per doc inside map_batches -> explode (band_id,
+band_key, doc_id) rows -> groupby band -> candidate pairs -> verify exact
+Jaccard -> connected components.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ebook_ocr_ray.functions.textstats import shingle_hashes, word_shingles
+
+_MERSENNE = (1 << 61) - 1
+NUM_PERM = 64
+# 16 bands x 4 rows: candidate-probability S-curve crosses 0.5 at jaccard
+# ~(1/16)^(1/4) ~= 0.5, so 0.7-similar pairs are caught with P > 0.999
+LSH_BANDS = 16
+LSH_ROWS = NUM_PERM // LSH_BANDS
+
+_rng = np.random.RandomState(42)
+_A = _rng.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.uint64)
+_B = _rng.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.uint64)
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    """64-perm MinHash over k-word shingles (universal hashing
+    (a*x + b) mod p). Empty text -> all-max sentinel signature."""
+    hs = shingle_hashes(text, k)
+    if hs.size == 0:
+        return np.full(NUM_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (P, S) matrix without materializing python loops
+    prod = (_A[:, None] * hs[None, :] + _B[:, None]) % _MERSENNE
+    return prod.min(axis=1)
+
+
+def lsh_band_keys(signature: np.ndarray) -> list[tuple[int, int]]:
+    """(band_id, band_key) pairs; docs sharing any pair are candidates."""
+    out = []
+    for b in range(LSH_BANDS):
+        chunk = signature[b * LSH_ROWS:(b + 1) * LSH_ROWS]
+        key = 0
+        for v in chunk:
+            key = (key * 1000003 + int(v)) % (1 << 63)
+        out.append((b, key))
+    return out
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact k-word-shingle Jaccard (the verify step after LSH blocking)."""
+    sa, sb = set(word_shingles(text_a, k)), set(word_shingles(text_b, k))
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word-shingle features (charikar): each feature's
+    stable hash votes +1/-1 per bit; sign of the tally forms the print."""
+    hs = shingle_hashes(text, k=2)
+    if hs.size == 0:
+        return 0
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    tally = (2 * bits - 1).sum(axis=0)
+    return int(((tally > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_band_keys(print64: int, tables: int = 4) -> list[tuple[int, int]]:
+    """Split the 64-bit print into 16-bit bands; prints within hamming
+    distance <= tables-1 share at least one identical band (pigeonhole)."""
+    return [(t, (print64 >> (16 * t)) & 0xFFFF) for t in range(tables)]

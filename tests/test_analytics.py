@@ -1,0 +1,169 @@
+"""Analytics operators vs DuckDB oracles at sf0.001 (tiny, fast), plus
+unit tests for text stats and sketches."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def assert_matches_oracle(ours, con, sql):
+    oracle = con.execute(sql).df()
+    a, b = canon(ours if isinstance(ours, pd.DataFrame) else ours.to_pandas()), canon(oracle)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestRelational:
+    def test_q1_pricing(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import q1_pricing
+        import __ray_entry__ as e
+
+        assert_matches_oracle(q1_pricing(SF), con, e.oracle_sql()["q1_pricing"])
+
+    def test_events_hourly(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import events_hourly
+        import __ray_entry__ as e
+
+        assert_matches_oracle(events_hourly(SF), con, e.oracle_sql()["events_hourly"])
+
+    def test_orders_by_region(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import orders_by_region
+        import __ray_entry__ as e
+
+        assert_matches_oracle(orders_by_region(SF), con, e.oracle_sql()["orders_by_region"])
+
+    def test_top_terms(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import top_terms
+        import __ray_entry__ as e
+
+        assert_matches_oracle(top_terms(SF), con, e.oracle_sql()["top_terms"])
+
+
+class TestTextOps:
+    def test_token_stats(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import token_table
+        import __ray_entry__ as e
+
+        assert_matches_oracle(token_table(SF), con, e.oracle_sql()["token_stats"])
+
+    def test_doc_fingerprint(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import fingerprint_table
+        import __ray_entry__ as e
+
+        assert_matches_oracle(fingerprint_table(SF), con, e.oracle_sql()["doc_fingerprint"])
+
+    def test_text_profile_deterministic(self, ray_session):
+        from ebook_ocr_ray.pipelines.analytics import text_profile
+
+        a = text_profile(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = text_profile(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestNeighbors:
+    def test_knn_brute_matches_oracle(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.neighbors import knn_brute
+        import __ray_entry__ as e
+
+        assert_matches_oracle(knn_brute(SF), con, e.oracle_sql()["knn_brute"])
+
+    def test_knn_ivf_mostly_agrees_with_brute(self, ray_session):
+        from ebook_ocr_ray.pipelines.neighbors import knn_brute, knn_ivf
+
+        brute = knn_brute(SF).to_pandas()
+        ivf = knn_ivf(SF).to_pandas()
+        # approximate search: require >= 60% overlap of neighbor sets
+        overlap = 0
+        for qid in brute.qid.unique():
+            b = set(brute[brute.qid == qid].nid)
+            v = set(ivf[ivf.qid == qid].nid)
+            overlap += len(b & v) / len(b)
+        assert overlap / brute.qid.nunique() >= 0.6
+
+    def test_embedding_dup_pairs(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.neighbors import embedding_dup_pairs
+        import __ray_entry__ as e
+
+        assert_matches_oracle(embedding_dup_pairs(SF), con, e.oracle_sql()["embedding_dup_pairs"])
+
+
+class TestNearDup:
+    def test_minhash_finds_planted_near_dups(self, ray_session, tmp_path):
+        """Plant exact + near duplicates in a tiny parquet corpus and check
+        clustering picks them up."""
+        base = "the quick brown fox jumps over the lazy dog and runs far away today " * 4
+        rows = [
+            {"doc_id": 0, "text": base.strip()},
+            {"doc_id": 1, "text": base.strip()},                        # exact dup
+            {"doc_id": 2, "text": (base + "extra tail words here").strip()},  # near dup
+            {"doc_id": 3, "text": "completely different content about databases and queries"},
+        ]
+        pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+        from ebook_ocr_ray.pipelines.neardup import minhash_clusters
+
+        out = minhash_clusters(str(tmp_path))
+        c = dict(zip(out.doc_id, out.cluster_id))
+        assert c[0] == c[1] == c[2] == 0
+        assert c[3] == 3
+
+    def test_simhash_pairs_on_planted_dups(self, ray_session, tmp_path):
+        base = "identical words in this document repeated enough times to matter " * 5
+        rows = [
+            {"doc_id": 10, "text": base.strip()},
+            {"doc_id": 11, "text": base.strip()},
+            {"doc_id": 12, "text": "unrelated text talking about something else entirely now"},
+        ]
+        pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+        from ebook_ocr_ray.pipelines.neardup import simhash_pairs
+
+        out = simhash_pairs(str(tmp_path))
+        assert (10, 11) in set(zip(out.id_a, out.id_b))
+        assert out[out.hamming == 0].shape[0] >= 1
+
+    def test_dedup_exact_docs(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import dedup_exact_docs
+        import __ray_entry__ as e
+
+        assert_matches_oracle(dedup_exact_docs(SF), con, e.oracle_sql()["dedup_exact_docs"])
+
+
+class TestSketchUnits:
+    def test_minhash_similarity_tracks_jaccard(self):
+        from ebook_ocr_ray.functions.sketches import jaccard, minhash_signature
+
+        a = "one two three four five six seven eight nine ten " * 3
+        b = a + "extra words at the end of the text"
+        sa, sb = minhash_signature(a), minhash_signature(b)
+        est = np.mean(sa == sb)
+        true = jaccard(a, b)
+        assert abs(est - true) < 0.25
+
+    def test_simhash_close_for_similar(self):
+        from ebook_ocr_ray.functions.sketches import hamming64, simhash64
+
+        a = "a long document with many stable words inside it " * 4
+        b = a + "tiny change"
+        assert hamming64(simhash64(a), simhash64(b)) <= 12
+        c = "completely different material altogether with other tokens"
+        assert hamming64(simhash64(a), simhash64(c)) > 12
+
+    def test_rolling_fingerprint_order_sensitive(self):
+        from ebook_ocr_ray.functions.textstats import rolling_fingerprint
+
+        assert rolling_fingerprint("ab cd") != rolling_fingerprint("cd ab")

@@ -1,0 +1,145 @@
+"""HTML extractor variants, PDF layout path, per-doc ensemble merge."""
+
+import pytest
+
+from ebook_ocr_ray.config import ExtractionConfig
+from ebook_ocr_ray.functions.ensemble import merge_sources
+from ebook_ocr_ray.functions.html_dom import parse_blocks
+from ebook_ocr_ray.functions.html_extract import (
+    extract_density,
+    extract_dom,
+    extract_readability,
+    run_html_extractors,
+)
+from ebook_ocr_ray.functions.pdf_extract import (
+    decode_pdf_words,
+    extract_pdf_text,
+    is_pdf_payload,
+    merge_continuation_lines,
+)
+from ebook_ocr_ray.functions.geometry import Region
+from ebook_ocr_ray.sources.pages import expected_extraction, synth_html, synth_pdf
+from ebook_ocr_ray.stages.extract import extract_one
+
+ARTICLE = """<html><head><title>T</title></head><body>
+<header><nav><a href="/">Home</a> <a href="/a">About</a></nav></header>
+<main>
+<h1>Real heading here</h1>
+<p>This is the actual article body with plenty of words, commas, and substance.</p>
+</main>
+<footer><p><a href="/p">privacy</a> <a href="/t">terms</a> only links</p></footer>
+</body></html>"""
+
+
+class TestHtmlDom:
+    def test_blocks_and_offsets(self):
+        blocks = parse_blocks(ARTICLE)
+        texts = [b.text for b in blocks]
+        assert "Real heading here" in texts
+        offsets = [b.offset for b in blocks]
+        assert offsets == sorted(offsets)          # document order
+
+    def test_link_density(self):
+        blocks = parse_blocks(ARTICLE)
+        footer = [b for b in blocks if "privacy" in b.text][0]
+        assert footer.link_density > 0.4
+        body = [b for b in blocks if "actual article" in b.text][0]
+        assert body.link_density == 0.0
+
+    def test_entity_unescaping(self):
+        blocks = parse_blocks("<p>a &amp; b &lt;c&gt;</p>")
+        assert blocks[0].text == "a & b <c>"
+
+
+class TestHtmlVariants:
+    def test_dom_prefers_main(self):
+        spans = extract_dom(parse_blocks(ARTICLE))
+        assert [s.text for s in spans] == [
+            "Real heading here",
+            "This is the actual article body with plenty of words, commas, and substance.",
+        ]
+
+    def test_dom_chrome_fallback_without_main(self):
+        html = "<body><header><p>chrome</p></header><p>content paragraph text</p></body>"
+        spans = extract_dom(parse_blocks(html))
+        assert [s.text for s in spans] == ["content paragraph text"]
+
+    def test_density_drops_link_farms(self):
+        spans = extract_density(parse_blocks(ARTICLE))
+        assert all("privacy" not in s.text for s in spans)
+        assert any("actual article" in s.text for s in spans)
+
+    def test_readability_picks_main_container(self):
+        spans = extract_readability(parse_blocks(ARTICLE))
+        assert any("actual article" in s.text for s in spans)
+        assert all("Home" not in s.text for s in spans)
+
+    def test_same_block_same_geometry_across_variants(self):
+        out = run_html_extractors(ARTICLE)
+        def y_of(spans, needle):
+            return [s.yc for s in spans if needle in s.text][0]
+        y_dom = y_of(out["dom"], "actual article")
+        y_den = y_of(out["density"], "actual article")
+        assert y_dom == y_den
+
+
+class TestPdfPath:
+    def test_magic_sniff(self):
+        assert is_pdf_payload(b"%PDF-1.4\n...")
+        assert not is_pdf_payload(b"<html>")
+
+    def test_missing_layout_raises(self):
+        with pytest.raises(ValueError):
+            decode_pdf_words(b"%PDF-1.4\nno layout here")
+
+    def test_round_trip(self):
+        text = "alpha beta gamma " * 30
+        payload = synth_pdf(7, text.strip())
+        out, n_lines, titles = extract_pdf_text(payload)
+        assert out == f"Document 7\n{text.strip()}"
+        assert titles == ["Document 7"]
+        assert n_lines > 2
+
+    def test_continuation_merge_rules(self):
+        regions = [
+            Region("TITLE", (0, 0, 10, 10), 1.0, "Heading"),
+            Region("TEXT", (0, 20, 10, 30), 1.0, "first line ends."),
+            Region("TEXT", (0, 40, 10, 50), 1.0, "second sentence"),
+            Region("TEXT", (0, 60, 10, 70), 1.0, "continues here"),
+        ]
+        blocks = merge_continuation_lines(regions)
+        assert blocks == ["Heading", "first line ends.", "second sentence continues here"]
+
+
+class TestEnsemble:
+    def test_agreeing_sources_byte_identical(self):
+        out = run_html_extractors(ARTICLE)
+        merged = merge_sources(out)
+        assert merged.text == (
+            "Real heading here\n"
+            "This is the actual article body with plenty of words, commas, and substance."
+        )
+        assert merged.contributions["dom"] == 2
+
+    def test_all_noise_empty_result(self):
+        from ebook_ocr_ray.functions.lines import make_span
+        merged = merge_sources({"dom": [make_span("...", 0, 0, 10, 10, 1.0)]})
+        assert merged.text == "" and merged.lines == []
+
+    def test_gap_counting_without_primary(self):
+        from ebook_ocr_ray.functions.lines import make_span
+        merged = merge_sources(
+            {"dom": [], "density": [make_span("filled by density", 0, 95, 80, 105, 0.99)]}
+        )
+        assert merged.text == "filled by density"
+        assert merged.gaps_filled == 1
+
+
+class TestGoldenRoundTrip:
+    @pytest.mark.parametrize("doc_id", [0, 1, 3, 10, 42])
+    def test_synth_extract_inverse(self, doc_id):
+        text = "the quick brown fox jumps over a lazy dog again and again".replace("x", "x")
+        payload = synth_pdf(doc_id, text) if doc_id % 7 == 3 else synth_html(doc_id, text)
+        got, heads, n, g, c = extract_one(payload, ExtractionConfig())
+        assert got == expected_extraction(doc_id, text)
+        assert heads == [f"Document {doc_id}"]

@@ -1,0 +1,97 @@
+"""End-to-end Ray pipeline tests at sf0.001: golden byte-identity against
+the committed fixture, dedup invariants, lineage, determinism under
+parallelism."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "fixtures", "golden_sf0.001.parquet")
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def extracted(ray_session):
+    from ebook_ocr_ray.pipelines.extraction import extraction_pipeline
+
+    return extraction_pipeline(SF, with_duplicates=True, dedup=True).to_pandas()
+
+
+class TestGoldenByteIdentity:
+    def test_every_url_matches_committed_golden(self, extracted):
+        golden = pq.read_table(GOLDEN).to_pylist()
+        got = dict(zip(extracted.url, extracted.extracted_text))
+        assert len(got) == len(golden)
+        mismatches = [g["url"] for g in golden if got.get(g["url"]) != g["extracted_text"]]
+        assert mismatches == []
+
+    def test_headings_and_metrics_match_golden(self, extracted):
+        golden = {g["url"]: g for g in pq.read_table(GOLDEN).to_pylist()}
+        for _, row in extracted.iterrows():
+            g = golden[row.url]
+            assert list(row.headings) == g["headings"]
+            assert row.n_lines == g["n_lines"]
+            assert json.loads(row.contributions) == json.loads(g["contributions"])
+
+    def test_no_errors(self, extracted):
+        assert extracted.error.notna().sum() == 0
+
+
+class TestDedup:
+    def test_duplicates_removed_keep_earliest(self, ray_session):
+        from ebook_ocr_ray.pipelines.extraction import dedup_exact, pages_dataset, prepare_pages
+
+        prepared = prepare_pages(pages_dataset(SF, with_duplicates=True)).materialize()
+        total = prepared.count()
+        deduped = dedup_exact(prepared, slim=prepared).to_pandas()
+        assert total > len(deduped)                      # dups existed
+        assert deduped.url.is_unique
+        # survivors are the earliest crawl of each duplicated url
+        base = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+        import datetime
+        for r in base:
+            if r["doc_id"] % 10 == 0:
+                url = f"https://site-{r['doc_id'] % 20}.example/doc/{r['doc_id']}"
+                ts = deduped[deduped.url == url].warc_ts.iloc[0]
+                expect = datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=r["doc_id"])
+                assert ts.to_pydatetime() == expect
+
+    def test_dedup_idempotent(self, ray_session):
+        from ebook_ocr_ray.pipelines.extraction import dedup_exact, pages_dataset, prepare_pages
+
+        prepared = prepare_pages(pages_dataset(SF, with_duplicates=True)).materialize()
+        once = dedup_exact(prepared, slim=prepared).materialize()
+        twice = dedup_exact(once, slim=once).to_pandas()
+        assert len(twice) == once.count()
+
+
+class TestLineage:
+    def test_site_counts_sum_to_corpus(self, ray_session):
+        from ebook_ocr_ray.pipelines.extraction import extraction_pipeline, lineage
+
+        lin = lineage(extraction_pipeline(SF, dedup=False)).to_pandas()
+        assert lin.doc_count.sum() == 500
+        assert len(lin) == 20
+        assert (lin.byte_count > 0).all() and (lin.char_count > 0).all()
+
+
+class TestDeterminism:
+    def test_parallel_equals_serial(self, ray_session):
+        """The north-rule invariant: the distributed run is byte-identical
+        to a single-threaded reference-semantics run."""
+        from ebook_ocr_ray.config import ExtractionConfig
+        from ebook_ocr_ray.pipelines.extraction import extraction_pipeline
+        from ebook_ocr_ray.sources.pages import page_url, synth_payload
+        from ebook_ocr_ray.stages.extract import extract_one
+
+        cfg = ExtractionConfig()
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pylist()[:100]
+        serial = {
+            page_url(r["doc_id"]): extract_one(synth_payload(r["doc_id"], r["text"]), cfg)[0]
+            for r in docs
+        }
+        out = extraction_pipeline(SF, dedup=False).to_pandas()
+        got = dict(zip(out.url, out.extracted_text))
+        assert all(got[u] == t for u, t in serial.items())
