@@ -84,6 +84,21 @@ def _extract_metrics(sf_dir: str):
     return ds.select_columns(["url", "doc_kind", "n_lines", "gaps_filled", "contributions"])
 
 
+def _structural_xml(sf_dir: str):
+    from ebook_ocr_ray.stages.structural import structural_pipeline
+
+    return structural_pipeline(sf_dir).select_columns(["doc_id", "book_xml"])
+
+
+def _structural_stats(sf_dir: str):
+    """Every synthesized book compiles to exactly 3 pages with exactly one
+    parse error (the deliberate #### deep-heading clamp) — closed-form
+    constants the oracle can assert."""
+    from ebook_ocr_ray.stages.structural import structural_pipeline
+
+    return structural_pipeline(sf_dir).select_columns(["doc_id", "n_pages", "n_errors"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ebook_ocr_ray.pipelines import analytics, neardup, neighbors
 
@@ -114,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": neardup.simhash_pairs,          # rows-only
         # extraction metadata (rows-only: ensemble internals)
         "extract_metrics": _extract_metrics,             # rows-only
+        # structural stage (book_converter analog)
+        "structural_xml": _structural_xml,               # rows-only (XML strings)
+        "structural_stats": _structural_stats,
     }
 
 
@@ -214,5 +232,9 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        "structural_stats": """
+            SELECT doc_id, CAST(3 AS INT) AS n_pages, CAST(1 AS INT) AS n_errors
+            FROM documents
         """,
     }

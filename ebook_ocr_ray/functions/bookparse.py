@@ -1,0 +1,439 @@
+"""Per-document structural compiler: page-marked markdown -> book model.
+
+Fresh re-expression of the reference's book_converter parse semantics
+(/root/reference/src/book_converter/): page markers, toc/content/skip
+marker stack, headings with the level>3 clamp, paragraph continuation
+merge, bullet/ordered lists, figure comments, TOC entries with leader
+extraction, running-head detection, and two-pass TOC<->heading matching
+with a sequential constraint.
+
+Everything here is pure per-document Python: a document is one row, the
+marker stack persists across its pages (the reference's key doc-scoped
+state, parser/page.py:529), and nothing leaks across rows — which is what
+makes the stage embarrassingly parallel in map_batches.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from difflib import SequenceMatcher
+
+# --- markers (reference parser/page.py:38-116, parser/toc.py:10-76) -------
+
+_PAGE_FULL = re.compile(r"---\s+[Pp]age\s+(\d+)\s+\((.+?)\)\s+---")
+_PAGE_SHORT = re.compile(r"---\s+page_(\d+)\s+---")
+_PAGE_NONUM = re.compile(r"---\s+[Pp]age\s+\((.+?)\)\s+---")
+_PAGE_COLON = re.compile(r"---\s+[Pp]age:\s*(.+?)\s*---")
+_TOC_MARK = re.compile(r"<!--\s*(/?)\s*toc\s*-->", re.IGNORECASE)
+_CONTENT_MARK = re.compile(r"<!--\s*(/?)\s*content\s*-->", re.IGNORECASE)
+_SKIP_MARK = re.compile(r"<!--\s*(/?)\s*skip\s*-->", re.IGNORECASE)
+_FIGURE_MARK = re.compile(r"<!--\s*FIGURE:\s*(.+?)\s*-->", re.IGNORECASE)
+_FIGURE_PLACEHOLDER = re.compile(r"^\[図(\d*)\]$")
+_HEADING = re.compile(r"^(#{1,6})\s*(.*)$")
+
+BULLETS = ("●", "○", "◎", "•", "·", "・", "◆", "◇", "■", "□", "▶", "▷", "►", "-", "*")
+_ORDERED = re.compile(
+    r"^\s*([①②③④⑤⑥⑦⑧⑨⑩⑪⑫⑬⑭⑮⑯⑰⑱⑲⑳]|[（(]\d+[)）]|\d+[.．)）])\s*(.*)$"
+)
+
+TERMINATORS = {"。", ".", "!", "！", "?", "？"}
+TERMINATOR_PAIRS = {"）。", "」。"}
+
+
+def parse_page_marker(line: str) -> tuple[str, str] | None:
+    """(page_number, source_file) for the three marker formats, else None."""
+    m = _PAGE_FULL.search(line)
+    if m:
+        return m.group(1), m.group(2)
+    m = _PAGE_SHORT.search(line)
+    if m:
+        return str(int(m.group(1))), f"page_{m.group(1)}"
+    m = _PAGE_NONUM.search(line)
+    if m:
+        return "", m.group(1)
+    m = _PAGE_COLON.search(line)
+    if m:
+        src = m.group(1).strip()
+        num = re.search(r"page_(\d+)", src)
+        return (str(int(num.group(1))) if num else ""), src
+    return None
+
+
+def parse_marker(line: str) -> str | None:
+    """toc / /toc / content / /content / skip / /skip, else None."""
+    for rx, name in ((_TOC_MARK, "toc"), (_CONTENT_MARK, "content"), (_SKIP_MARK, "skip")):
+        m = rx.search(line)
+        if m:
+            return ("/" if m.group(1) else "") + name
+    return None
+
+
+def parse_heading(line: str) -> tuple[int, str, str | None] | None:
+    """(level, text, warning). Levels 4-6 clamp to 3 with a warning
+    (reference parser/heading.py:66-125)."""
+    m = _HEADING.match(line)
+    if not m:
+        return None
+    raw_level = len(m.group(1))
+    level = min(raw_level, 3)
+    warning = f"heading level {raw_level} clamped to 3" if raw_level > 3 else None
+    return level, m.group(2), warning
+
+
+def parse_list_line(line: str) -> tuple[str, str] | None:
+    """(list_type, content) or None (reference parser/utils.py:15-74)."""
+    stripped = line.strip()
+    if not stripped:
+        return None
+    for marker in BULLETS:
+        if stripped.startswith(marker):
+            rest = stripped[len(marker):].lstrip()
+            if rest:
+                return "unordered", rest
+    m = _ORDERED.match(stripped)
+    if m and m.group(2).strip():
+        return "ordered", m.group(2).strip()
+    return None
+
+
+def parse_figure(line: str) -> str | None:
+    m = _FIGURE_MARK.search(line)
+    if m:
+        return m.group(1)
+    m = _FIGURE_PLACEHOLDER.match(line.strip())
+    if m:
+        return f"figure_{m.group(1) or '0'}"
+    return None
+
+
+def ends_with_terminator(text: str) -> bool:
+    t = text.rstrip()
+    if not t:
+        return False
+    return t[-1] in TERMINATORS or t[-2:] in TERMINATOR_PAIRS
+
+
+def merge_continuations(paragraphs: list[str]) -> list[str]:
+    """Fold paragraphs that don't end in a sentence terminator into their
+    successor (no joining space — CJK-first rule, reference
+    parser/paragraph.py:97-159). The last paragraph never merges forward."""
+    out: list[str] = []
+    carry = ""
+    for i, p in enumerate(paragraphs):
+        text = (carry + p).strip()
+        if ends_with_terminator(text) or i == len(paragraphs) - 1:
+            if text:
+                out.append(text)
+            carry = ""
+        else:
+            carry = text
+    return out
+
+
+# --- TOC entries (reference parser/toc.py:326-482) -------------------------
+
+_LEADER_DOTS = re.compile(r"\.{2,}\s*(\d+)\s*$")
+_LEADER_DASH = re.compile(r"[─\-]{2,}\s*(\d+)\s*$")
+_LEADER_SPACE = re.compile(r"\s{3,}(\d+)\s*$")
+_MD_PREFIX = re.compile(r"^\s*(#{1,6}|[-*])\s*")
+_EMPHASIS = re.compile(r"\*\*(.+?)\*\*")
+
+_TOC_PATTERNS: list[tuple[re.Pattern, int]] = [
+    (re.compile(r"^Chapter\s+(\d+)\s*(.*)$", re.IGNORECASE), 1),
+    (re.compile(r"^Section\s+(\d+\.\d+)\s*(.*)$", re.IGNORECASE), 2),
+    (re.compile(r"^Subsection\s+(\d+\.\d+\.\d+)\s*(.*)$", re.IGNORECASE), 3),
+    (re.compile(r"^(\d+\.\d+\.\d+\.\d+\.\d+)\s+(.+)$"), 5),
+    (re.compile(r"^(\d+\.\d+\.\d+\.\d+)\s+(.+)$"), 4),
+    (re.compile(r"^(\d+\.\d+\.\d+)\s+(.+)$"), 3),
+    (re.compile(r"^(\d+\.\d+)\s+(.+)$"), 2),
+    (re.compile(r"^第(\d+)章\s*(.*)$"), 1),
+]
+
+
+@dataclass
+class TocEntry:
+    text: str
+    level: int
+    number: str
+    page: str
+    matched_line: int = -1          # body line matched in pass 1/2
+    match_kind: str = "missing"     # exact | fuzzy | missing
+
+
+def parse_toc_entry(line: str) -> TocEntry | None:
+    if not line.strip():
+        return None
+    page = ""
+    for rx in (_LEADER_DOTS, _LEADER_DASH, _LEADER_SPACE):
+        m = rx.search(line)
+        if m:
+            page = m.group(1)
+            line = line[: m.start()]
+            break
+    line = _MD_PREFIX.sub("", line)
+    line = _EMPHASIS.sub(r"\1", line).strip()
+    for rx, level in _TOC_PATTERNS:
+        m = rx.match(line)
+        if m:
+            return TocEntry(text=(m.group(2) or "").strip(), level=level,
+                            number=m.group(1), page=page)
+    if line:
+        # standalone entry without a number (はじめに / Preface style)
+        return TocEntry(text=line, level=1, number="", page=page)
+    return None
+
+
+# --- document model --------------------------------------------------------
+
+
+@dataclass
+class Element:
+    kind: str                         # heading | paragraph | list | figure
+    text: str = ""
+    level: int = 0
+    items: tuple[str, ...] = ()
+    list_type: str = ""
+    read_aloud: bool = True
+
+
+@dataclass
+class Page:
+    number: str
+    source_file: str
+    elements: list[Element] = field(default_factory=list)
+
+
+@dataclass
+class ParsedDoc:
+    pages: list[Page]
+    toc: list[TocEntry]
+    errors: list[str]
+    headings: list[tuple[int, int, str]]    # (global_line, level, text)
+
+
+def parse_document(book_md: str) -> ParsedDoc:
+    """The page micro-parser (reference parser/page.py:515-668): one pass
+    over the document's lines; the content/skip marker stack persists
+    across page boundaries; TOC lines are collected between toc markers."""
+    pages: list[Page] = []
+    toc: list[TocEntry] = []
+    errors: list[str] = []
+    headings: list[tuple[int, int, str]] = []
+
+    marker_stack: list[str] = []
+    in_toc = False
+    current = Page(number="", source_file="")
+    para_lines: list[str] = []
+    list_items: list[str] = []
+    list_type = ""
+
+    def read_aloud() -> bool:
+        return not marker_stack or marker_stack[-1] != "skip"
+
+    def flush_paragraphs() -> None:
+        nonlocal para_lines
+        if para_lines:
+            joined = " ".join(s.strip() for s in para_lines if s.strip())
+            if joined:
+                current.elements.append(
+                    Element("paragraph", text=joined, read_aloud=read_aloud())
+                )
+            para_lines = []
+
+    def flush_list() -> None:
+        nonlocal list_items, list_type
+        if list_items:
+            current.elements.append(
+                Element("list", items=tuple(list_items), list_type=list_type,
+                        read_aloud=read_aloud())
+            )
+            list_items = []
+            list_type = ""
+
+    def flush_all() -> None:
+        flush_paragraphs()
+        flush_list()
+
+    for lineno, line in enumerate(book_md.split("\n")):
+        marker = parse_page_marker(line)
+        if marker is not None:
+            flush_all()
+            if current.elements or current.number:
+                pages.append(current)
+            current = Page(number=marker[0], source_file=marker[1])
+            continue
+
+        state = parse_marker(line)
+        if state is not None:
+            flush_all()
+            if state == "toc":
+                in_toc = True
+            elif state == "/toc":
+                in_toc = False
+            elif state in ("content", "skip"):
+                marker_stack.append(state)
+            elif state in ("/content", "/skip"):
+                want = state[1:]
+                if marker_stack and marker_stack[-1] == want:
+                    marker_stack.pop()
+                else:
+                    errors.append(f"line {lineno}: unbalanced <!-- {state} -->")
+            continue
+
+        if in_toc:
+            entry = parse_toc_entry(line)
+            if entry is not None:
+                toc.append(entry)
+            continue
+
+        fig = parse_figure(line)
+        if fig is not None:
+            flush_all()
+            current.elements.append(Element("figure", text=fig, read_aloud=False))
+            continue
+
+        h = parse_heading(line)
+        if h is not None:
+            flush_all()
+            level, text, warning = h
+            if warning:
+                errors.append(f"line {lineno}: {warning}")
+            current.elements.append(
+                Element("heading", text=text, level=level, read_aloud=read_aloud())
+            )
+            headings.append((lineno, level, text))
+            continue
+
+        li = parse_list_line(line)
+        if li is not None:
+            flush_paragraphs()
+            if list_items and li[0] != list_type:
+                flush_list()
+            list_type = li[0]
+            list_items.append(li[1])
+            continue
+
+        if not line.strip():
+            flush_all()
+            continue
+
+        flush_list()
+        para_lines.append(line)
+
+    flush_all()
+    if current.elements or current.number:
+        pages.append(current)
+
+    # paragraph continuation merge runs per page, after the scan
+    for page in pages:
+        merged: list[Element] = []
+        run: list[Element] = []
+        for el in page.elements + [Element("_end")]:
+            if el.kind == "paragraph":
+                if run and run[-1].read_aloud != el.read_aloud:
+                    # a read-aloud boundary ends the merge run: skip-marked
+                    # text must not absorb (or be absorbed by) spoken text
+                    texts = merge_continuations([p.text for p in run])
+                    merged.extend(
+                        Element("paragraph", text=t, read_aloud=run[0].read_aloud)
+                        for t in texts
+                    )
+                    run = []
+                run.append(el)
+                continue
+            if run:
+                texts = merge_continuations([p.text for p in run])
+                merged.extend(
+                    Element("paragraph", text=t, read_aloud=run[0].read_aloud)
+                    for t in texts
+                )
+                run = []
+            if el.kind != "_end":
+                merged.append(el)
+        page.elements = merged
+
+    return ParsedDoc(pages=pages, toc=toc, errors=errors, headings=headings)
+
+
+# --- heading analysis (reference analyzer.py:41-151) -----------------------
+
+
+_DASHES = "‐-–—―−ー"
+
+
+def normalize_heading(text: str) -> str:
+    out = text.strip()
+    for d in _DASHES:
+        out = out.replace(d, "-")
+    out = re.sub(r"\s+", " ", out)
+    return out
+
+
+def detect_running_head(doc: ParsedDoc) -> str | None:
+    """Most frequent level-1 heading with count >= max(pages*0.5, 2) is a
+    running head (page-chrome, excluded from read-aloud)."""
+    counts: dict[str, int] = {}
+    for _, level, text in doc.headings:
+        if level == 1:
+            key = normalize_heading(text)
+            counts[key] = counts.get(key, 0) + 1
+    if not counts:
+        return None
+    best = max(counts, key=counts.get)
+    threshold = max(len(doc.pages) * 0.5, 2)
+    return best if counts[best] >= threshold else None
+
+
+# --- TOC <-> heading matching (reference heading_matcher.py:55-236) --------
+
+
+def match_toc_to_headings(
+    toc: list[TocEntry],
+    headings: list[tuple[int, int, str]],
+    fuzzy_threshold: float = 0.8,
+) -> list[TocEntry]:
+    """Two-pass order-constrained matching:
+
+    pass 1 — exact normalized-text equality, scanning forward only (match
+    lines must be strictly increasing across entries);
+    pass 2 — for the remaining entries, best fuzzy ratio >= threshold
+    bounded between the neighbors' matched lines.
+    """
+    norm_heads = [(ln, normalize_heading(text)) for ln, _lvl, text in headings]
+
+    cursor = -1
+    for entry in toc:
+        want = normalize_heading(entry.text)
+        if not want:
+            continue
+        for ln, head in norm_heads:
+            if ln > cursor and head == want:
+                entry.matched_line = ln
+                entry.match_kind = "exact"
+                cursor = ln
+                break
+
+    for i, entry in enumerate(toc):
+        if entry.match_kind != "missing" or not entry.text:
+            continue
+        lo = max(
+            (e.matched_line for e in toc[:i] if e.matched_line >= 0), default=-1
+        )
+        hi = min(
+            (e.matched_line for e in toc[i + 1:] if e.matched_line >= 0),
+            default=max((ln for ln, _ in norm_heads), default=-1) + 1,
+        )
+        want = normalize_heading(entry.text)
+        best_ln, best_ratio = -1, fuzzy_threshold
+        for ln, head in norm_heads:
+            if not (lo < ln < hi):
+                continue
+            ratio = SequenceMatcher(None, want, head).ratio()
+            if ratio > best_ratio:
+                best_ln, best_ratio = ln, ratio
+        if best_ln >= 0:
+            entry.matched_line = best_ln
+            entry.match_kind = "fuzzy"
+
+    return toc

@@ -1,0 +1,114 @@
+"""Book model -> hierarchical XML.
+
+Re-expresses the reference's transformer + page grouper
+(/root/reference/src/book_converter/transformer.py,
+page_grouper/hierarchy.py, xml_builder.py): chapters from level-1
+structure headings, sections from level-2, pages flattened to comments,
+running-head suppression, no-TOC fallback to a single "Content" chapter,
+parse errors embedded as comments.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+
+from ebook_ocr_ray.functions.bookparse import (
+    Element,
+    ParsedDoc,
+    detect_running_head,
+    match_toc_to_headings,
+    normalize_heading,
+)
+
+_CHAPTER_HEAD = re.compile(r"^(?:Chapter\s+(\d+)|第(\d+)章)\s*(.*)$", re.IGNORECASE)
+_SECTION_HEAD = re.compile(r"^(?:Section\s+)?(\d+\.\d+)(?!\.)\s*(.*)$", re.IGNORECASE)
+
+
+def _append_element(parent: ET.Element, el: Element, running_head: str | None) -> None:
+    if el.kind == "heading":
+        if running_head and normalize_heading(el.text) == running_head:
+            return                                    # running head: page chrome
+        node = ET.SubElement(parent, "heading", level=str(el.level),
+                             readAloud=str(el.read_aloud).lower())
+        node.text = el.text
+    elif el.kind == "paragraph":
+        node = ET.SubElement(parent, "paragraph", readAloud=str(el.read_aloud).lower())
+        node.text = el.text
+    elif el.kind == "list":
+        node = ET.SubElement(parent, "list", type=el.list_type or "unordered",
+                             readAloud=str(el.read_aloud).lower())
+        for item in el.items:
+            it = ET.SubElement(node, "item")
+            it.text = item
+    elif el.kind == "figure":
+        ET.SubElement(parent, "figure", src=el.text)
+
+
+def build_book_xml(doc: ParsedDoc, title: str = "") -> str:
+    """Serialize a parsed document to the book XML contract."""
+    running_head = detect_running_head(doc)
+    toc = match_toc_to_headings(doc.toc, doc.headings)
+
+    book = ET.Element("book")
+    meta = ET.SubElement(book, "metadata")
+    ET.SubElement(meta, "title").text = title
+    ET.SubElement(meta, "pages").text = str(len(doc.pages))
+
+    if toc:
+        toc_el = ET.SubElement(book, "toc")
+        for entry in toc:
+            ET.SubElement(
+                toc_el,
+                "entry",
+                level=str(entry.level),
+                number=entry.number,
+                page=entry.page,
+                match=entry.match_kind,
+            ).text = entry.text
+
+    # walk pages in order, opening chapters/sections at structure headings
+    current_chapter: ET.Element | None = None
+    current_section: ET.Element | None = None
+    front = ET.SubElement(book, "front-matter")
+
+    def target() -> ET.Element:
+        return current_section if current_section is not None else (
+            current_chapter if current_chapter is not None else front
+        )
+
+    for page in doc.pages:
+        ET.SubElement(target(), "pagebreak", number=page.number)
+        for el in page.elements:
+            if el.kind == "heading":
+                ch = _CHAPTER_HEAD.match(el.text.strip())
+                if el.level == 1 and ch:
+                    number = ch.group(1) or ch.group(2)
+                    current_chapter = ET.SubElement(
+                        book, "chapter", number=number, title=ch.group(3).strip()
+                    )
+                    current_section = None
+                    continue
+                sec = _SECTION_HEAD.match(el.text.strip())
+                if el.level == 2 and sec and current_chapter is not None:
+                    current_section = ET.SubElement(
+                        current_chapter, "section", number=sec.group(1),
+                        title=sec.group(2).strip()
+                    )
+                    continue
+            _append_element(target(), el, running_head)
+
+    # no structure headings at all -> single Content chapter fallback
+    if current_chapter is None and len(front) > 0:
+        fallback = ET.SubElement(book, "chapter", number="1", title="Content")
+        for child in list(front):
+            front.remove(child)
+            fallback.append(child)
+
+    if len(front) == 0:
+        book.remove(front)
+
+    for err in doc.errors:
+        book.append(ET.Comment(f" ERROR: {err} "))
+
+    return ET.tostring(book, encoding="unicode")

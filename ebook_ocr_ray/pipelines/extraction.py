@@ -30,9 +30,11 @@ from ebook_ocr_ray.config import DEFAULT_NUM_PARTITIONS, ExtractionConfig
 from ebook_ocr_ray.sources.pages import pages_from_documents_batch
 from ebook_ocr_ray.stages.extract import DocumentExtractor, prepare_batch
 
-# Batch small enough that a batch of multi-KB HTML docs stays well under
-# a block, large enough to amortize actor dispatch.
-EXTRACT_BATCH_SIZE = 128
+# Task granularity: ~1k docs x ~1.3ms ≈ 1.3s per task. Small batches looked
+# harmless at sf0.01 but at amplified scale the driver pays ~5ms of
+# scheduling per task — batch_size=128 produced thousands of tasks and a
+# serial O(n) driver cost that capped scaling efficiency at ~0.6.
+EXTRACT_BATCH_SIZE = 1024
 
 
 def _extract_pool_size() -> int:

@@ -1,0 +1,88 @@
+"""Ray stage: per-document markdown -> XML structural compile.
+
+The document is the unit of work (marker stack is doc-scoped state), so
+the whole compiler is one vectorized-over-rows map_batches fn — no
+shuffles, no cross-row state. Also provides the deterministic book_md
+synthesizer used by queries/bench: every document's text becomes a small
+paged book with TOC, structure headings, a list, a figure and a skip
+section, exercising every parser path.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ebook_ocr_ray.functions.bookparse import parse_document
+from ebook_ocr_ray.functions.bookxml import build_book_xml
+
+
+def synth_book_md(doc_id: int, text: str) -> str:
+    """Deterministic paged markdown book from one document's text."""
+    words = text.split(" ")
+    third = max(1, len(words) // 3)
+    p1, p2, p3 = (
+        " ".join(words[:third]),
+        " ".join(words[third:2 * third]),
+        " ".join(words[2 * third:]),
+    )
+    return "\n".join(
+        [
+            "--- Page 1 (page_0001.png) ---",
+            "<!-- toc -->",
+            f"# Chapter 1 Opening ... 2",
+            f"## Section 1.1 Detail ─── 3",
+            "<!-- /toc -->",
+            "<!-- content -->",
+            "--- Page 2 (page_0002.png) ---",
+            "# Chapter 1 Opening",
+            f"{p1}.",
+            "<!-- skip -->",
+            f"boilerplate footer {doc_id}",
+            "<!-- /skip -->",
+            "--- Page 3 (page_0003.png) ---",
+            "## Section 1.1 Detail",
+            f"{p2}",
+            f"{p3}.",
+            "● first point",
+            "● second point",
+            f"<!-- FIGURE: fig_{doc_id}.png -->",
+            "#### Deep note",
+            "<!-- /content -->",
+        ]
+    )
+
+
+def compile_books(batch: pa.Table) -> pa.Table:
+    """(doc_id, book_md) -> (doc_id, book_xml, n_pages, n_errors)."""
+    xmls, n_pages, n_errors = [], [], []
+    for md in batch["book_md"].to_pylist():
+        doc = parse_document(md)
+        xmls.append(build_book_xml(doc))
+        n_pages.append(len(doc.pages))
+        n_errors.append(len(doc.errors))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "book_xml": pa.array(xmls, pa.large_string()),
+            "n_pages": pa.array(n_pages, pa.int32()),
+            "n_errors": pa.array(n_errors, pa.int32()),
+        }
+    )
+
+
+def synth_books_batch(batch: pa.Table) -> pa.Table:
+    mds = [
+        synth_book_md(d, t)
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist())
+    ]
+    return pa.table({"doc_id": batch["doc_id"], "book_md": pa.array(mds, pa.large_string())})
+
+
+def structural_pipeline(sf_dir: str):
+    """documents -> synth book_md -> compile to XML."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(synth_books_batch, batch_format="pyarrow").map_batches(
+        compile_books, batch_format="pyarrow"
+    )

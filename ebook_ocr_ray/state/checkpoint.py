@@ -1,0 +1,163 @@
+"""Resumable partitioned output with a lineage manifest.
+
+Re-expresses the reference's stage-level resume (pickle cache + idempotent
+stage dirs, /root/reference/src/layout/detector.py:168-205,
+split_spread.py:266-291) as the north-rule checkpoint contract:
+
+- output laid out as one directory per url-hash partition
+  (``part=<id>/``), written atomically (tmp dir + rename);
+- a ``manifest.parquet`` lineage table records per-partition doc_count,
+  byte_count, char_count, extractor_version_hash, status;
+- a restarted run reads the manifest, SKIPS completed partitions (filter
+  before the extractor, so no payload is even synthesized/read for them)
+  and only processes the remainder;
+- a version-hash change invalidates the whole manifest (different
+  extractor semantics -> recompute everything).
+
+The per-partition loop below drives one bounded Ray job per partition
+group. Grouping partitions into waves keeps scheduling overhead low while
+preserving restart granularity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ebook_ocr_ray.config import DEFAULT_NUM_PARTITIONS, ENGINE_VERSION
+
+MANIFEST = "manifest.parquet"
+
+
+def version_hash(extra: str = "") -> str:
+    return hashlib.md5((ENGINE_VERSION + extra).encode()).hexdigest()[:16]
+
+
+def read_manifest(out_dir: str) -> pd.DataFrame:
+    path = os.path.join(out_dir, MANIFEST)
+    if not os.path.exists(path):
+        return pd.DataFrame(
+            columns=["part_id", "doc_count", "byte_count", "char_count",
+                     "extractor_version_hash", "status"]
+        )
+    return pd.read_parquet(path)
+
+
+def completed_parts(out_dir: str, vhash: str) -> set[int]:
+    m = read_manifest(out_dir)
+    if m.empty:
+        return set()
+    ok = m[(m.status == "complete") & (m.extractor_version_hash == vhash)]
+    return set(ok.part_id.astype(int))
+
+
+def _append_manifest(out_dir: str, rows: list[dict]) -> None:
+    m = read_manifest(out_dir)
+    m = pd.concat([m, pd.DataFrame(rows)], ignore_index=True)
+    m = m.drop_duplicates(subset=["part_id"], keep="last")
+    tmp = os.path.join(out_dir, MANIFEST + ".tmp")
+    m.to_parquet(tmp)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST))
+
+
+def run_checkpointed_extraction(
+    extracted_factory,
+    out_dir: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    waves: int = 4,
+    fail_after_waves: int | None = None,
+    vhash: str | None = None,
+) -> pd.DataFrame:
+    """Execute extraction in ``waves`` partition groups, each written
+    atomically and recorded in the manifest; returns the final manifest.
+
+    ``extracted_factory()`` -> the extracted Dataset (must carry a
+    ``part_id`` column). ``fail_after_waves`` simulates a mid-run crash
+    for resume tests.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    vhash = vhash or version_hash()
+    done = completed_parts(out_dir, vhash)
+
+    all_parts = list(range(num_partitions))
+    todo = [p for p in all_parts if p not in done]
+    groups = [todo[i::waves] for i in range(waves)]
+    groups = [g for g in groups if g]
+
+    for wave_idx, group in enumerate(groups):
+        if fail_after_waves is not None and wave_idx >= fail_after_waves:
+            break
+        group_set = set(group)
+        group_ref = ray.put(group_set)
+
+        def keep_group(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(group_ref)
+            mask = [p in wanted for p in batch["part_id"].to_pylist()]
+            return batch.filter(pa.array(mask))
+
+        ds = extracted_factory().map_batches(keep_group, batch_format="pyarrow")
+        tmp_dir = os.path.join(out_dir, f"_tmp_wave_{wave_idx}")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        ds = ds.materialize()
+        ds.write_parquet(tmp_dir, partition_cols=["part_id"])
+
+        stats = (
+            ds.map_batches(
+                lambda t: pa.table(
+                    {
+                        "part_id": t["part_id"],
+                        "docs": pa.array([1] * t.num_rows, pa.int64()),
+                        "bytes": t["payload_bytes"],
+                        "chars": pa.compute.utf8_length(
+                            t["extracted_text"].cast(pa.large_string())
+                        ).cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .groupby("part_id")
+            .agg(doc_count=("docs", "sum"), byte_count=("bytes", "sum"),
+                 char_count=("chars", "sum"))
+        )
+
+        rows = []
+        for part in sorted(group_set):
+            src = os.path.join(tmp_dir, f"part_id={part}")
+            dst = os.path.join(out_dir, f"part={part}")
+            if os.path.exists(src):
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(src, dst)                      # atomic publish
+            s = stats.loc[part] if part in stats.index else None
+            rows.append(
+                {
+                    "part_id": part,
+                    "doc_count": int(s.doc_count) if s is not None else 0,
+                    "byte_count": int(s.byte_count) if s is not None else 0,
+                    "char_count": int(s.char_count) if s is not None else 0,
+                    "extractor_version_hash": vhash,
+                    "status": "complete",
+                }
+            )
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        _append_manifest(out_dir, rows)
+
+    return read_manifest(out_dir)
+
+
+def read_checkpointed_output(out_dir: str) -> pd.DataFrame:
+    """Read back every published partition directory."""
+    frames = []
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith("part="):
+            frames.append(pd.read_parquet(os.path.join(out_dir, name)))
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)

@@ -1,0 +1,62 @@
+"""Resumable checkpoint tests: crash mid-run, restart skips completed
+partitions, final output identical to an uninterrupted run
+(FIXTURES.md §5 contract)."""
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+NPARTS = 16
+
+
+def factory():
+    from ebook_ocr_ray.pipelines.extraction import extraction_pipeline
+
+    return extraction_pipeline(SF, dedup=False)
+
+
+class TestCheckpointResume:
+    def test_crash_then_resume_produces_identical_output(self, ray_session, tmp_path):
+        from ebook_ocr_ray.state.checkpoint import (
+            completed_parts,
+            read_checkpointed_output,
+            run_checkpointed_extraction,
+            version_hash,
+        )
+
+        full_dir = str(tmp_path / "full")
+        run_checkpointed_extraction(factory, full_dir, num_partitions=64, waves=2)
+        full = read_checkpointed_output(full_dir)
+        assert len(full) == 500
+
+        crash_dir = str(tmp_path / "crash")
+        m = run_checkpointed_extraction(
+            factory, crash_dir, num_partitions=64, waves=4, fail_after_waves=2
+        )
+        done_after_crash = completed_parts(crash_dir, version_hash())
+        assert 0 < len(done_after_crash) < 64
+        partial = read_checkpointed_output(crash_dir)
+        assert 0 < len(partial) < 500
+
+        # resume: must finish the rest and end up byte-identical
+        run_checkpointed_extraction(factory, crash_dir, num_partitions=64, waves=4)
+        resumed = read_checkpointed_output(crash_dir)
+        a = full.sort_values("url").reset_index(drop=True)
+        b = resumed.sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a[["url", "extracted_text", "content_sha"]],
+            b[["url", "extracted_text", "content_sha"]],
+        )
+
+    def test_version_change_invalidates(self, ray_session, tmp_path):
+        from ebook_ocr_ray.state.checkpoint import (
+            completed_parts,
+            run_checkpointed_extraction,
+            version_hash,
+        )
+
+        out = str(tmp_path / "v")
+        run_checkpointed_extraction(factory, out, num_partitions=64, waves=1)
+        assert len(completed_parts(out, version_hash())) == 64
+        # a different extractor version sees nothing as complete
+        assert completed_parts(out, version_hash("v2")) == set()

@@ -1,0 +1,184 @@
+"""Structural compiler tests: markers, headings, lists, figures,
+continuation merge, TOC parse + matching, running head, XML shape."""
+
+import xml.etree.ElementTree as ET
+
+from ebook_ocr_ray.functions.bookparse import (
+    detect_running_head,
+    ends_with_terminator,
+    match_toc_to_headings,
+    merge_continuations,
+    parse_document,
+    parse_heading,
+    parse_list_line,
+    parse_page_marker,
+    parse_toc_entry,
+)
+from ebook_ocr_ray.functions.bookxml import build_book_xml
+from ebook_ocr_ray.stages.structural import synth_book_md
+
+
+class TestMarkers:
+    def test_page_marker_formats(self):
+        assert parse_page_marker("--- Page 1 (page_0001.png) ---") == ("1", "page_0001.png")
+        assert parse_page_marker("--- page_0042 ---") == ("42", "page_0042")
+        assert parse_page_marker("--- Page (scan.png) ---") == ("", "scan.png")
+        assert parse_page_marker("--- Page: page_0007.png ---") == ("7", "page_0007.png")
+        assert parse_page_marker("regular text") is None
+
+    def test_heading_clamp(self):
+        assert parse_heading("# Top")[0:2] == (1, "Top")
+        level, text, warning = parse_heading("##### Deep")
+        assert level == 3 and warning is not None
+        assert parse_heading("not heading") is None
+
+    def test_list_lines(self):
+        assert parse_list_line("● bullet item") == ("unordered", "bullet item")
+        assert parse_list_line("- dash item") == ("unordered", "dash item")
+        assert parse_list_line("1. ordered item") == ("ordered", "ordered item")
+        assert parse_list_line("① circled") == ("ordered", "circled")
+        assert parse_list_line("just text") is None
+        assert parse_list_line("●") is None          # marker without content
+
+
+class TestParagraphMerge:
+    def test_terminators(self):
+        assert ends_with_terminator("ends here.")
+        assert ends_with_terminator("日本語です。")
+        assert ends_with_terminator("closing」。")
+        assert not ends_with_terminator("no terminator")
+
+    def test_merge_chain(self):
+        out = merge_continuations(["first part", "second part", "ends."])
+        assert out == ["first partsecond partends."]
+
+    def test_no_merge_when_terminated(self):
+        out = merge_continuations(["one.", "two."])
+        assert out == ["one.", "two."]
+
+    def test_last_paragraph_kept(self):
+        assert merge_continuations(["dangling"]) == ["dangling"]
+
+
+class TestToc:
+    def test_leaders(self):
+        e = parse_toc_entry("Chapter 1 Intro ... 15")
+        assert (e.level, e.number, e.page, e.text) == (1, "1", "15", "Intro")
+        e = parse_toc_entry("Section 2.1 Depth ─── 30")
+        assert (e.level, e.number, e.page) == (2, "2.1", "30")
+        e = parse_toc_entry("3.1.2 Numbered title   42")
+        assert (e.level, e.number, e.page) == (3, "3.1.2", "42")
+
+    def test_japanese_chapter(self):
+        e = parse_toc_entry("第2章 タイトル ... 7")
+        assert (e.level, e.number, e.text) == (1, "2", "タイトル")
+
+    def test_standalone_entry(self):
+        e = parse_toc_entry("Preface ... 2")
+        assert e.number == "" and e.text == "Preface"
+
+    def test_two_pass_matching(self):
+        toc = [parse_toc_entry("Chapter 1 Alpha ... 1"),
+               parse_toc_entry("Section 1.1 Betaa ... 2")]
+        heads = [(10, 1, "Alpha"), (20, 2, "Beta")]
+        out = match_toc_to_headings(toc, heads)
+        assert out[0].match_kind == "exact" and out[0].matched_line == 10
+        assert out[1].match_kind == "fuzzy" and out[1].matched_line == 20
+
+    def test_sequential_constraint(self):
+        # second "Alpha" entry must match a LATER heading than the first
+        toc = [parse_toc_entry("Alpha ... 1"), parse_toc_entry("Alpha ... 9")]
+        heads = [(5, 1, "Alpha"), (50, 1, "Alpha")]
+        out = match_toc_to_headings(toc, heads)
+        assert out[0].matched_line == 5 and out[1].matched_line == 50
+
+
+class TestDocumentParse:
+    MD = "\n".join(
+        [
+            "--- Page 1 (page_0001.png) ---",
+            "<!-- content -->",
+            "# Chapter 1 Things",
+            "intro line",
+            "",
+            "continues here.",
+            "<!-- skip -->",
+            "# Running Title",
+            "skipped text.",
+            "<!-- /skip -->",
+            "--- Page 2 (page_0002.png) ---",
+            "# Running Title",
+            "● a",
+            "● b",
+            "[図1]",
+            "<!-- /content -->",
+        ]
+    )
+
+    def test_marker_stack_across_pages(self):
+        doc = parse_document(self.MD)
+        assert len(doc.pages) == 2
+        skipped = [e for p in doc.pages for e in p.elements if not e.read_aloud]
+        assert any("skipped" in e.text for e in skipped if e.kind == "paragraph")
+        # content re-activates after /skip, still active on page 2
+        page2 = doc.pages[1]
+        assert any(e.read_aloud for e in page2.elements)
+
+    def test_continuation_merged(self):
+        doc = parse_document(self.MD)
+        paras = [e.text for e in doc.pages[0].elements if e.kind == "paragraph"]
+        assert "intro linecontinues here." in paras
+
+    def test_list_and_figure(self):
+        doc = parse_document(self.MD)
+        page2 = doc.pages[1]
+        lists = [e for e in page2.elements if e.kind == "list"]
+        assert lists and lists[0].items == ("a", "b")
+        figs = [e for e in page2.elements if e.kind == "figure"]
+        assert figs and figs[0].text == "figure_1"
+
+    def test_running_head_detected(self):
+        doc = parse_document(self.MD)
+        assert detect_running_head(doc) == "Running Title"
+
+
+class TestXml:
+    def test_full_book_shape(self):
+        md = synth_book_md(7, "alpha beta gamma delta epsilon zeta eta theta iota")
+        doc = parse_document(md)
+        xml = build_book_xml(doc, title="t")
+        root = ET.fromstring(xml)
+        assert root.tag == "book"
+        assert root.find("toc") is not None
+        chapters = root.findall("chapter")
+        assert chapters and chapters[0].get("number") == "1"
+        sections = chapters[0].findall("section")
+        assert sections and sections[0].get("number") == "1.1"
+        assert doc.errors and "clamped" in doc.errors[0]       # the #### line
+
+    def test_no_structure_fallback_chapter(self):
+        doc = parse_document("--- Page 1 (p.png) ---\njust a paragraph.")
+        root = ET.fromstring(build_book_xml(doc))
+        ch = root.findall("chapter")
+        assert len(ch) == 1 and ch[0].get("title") == "Content"
+
+    def test_skip_sets_read_aloud_false(self):
+        md = "--- Page 1 (p.png) ---\n<!-- skip -->\nhidden text.\n<!-- /skip -->\nshown text."
+        root = ET.fromstring(build_book_xml(parse_document(md)))
+        paras = root.iter("paragraph")
+        flags = {p.text: p.get("readAloud") for p in paras}
+        assert flags["hidden text."] == "false" and flags["shown text."] == "true"
+
+
+class TestStructuralPipeline:
+    def test_pipeline_over_documents(self, ray_session):
+        from ebook_ocr_ray.stages.structural import structural_pipeline
+
+        out = structural_pipeline("/root/testdata/sf0.001").to_pandas()
+        assert len(out) == 500
+        assert (out.n_pages == 3).all()
+        assert out.book_xml.str.startswith("<book>").all()
+        # deterministic across runs
+        again = structural_pipeline("/root/testdata/sf0.001").to_pandas()
+        assert out.sort_values("doc_id").book_xml.tolist() == \
+            again.sort_values("doc_id").book_xml.tolist()
