@@ -69,6 +69,13 @@ def _dedup_pages(sf_dir: str):
     return ds.select_columns(["url", "warc_ts"])
 
 
+def _sequence_dedup_pages(sf_dir: str):
+    from ebook_ocr_ray.pipelines.extraction import pages_dataset, prepare_pages, sequence_dedup
+
+    ds = sequence_dedup(prepare_pages(pages_dataset(sf_dir, with_versions=True)))
+    return ds.select_columns(["url", "warc_ts"])
+
+
 def _lineage_sites(sf_dir: str):
     from ebook_ocr_ray.pipelines.extraction import extraction_pipeline, lineage
 
@@ -109,10 +116,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pdf": lambda sf: _extract_docs(sf, kind="pdf"),
         "extract_headings": _extract_headings,
         "dedup_pages": _dedup_pages,
+        "sequence_dedup_pages": _sequence_dedup_pages,
         "lineage_sites": _lineage_sites,
         # relational / windowed
         "q1_pricing": analytics.q1_pricing,
         "events_hourly": analytics.events_hourly,
+        "events_gaps": analytics.events_gaps,
         "orders_by_region": analytics.orders_by_region,
         "top_terms": analytics.top_terms,
         "source_stats": analytics.source_stats,
@@ -156,6 +165,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pages": f"""
             SELECT {_URL_SQL} AS url, {_TS_SQL} AS warc_ts
             FROM documents
+        """,
+        "sequence_dedup_pages": f"""
+            SELECT {_URL_SQL} AS url, {_TS_SQL} AS warc_ts FROM documents
+            UNION ALL
+            SELECT {_URL_SQL} AS url,
+                   {_TS_SQL} + INTERVAL 2 DAY AS warc_ts
+            FROM documents WHERE doc_id % 5 = 0
+        """,
+        "events_gaps": """
+            SELECT event_id,
+                   coalesce(datediff('microsecond',
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), ts),
+                            -1) AS gap_us
+            FROM events
         """,
         "lineage_sites": f"""
             SELECT 'site-' || (doc_id % 20) AS site,

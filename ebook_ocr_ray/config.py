@@ -72,8 +72,9 @@ SENTENCE_TERMINATORS = ("。", ".", "!", "?", "！", "？", "）。", "」。")
 # --- partitioning / lineage ----------------------------------------------
 
 DEFAULT_NUM_PARTITIONS = 64
-# html payloads larger than this are flagged for skew-aware block splitting
-OVERSIZE_BLOB_BYTES = 1 << 20
+# html payloads larger than this take the dedicated one-doc-per-task
+# extraction path (skew-aware split)
+OVERSIZE_BLOB_BYTES = 1 << 18
 
 ENGINE_VERSION = "ebook-ocr-ray/0.1"
 

@@ -128,6 +128,17 @@ def vote_aligned_row(
         (src, r), = row.by_source.items()
         return r.text, [src], r.conf
     texts = {src: r.text for src, r in row.by_source.items()}
+    first = next(iter(texts.values()))
+    if all(t == first for t in texts.values()):
+        # unanimous sources: char alignment provably returns the input
+        # verbatim (every slot holds the same candidate), so skip the
+        # O(len^2) SequenceMatcher work — the hot path on clean corpora
+        confs = {src: calibrate_conf(r.conf, src) for src, r in row.by_source.items()}
+        if weights is None:
+            weights = EXTRACTOR_WEIGHTS
+        w = sum(weights.get(s, 1.0) * confs.get(s, 0.5) for s in texts)
+        return first, list(row.by_source.keys()), w
+
     confs = {src: calibrate_conf(r.conf, src) for src, r in row.by_source.items()}
     text, conf = vote_text(build_char_table(texts), confs, weights)
     return text, list(row.by_source.keys()), conf

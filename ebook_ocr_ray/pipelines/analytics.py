@@ -124,6 +124,23 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def events_gaps(sf_dir: str) -> ray.data.Dataset:
+    """Per-event gap (microseconds) to the user's previous event — the
+    lag/as-of pattern: groupby(user) co-locates each user's history, the
+    gap computation is a vectorized sorted diff inside the group. First
+    event per user gets -1."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def gaps(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g.ts.astype("int64").diff()
+        return pd.DataFrame(
+            {"event_id": g.event_id, "gap_us": gap.fillna(-1).astype("int64")}
+        )
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # Broadcast join: orders -> customer -> nation -> region
 # --------------------------------------------------------------------------

@@ -30,11 +30,11 @@ from ebook_ocr_ray.config import DEFAULT_NUM_PARTITIONS, ExtractionConfig
 from ebook_ocr_ray.sources.pages import pages_from_documents_batch
 from ebook_ocr_ray.stages.extract import DocumentExtractor, prepare_batch
 
-# Task granularity: ~1k docs x ~1.3ms ≈ 1.3s per task. Small batches looked
-# harmless at sf0.01 but at amplified scale the driver pays ~5ms of
-# scheduling per task — batch_size=128 produced thousands of tasks and a
-# serial O(n) driver cost that capped scaling efficiency at ~0.6.
-EXTRACT_BATCH_SIZE = 1024
+# Task granularity: None = one task per block. Measured fastest here —
+# block counts are already sized to ~4 per core by the upstream
+# repartition, and explicit batch_size re-slicing cost ~50% extra wall
+# time (33s vs 21s at 32 cpus on the amplified corpus).
+EXTRACT_BATCH_SIZE = None
 
 
 def _extract_pool_size() -> int:
@@ -55,6 +55,8 @@ def load_documents(sf_dir: str, columns: list[str] | None = None) -> ray.data.Da
 def pages_dataset(
     sf_dir: str,
     with_duplicates: bool = False,
+    with_versions: bool = False,
+    with_oversized: bool = False,
     kind: str | None = None,
     repeat: int = 1,
 ) -> ray.data.Dataset:
@@ -90,7 +92,8 @@ def pages_dataset(
     return docs.map_batches(
         pages_from_documents_batch,
         batch_format="pyarrow",
-        fn_kwargs={"with_duplicates": with_duplicates},
+        fn_kwargs={"with_duplicates": with_duplicates, "with_versions": with_versions,
+                   "with_oversized": with_oversized},
     )
 
 
@@ -109,7 +112,9 @@ def _survivor_key(ts_us: np.ndarray, urls: list[str]) -> list[str]:
 
 
 def dedup_exact(
-    prepared: ray.data.Dataset, slim: ray.data.Dataset | None = None
+    prepared: ray.data.Dataset,
+    slim: ray.data.Dataset | None = None,
+    at_scale: bool = False,
 ) -> ray.data.Dataset:
     """Keep one row per payload hash — the earliest crawl (warc_ts, url as
     the deterministic tiebreak). Exact-hash analog of the reference's
@@ -141,16 +146,36 @@ def dedup_exact(
         )
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    from ray.data.aggregate import Min, Sum
+    # Reduce the per-batch partials. Below the threshold the reduce runs
+    # driver-side in vectorized pandas — the partials are ~60 B/key, and a
+    # driver combine avoids a whole sort-shuffle round. Above it (true
+    # corpus scale, where the key set can't sit on the driver) the same
+    # partials flow through a keyed Ray aggregate instead.
+    partials = src.map_batches(sha_partial, batch_format="pyarrow")
+    if not at_scale:
+        pdf = partials.to_pandas()
+        # a string-min over EVERY group is O(total keys) of python-object
+        # work; only groups that actually have duplicates (row repeated
+        # across batches, or partial n > 1 within one batch) need it
+        counts = pdf["content_sha"].value_counts()
+        dup_shas = set(counts.index[counts.gt(1)]) | set(
+            pdf.loc[pdf["n"].gt(1), "content_sha"]
+        )
+        sub = pdf[pdf["content_sha"].isin(dup_shas)]
+        dup_groups = (
+            sub.groupby("content_sha", sort=False)
+            .agg(n=("n", "sum"), min_key=("min_key", "min"))
+            .reset_index()
+        )
+    else:
+        from ray.data.aggregate import Min, Sum
 
-    agg = (
-        src.map_batches(sha_partial, batch_format="pyarrow")
-        .groupby("content_sha")
-        .aggregate(Sum("n", alias_name="n"), Min("min_key", alias_name="min_key"))
-    )
-    dup_groups = agg.map_batches(
-        lambda t: t.filter(pa.compute.greater(t["n"], 1)), batch_format="pyarrow"
-    ).to_pandas()
+        agg = partials.groupby("content_sha").aggregate(
+            Sum("n", alias_name="n"), Min("min_key", alias_name="min_key")
+        )
+        dup_groups = agg.map_batches(
+            lambda t: t.filter(pa.compute.greater(t["n"], 1)), batch_format="pyarrow"
+        ).to_pandas()
     survivors = (
         dict(zip(dup_groups["content_sha"], dup_groups["min_key"]))
         if "content_sha" in dup_groups.columns
@@ -162,13 +187,93 @@ def dedup_exact(
         survivors = ray.get(survivors_ref)
         if not survivors:
             return batch
+        # vectorized: only rows whose sha is in a duplicate group need the
+        # survivor-key comparison; everything else streams through untouched
+        in_dup = pa.compute.is_in(
+            batch["content_sha"], value_set=pa.array(list(survivors), pa.string())
+        ).to_numpy(zero_copy_only=False)
+        if not in_dup.any():
+            return batch
+        mask = np.ones(len(in_dup), dtype=bool)
+        idx = np.nonzero(in_dup)[0]
         ts_us = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        keys = _survivor_key(ts_us, batch["url"].to_pylist())
-        shas = batch["content_sha"].to_pylist()
-        mask = [survivors.get(s) in (None, k) for s, k in zip(shas, keys)]
+        urls = batch["url"].take(pa.array(idx)).to_pylist()
+        shas = batch["content_sha"].take(pa.array(idx)).to_pylist()
+        for j, (i, u, s) in enumerate(zip(idx, urls, shas)):
+            mask[i] = survivors[s] == f"{ts_us[i]:020d}|{u}"
         return batch.filter(pa.array(mask))
 
     return prepared.map_batches(keep_survivors, batch_format="pyarrow")
+
+
+def sequence_dedup(
+    prepared: ray.data.Dataset, hamming_threshold: int = 0
+) -> ray.data.Dataset:
+    """Ordered near-dup scan WITHIN each url's crawl history: versions are
+    visited in warc_ts order and a version is dropped when its distance to
+    the previous KEPT version is within threshold — the direct analog of
+    the reference's sequential frame dedup against the last-kept phash
+    (src/preprocessing/deduplicate.py:49-62).
+
+    threshold 0 = exact (content hash equality); > 0 = simhash hamming
+    over the text column. The scan never crosses a url, so at scale it
+    piggybacks on the url-hash partitioning — the groupby shuffle
+    co-locates each url's (few) versions, and the fold is group-local.
+    """
+    from ebook_ocr_ray.functions.sketches import hamming64, simhash64
+
+    def scan(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["warc_ts", "content_sha"], kind="mergesort")
+        keep: list[bool] = []
+        last_sha: str | None = None
+        last_print: int | None = None
+        for sha, text in zip(g["content_sha"], g["text"]):
+            if hamming_threshold == 0:
+                is_dup = sha == last_sha
+            else:
+                ph = simhash64(text or "")
+                is_dup = last_print is not None and hamming64(ph, last_print) <= hamming_threshold
+            keep.append(not is_dup)
+            if not is_dup:
+                last_sha = sha
+                if hamming_threshold > 0:
+                    last_print = simhash64(text or "")
+        return g[pd.Series(keep, index=g.index)]
+
+    return prepared.groupby("url").map_groups(scan, batch_format="pandas")
+
+
+def extract_skew_split(
+    pages: ray.data.Dataset,
+    cfg: ExtractionConfig | None = None,
+) -> ray.data.Dataset:
+    """Skew-aware extraction (north-rule oversized-blob clause): rows whose
+    payload exceeds OVERSIZE_BLOB_BYTES run through their OWN extraction
+    stage with batch_size=1 — one giant document per task, so a multi-MB
+    page can never stall a task full of ordinary rows. Documents are never
+    split; only the task layout changes (SURVEY.md §7.4).
+
+    ``pages`` should be materialized (or a re-readable source): both
+    branches consume it.
+    """
+    from ebook_ocr_ray.config import OVERSIZE_BLOB_BYTES
+
+    def _size_filter(keep_big: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            sizes = t["payload_bytes"].to_numpy(zero_copy_only=False)
+            mask = sizes > OVERSIZE_BLOB_BYTES if keep_big else sizes <= OVERSIZE_BLOB_BYTES
+            return t.filter(pa.array(mask))
+
+        return fn
+
+    fn = DocumentExtractor(cfg or ExtractionConfig())
+    normal = pages.map_batches(_size_filter(False), batch_format="pyarrow").map_batches(
+        fn, batch_format="pyarrow", batch_size=EXTRACT_BATCH_SIZE
+    )
+    big = pages.map_batches(_size_filter(True), batch_format="pyarrow").map_batches(
+        fn, batch_format="pyarrow", batch_size=1
+    )
+    return normal.union(big)
 
 
 def extract(

@@ -40,6 +40,9 @@ DUP_TS_OFFSET_S = 86400
 N_SITES = 20
 PDF_EVERY = 7          # doc_id % 7 == 3 -> PDF payload
 DUP_EVERY = 10         # doc_id % 10 == 0 -> an exact-duplicate later crawl
+VERSION_EVERY = 5      # doc_id % 5 == 0 -> a 3-version crawl chain
+VERSION_SUFFIX = " updated revision content"
+OVERSIZE_EVERY = 97    # doc_id % 97 == 96 -> oversized payload (skew row)
 
 
 def page_url(doc_id: int) -> str:
@@ -144,30 +147,79 @@ PAGES_SCHEMA = pa.schema(
 )
 
 
-def pages_from_documents_batch(batch: pa.Table, with_duplicates: bool = False) -> pa.Table:
+def oversize_repeats(text: str) -> int:
+    """Paragraph repetitions needed to push the payload well past the
+    oversize threshold (deterministic per text)."""
+    from ebook_ocr_ray.config import OVERSIZE_BLOB_BYTES
+
+    per_para = len(text.encode("utf-8")) + 9    # <p>...</p>\n
+    return (OVERSIZE_BLOB_BYTES * 12 // 10) // max(1, per_para) + 1
+
+
+def synth_oversized_html(doc_id: int, text: str) -> bytes:
+    """A skew row: the article body repeated as separate paragraphs until
+    the payload clears the oversize threshold — same extraction semantics
+    (each <p> is its own voted line)."""
+    site = page_site(doc_id)
+    body = "\n".join(f"<p>{_html.escape(text)}</p>" for _ in range(oversize_repeats(text)))
+    page = (
+        "<html><head><title>big</title></head><body>\n"
+        f"<main>\n<h1>{_html.escape(doc_title(doc_id))}</h1>\n{body}\n</main>\n"
+        f"<footer><p><a href='/p'>privacy</a> (c) {site}</p></footer>\n"
+        "</body></html>\n"
+    )
+    return page.encode("utf-8")
+
+
+def pages_from_documents_batch(
+    batch: pa.Table,
+    with_duplicates: bool = False,
+    with_versions: bool = False,
+    with_oversized: bool = False,
+) -> pa.Table:
     """map_batches(batch_format="pyarrow") body: documents rows -> pages
-    rows. With ``with_duplicates``, every DUP_EVERY-th doc also emits an
-    exact-duplicate recrawl one day later (1->N flat map)."""
+    rows (1->N flat map). ``with_duplicates`` adds an exact-duplicate
+    recrawl one day later for every DUP_EVERY-th doc. ``with_versions``
+    adds a 3-version chain for every VERSION_EVERY-th doc: an identical
+    recrawl at +1 day (sequence-dedup must drop it) and a changed revision
+    at +2 days (must survive)."""
     urls: list[str] = []
     tss: list[_dt.datetime] = []
     payloads: list[bytes] = []
     texts: list[str] = []
     langs: list[str] = []
+
+    def emit(doc_id: int, text: str, lang: str, ts: _dt.datetime, payload: bytes) -> None:
+        urls.append(page_url(doc_id))
+        tss.append(ts)
+        payloads.append(payload)
+        texts.append(text)
+        langs.append(lang)
+
     for doc_id, text, lang in zip(
         batch["doc_id"].to_pylist(), batch["text"].to_pylist(), batch["lang"].to_pylist()
     ):
         payload = synth_payload(doc_id, text)
-        urls.append(page_url(doc_id))
-        tss.append(page_ts(doc_id))
-        payloads.append(payload)
-        texts.append(text)
-        langs.append(lang)
+        emit(doc_id, text, lang, page_ts(doc_id), payload)
         if with_duplicates and doc_id % DUP_EVERY == 0:
-            urls.append(page_url(doc_id))
+            emit(doc_id, text, lang, page_ts(doc_id, dup=True), payload)
+        if with_oversized and doc_id % OVERSIZE_EVERY == OVERSIZE_EVERY - 1:
+            big = synth_oversized_html(doc_id, text)
+            urls.append(page_url(doc_id) + "/big")
             tss.append(page_ts(doc_id, dup=True))
-            payloads.append(payload)
+            payloads.append(big)
             texts.append(text)
             langs.append(lang)
+        if with_versions and doc_id % VERSION_EVERY == 0:
+            emit(doc_id, text, lang, page_ts(doc_id, dup=True), payload)
+            v2 = text + VERSION_SUFFIX
+            emit(
+                doc_id,
+                v2,
+                lang,
+                page_ts(doc_id) + _dt.timedelta(seconds=2 * DUP_TS_OFFSET_S),
+                synth_payload(doc_id, v2),
+            )
     return pa.Table.from_arrays(
         [
             pa.array(urls, pa.string()),

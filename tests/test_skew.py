@@ -1,0 +1,59 @@
+"""Skew handling: oversized payloads get isolated into their own blocks
+(the north-rule skew-aware split) and still extract correctly."""
+
+import pyarrow as pa
+
+from ebook_ocr_ray.config import OVERSIZE_BLOB_BYTES
+from ebook_ocr_ray.sources.pages import (
+    OVERSIZE_EVERY,
+    doc_title,
+    oversize_repeats,
+    synth_oversized_html,
+)
+from ebook_ocr_ray.stages.extract import extract_one
+from ebook_ocr_ray.config import ExtractionConfig
+
+
+class TestOversizedBlobs:
+    def test_oversized_payload_exceeds_threshold(self):
+        big = synth_oversized_html(96, "some words repeated " * 8)
+        assert len(big) > OVERSIZE_BLOB_BYTES
+
+    def test_oversized_extraction_closed_form(self):
+        text = "alpha beta gamma delta epsilon words enough here"
+        big = synth_oversized_html(96, text)
+        got, heads, n, g, c = extract_one(big, ExtractionConfig())
+        want = doc_title(96) + "\n" + "\n".join([text] * oversize_repeats(text))
+        assert got == want
+        assert heads == [doc_title(96)]
+
+    def test_skew_split_extraction(self, ray_session):
+        """Oversized rows take the batch_size=1 path; the union output is
+        complete and correct for both populations."""
+        from ebook_ocr_ray.pipelines.extraction import (
+            extract_skew_split,
+            pages_dataset,
+            prepare_pages,
+        )
+
+        prepared = prepare_pages(
+            pages_dataset("/root/testdata/sf0.001", with_oversized=True)
+        ).materialize()
+        n_big = prepared.map_batches(
+            lambda t: t.filter(
+                pa.array(
+                    [s > OVERSIZE_BLOB_BYTES for s in t["payload_bytes"].to_pylist()]
+                )
+            ),
+            batch_format="pyarrow",
+        ).count()
+        assert n_big > 0
+
+        out = extract_skew_split(prepared).to_pandas()
+        assert len(out) == prepared.count()
+        assert out.error.notna().sum() == 0
+        big_rows = out[out.url.str.endswith("/big")]
+        assert len(big_rows) == n_big
+        assert (big_rows.n_lines > 100).all()   # title + many repeated lines
+
+
