@@ -106,6 +106,37 @@ def _structural_stats(sf_dir: str):
     return structural_pipeline(sf_dir).select_columns(["doc_id", "n_pages", "n_errors"])
 
 
+def _media_image_features(sf_dir: str):
+    from ebook_ocr_ray.stages.multimodal import image_features
+
+    return image_features(sf_dir).select_columns(["media_id", "pix_mean", "pix_std"])
+
+
+def _media_frame_counts(sf_dir: str):
+    """Frames sampled per synthetic video (every 5th of 10 + id%20 frames)
+    — closed-form oracle."""
+    import pyarrow as pa
+
+    from ebook_ocr_ray.stages.multimodal import video_frames
+
+    ds = video_frames(sf_dir, every=5)
+
+    def count(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"media_id": batch["media_id"].to_pylist()})
+        agg = df.groupby("media_id").size().reset_index(name="n_frames")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(count, batch_format="pyarrow")
+        .groupby("media_id")
+        .aggregate(Sum("n_frames", alias_name="n_frames"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ebook_ocr_ray.pipelines import analytics, neardup, neighbors
 
@@ -141,6 +172,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # structural stage (book_converter analog)
         "structural_xml": _structural_xml,               # rows-only (XML strings)
         "structural_stats": _structural_stats,
+        # multimodal columns (binary payload + typed metadata)
+        "media_image_features": _media_image_features,   # rows-only (stub codec)
+        "media_frame_counts": _media_frame_counts,
     }
 
 
@@ -260,5 +294,10 @@ def oracle_sql() -> dict[str, str]:
         "structural_stats": """
             SELECT doc_id, CAST(3 AS INT) AS n_pages, CAST(1 AS INT) AS n_errors
             FROM documents
+        """,
+        "media_frame_counts": """
+            SELECT doc_id AS media_id,
+                   CAST(ceil((10 + doc_id % 20) / 5.0) AS BIGINT) AS n_frames
+            FROM documents WHERE doc_id % 3 = 2
         """,
     }
