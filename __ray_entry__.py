@@ -137,6 +137,22 @@ def _media_frame_counts(sf_dir: str):
     )
 
 
+def _heading_rules(sf_dir: str):
+    """Every denormalized book carries exactly 2 repairable defects
+    (chapter lost its number -> ADD_NUMBER; section number uses a dash
+    separator -> FORMAT_ONLY) and a 100% TOC match rate after repair-aware
+    matching — closed-form oracle."""
+    from ebook_ocr_ray.stages.structural import heading_repair_pipeline
+
+    return heading_repair_pipeline(sf_dir)
+
+
+def _site_boilerplate(sf_dir: str):
+    from ebook_ocr_ray.pipelines.boilerplate import site_boilerplate_pages
+
+    return site_boilerplate_pages(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ebook_ocr_ray.pipelines import analytics, neardup, neighbors
 
@@ -175,6 +191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal columns (binary payload + typed metadata)
         "media_image_features": _media_image_features,   # rows-only (stub codec)
         "media_frame_counts": _media_frame_counts,
+        # heading normalization / self-repair rules
+        "heading_rules": _heading_rules,
+        # corpus-level boilerplate mining (groupby site)
+        "site_boilerplate": _site_boilerplate,
     }
 
 
@@ -299,5 +319,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    CAST(ceil((10 + doc_id % 20) / 5.0) AS BIGINT) AS n_frames
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "heading_rules": """
+            SELECT doc_id, CAST(2 AS INT) AS n_rules, CAST(2 AS INT) AS n_applied,
+                   CAST(100 AS INT) AS match_rate_pct
+            FROM documents
+        """,
+        "site_boilerplate": """
+            WITH sites AS (SELECT DISTINCT 'site-' || (doc_id % 20) AS site
+                           FROM documents)
+            SELECT site, line
+            FROM sites CROSS JOIN (VALUES ('Home'), ('About'), ('News'),
+                                          ('Contact')) t(line)
+            UNION ALL
+            SELECT site, 'privacy terms (c) 2026 ' || site FROM sites
         """,
     }

@@ -370,6 +370,25 @@ def normalize_heading(text: str) -> str:
     return out
 
 
+_NUM_PREFIX_RE = re.compile(r"^(\d+(?:\.\d+)*)\s+")
+_STRUCT_PREFIX_RE = re.compile(
+    r"^(?:Chapter|Section|Subsection)\s+(\d+(?:\.\d+)*)\s*", re.IGNORECASE
+)
+
+
+def split_structure_prefix(text: str) -> tuple[str, str]:
+    """Split a heading into (number, bare title): 'Chapter 2 Intro' ->
+    ('2', 'Intro'), '2.1 Foo' -> ('2.1', 'Foo'), 'Plain' -> ('', 'Plain')
+    (reference transformer_utils.py:13-77 comparison normalization)."""
+    m = _STRUCT_PREFIX_RE.match(text.strip())
+    if m:
+        return m.group(1), text.strip()[m.end():].strip()
+    m = _NUM_PREFIX_RE.match(text.strip())
+    if m:
+        return m.group(1), text.strip()[m.end():].strip()
+    return "", text.strip()
+
+
 def detect_running_head(doc: ParsedDoc) -> str | None:
     """Most frequent level-1 heading with count >= max(pages*0.5, 2) is a
     running head (page-chrome, excluded from read-aloud)."""
@@ -400,15 +419,27 @@ def match_toc_to_headings(
     pass 2 — for the remaining entries, best fuzzy ratio >= threshold
     bounded between the neighbors' matched lines.
     """
-    norm_heads = [(ln, normalize_heading(text)) for ln, _lvl, text in headings]
+    from ebook_ocr_ray.functions.normalize import normalize_heading_number
+
+    norm_heads = [
+        (
+            ln,
+            normalize_heading(text),
+            normalize_heading(split_structure_prefix(normalize_heading_number(text))[1]),
+        )
+        for ln, _lvl, text in headings
+    ]
 
     cursor = -1
     for entry in toc:
         want = normalize_heading(entry.text)
         if not want:
             continue
-        for ln, head in norm_heads:
-            if ln > cursor and head == want:
+        for ln, head, bare in norm_heads:
+            # exact on the full heading OR on the heading with its
+            # Chapter/Section/number prefix stripped ('Chapter 1 Intro'
+            # matches a TOC entry whose text is 'Intro' + number '1')
+            if ln > cursor and (head == want or bare == want):
                 entry.matched_line = ln
                 entry.match_kind = "exact"
                 cursor = ln
@@ -422,14 +453,17 @@ def match_toc_to_headings(
         )
         hi = min(
             (e.matched_line for e in toc[i + 1:] if e.matched_line >= 0),
-            default=max((ln for ln, _ in norm_heads), default=-1) + 1,
+            default=max((ln for ln, _h, _b in norm_heads), default=-1) + 1,
         )
         want = normalize_heading(entry.text)
         best_ln, best_ratio = -1, fuzzy_threshold
-        for ln, head in norm_heads:
+        for ln, head, bare in norm_heads:
             if not (lo < ln < hi):
                 continue
-            ratio = SequenceMatcher(None, want, head).ratio()
+            ratio = max(
+                SequenceMatcher(None, want, head).ratio(),
+                SequenceMatcher(None, want, bare).ratio(),
+            )
             if ratio > best_ratio:
                 best_ln, best_ratio = ln, ratio
         if best_ln >= 0:

@@ -25,16 +25,33 @@ _CHAPTER_HEAD = re.compile(r"^(?:Chapter\s+(\d+)|第(\d+)章)\s*(.*)$", re.IGNOR
 _SECTION_HEAD = re.compile(r"^(?:Section\s+)?(\d+\.\d+)(?!\.)\s*(.*)$", re.IGNORECASE)
 
 
+_EMPHASIS_SPLIT = re.compile(r"\*\*(.+?)\*\*")
+
+
+def set_text_with_emphasis(node: ET.Element, text: str) -> None:
+    """``**x**`` runs become <em> children (reference
+    transformer_utils.py:80-116); plain text stays as node.text."""
+    parts = _EMPHASIS_SPLIT.split(text)
+    if len(parts) == 1:
+        node.text = text
+        return
+    node.text = parts[0]
+    for i in range(1, len(parts), 2):
+        em = ET.SubElement(node, "em")
+        em.text = parts[i]
+        em.tail = parts[i + 1] if i + 1 < len(parts) else ""
+
+
 def _append_element(parent: ET.Element, el: Element, running_head: str | None) -> None:
     if el.kind == "heading":
         if running_head and normalize_heading(el.text) == running_head:
             return                                    # running head: page chrome
         node = ET.SubElement(parent, "heading", level=str(el.level),
                              readAloud=str(el.read_aloud).lower())
-        node.text = el.text
+        set_text_with_emphasis(node, el.text)
     elif el.kind == "paragraph":
         node = ET.SubElement(parent, "paragraph", readAloud=str(el.read_aloud).lower())
-        node.text = el.text
+        set_text_with_emphasis(node, el.text)
     elif el.kind == "list":
         node = ET.SubElement(parent, "list", type=el.list_type or "unordered",
                              readAloud=str(el.read_aloud).lower())

@@ -32,6 +32,26 @@ class MergedDoc(NamedTuple):
     lines: list[str]
     contributions: dict[str, int]   # extractor -> voted-line count
     gaps_filled: int                # voted lines with no primary contribution
+    agreement: float                # mean pairwise whole-doc similarity
+
+
+def agreement_score(doc_texts: dict[str, str]) -> float:
+    """Mean pairwise SequenceMatcher ratio between the extractors'
+    whole-document texts — the cheap doc-level consensus metric from the
+    reference's older voting path (src/ocr_ensemble/voting.py:143-253),
+    kept as a quality column. Identical texts short-circuit to 1.0."""
+    from difflib import SequenceMatcher
+
+    names = [n for n, t in doc_texts.items() if t]
+    if len(names) < 2:
+        return 1.0 if names else 0.0
+    total, pairs = 0.0, 0
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = doc_texts[names[i]], doc_texts[names[j]]
+            total += 1.0 if a == b else SequenceMatcher(None, a, b).ratio()
+            pairs += 1
+    return total / pairs
 
 
 def merge_sources(
@@ -54,7 +74,7 @@ def merge_sources(
 
     contributions = {source: 0 for source in source_spans}
     if not rows_by_source:
-        return MergedDoc("", [], contributions, 0)
+        return MergedDoc("", [], contributions, 0, 0.0)
 
     lines: list[str] = []
     gaps = 0
@@ -68,4 +88,9 @@ def merge_sources(
         if primary not in aligned.by_source:
             gaps += 1
 
-    return MergedDoc("\n".join(lines), lines, contributions, gaps)
+    per_source_text = {
+        source: "\n".join(r.text for r in rows) for source, rows in rows_by_source.items()
+    }
+    return MergedDoc(
+        "\n".join(lines), lines, contributions, gaps, agreement_score(per_source_text)
+    )

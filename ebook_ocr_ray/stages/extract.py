@@ -77,18 +77,21 @@ OUT_FIELDS = [
     ("headings", pa.list_(pa.string())),
     ("n_lines", pa.int32()),
     ("gaps_filled", pa.int32()),
+    ("agreement_milli", pa.int32()),
     ("contributions", pa.string()),
     ("error", pa.string()),
 ]
 OUT_SCHEMA = pa.schema(OUT_FIELDS)
 
 
-def extract_one(payload: bytes, cfg: ExtractionConfig) -> tuple[str, list[str], int, int, dict[str, int]]:
+def extract_one(
+    payload: bytes, cfg: ExtractionConfig
+) -> tuple[str, list[str], int, int, dict[str, int], float]:
     """Pure per-document extraction. Returns
-    (text, headings, n_lines, gaps_filled, contributions)."""
+    (text, headings, n_lines, gaps_filled, contributions, agreement)."""
     if is_pdf_payload(payload):
         text, n_lines, titles = extract_pdf_text(payload)
-        return text, titles, n_lines, 0, {"layout": n_lines}
+        return text, titles, n_lines, 0, {"layout": n_lines}, 1.0
 
     html = payload.decode("utf-8", errors="replace")
     blocks = parse_blocks(html)
@@ -103,7 +106,14 @@ def extract_one(payload: bytes, cfg: ExtractionConfig) -> tuple[str, list[str], 
     # headings role comes from the primary variant only (the analog of
     # yomitoku section_headings, reference src/rover/engines/runners.py:19-86)
     heading_texts = [b.text for b in blocks if b.is_heading and not b.in_head]
-    return merged.text, heading_texts, len(merged.lines), merged.gaps_filled, merged.contributions
+    return (
+        merged.text,
+        heading_texts,
+        len(merged.lines),
+        merged.gaps_filled,
+        merged.contributions,
+        merged.agreement,
+    )
 
 
 class DocumentExtractor:
@@ -128,15 +138,17 @@ class DocumentExtractor:
         n_lines: list[int] = []
         gaps: list[int] = []
         contribs: list[str] = []
+        agreements: list[int] = []
         errors: list[str | None] = []
         for payload in payloads:
             try:
-                t, h, n, g, c = extract_one(payload or b"", self.cfg)
+                t, h, n, g, c, a = extract_one(payload or b"", self.cfg)
                 texts.append(t)
                 headings.append(h)
                 n_lines.append(n)
                 gaps.append(g)
                 contribs.append(json.dumps(c, sort_keys=True))
+                agreements.append(int(round(a * 1000)))
                 errors.append(None)
             except Exception as exc:  # poison-document guard
                 texts.append("")
@@ -144,6 +156,7 @@ class DocumentExtractor:
                 n_lines.append(0)
                 gaps.append(0)
                 contribs.append("{}")
+                agreements.append(0)
                 errors.append(f"{type(exc).__name__}: {exc}")
 
         has_meta = "content_sha" in batch.column_names
@@ -169,6 +182,7 @@ class DocumentExtractor:
             pa.array(headings, pa.list_(pa.string())),
             pa.array(n_lines, pa.int32()),
             pa.array(gaps, pa.int32()),
+            pa.array(agreements, pa.int32()),
             pa.array(contribs, pa.string()),
             pa.array(errors, pa.string()),
         ]

@@ -52,6 +52,47 @@ def synth_book_md(doc_id: int, text: str) -> str:
     )
 
 
+def synth_denormalized_book_md(doc_id: int, text: str) -> str:
+    """Same book, but body headings drift from the TOC: the chapter
+    heading lost its number, the section heading uses a dash separator —
+    exactly two repairable defects per document (closed-form oracle for
+    the rule generator)."""
+    md = synth_book_md(doc_id, text)
+    # full-line replacement only — the TOC block's lines (which carry page
+    # leaders) must keep their numbers
+    md = md.replace("\n# Chapter 1 Opening\n", "\n# Opening\n")
+    md = md.replace("\n## Section 1.1 Detail\n", "\n## 1-1 Detail\n")
+    return md
+
+
+def heading_repair_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> normalize-headings rule report per document."""
+    from ebook_ocr_ray.functions.headrules import normalize_headings
+
+    ids = batch["doc_id"].to_pylist()
+    out = {"doc_id": ids, "n_rules": [], "n_applied": [], "match_rate_pct": []}
+    for doc_id, text in zip(ids, batch["text"].to_pylist()):
+        _new_md, report = normalize_headings(synth_denormalized_book_md(doc_id, text))
+        out["n_rules"].append(report["n_rules"])
+        out["n_applied"].append(report["n_applied"])
+        out["match_rate_pct"].append(report["match_rate_pct"])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_rules": pa.array(out["n_rules"], pa.int32()),
+            "n_applied": pa.array(out["n_applied"], pa.int32()),
+            "match_rate_pct": pa.array(out["match_rate_pct"], pa.int32()),
+        }
+    )
+
+
+def heading_repair_pipeline(sf_dir: str):
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(heading_repair_batch, batch_format="pyarrow")
+
+
 def compile_books(batch: pa.Table) -> pa.Table:
     """(doc_id, book_md) -> (doc_id, book_xml, n_pages, n_errors)."""
     xmls, n_pages, n_errors = [], [], []

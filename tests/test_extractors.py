@@ -140,6 +140,6 @@ class TestGoldenRoundTrip:
     def test_synth_extract_inverse(self, doc_id):
         text = "the quick brown fox jumps over a lazy dog again and again".replace("x", "x")
         payload = synth_pdf(doc_id, text) if doc_id % 7 == 3 else synth_html(doc_id, text)
-        got, heads, n, g, c = extract_one(payload, ExtractionConfig())
+        got, heads, n, g, c, a = extract_one(payload, ExtractionConfig())
         assert got == expected_extraction(doc_id, text)
         assert heads == [f"Document {doc_id}"]

@@ -22,7 +22,7 @@ class TestOversizedBlobs:
     def test_oversized_extraction_closed_form(self):
         text = "alpha beta gamma delta epsilon words enough here"
         big = synth_oversized_html(96, text)
-        got, heads, n, g, c = extract_one(big, ExtractionConfig())
+        got, heads, n, g, c, a = extract_one(big, ExtractionConfig())
         want = doc_title(96) + "\n" + "\n".join([text] * oversize_repeats(text))
         assert got == want
         assert heads == [doc_title(96)]
