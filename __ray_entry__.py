@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineage_sites": _lineage_sites,
         # relational / windowed
         "q1_pricing": analytics.q1_pricing,
+        "priority_revenue": analytics.priority_revenue,
+        "purchase_attribution": analytics.purchase_attribution,
         "events_hourly": analytics.events_hourly,
         "events_gaps": analytics.events_gaps,
         "orders_by_region": analytics.orders_by_region,
@@ -249,6 +251,22 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue_cents,
                    COUNT(*) AS n
             FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "priority_revenue": """
+            SELECT o.o_orderpriority AS priority, COUNT(*) AS n_items,
+                   SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS revenue_cents
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "purchase_attribution": """
+            SELECT p.event_id,
+                   coalesce(
+                     (SELECT c.event_id FROM events c
+                      WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                        AND c.ts <= p.ts
+                      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), -1) AS click_id
+            FROM events p WHERE p.event_type = 'purchase'
         """,
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS window_start,

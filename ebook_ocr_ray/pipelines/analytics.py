@@ -192,6 +192,109 @@ def orders_by_region(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def priority_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Large x large: lineitem ⋈ orders via the built-in hash-partitioned
+    Dataset.join (both sides shuffle on the order key — the case where a
+    broadcast doesn't fit), then the usual partial-combine aggregate.
+    Revenue is reduced to integer cents BEFORE the join so the fact rows
+    shuffled are (key, int64) only."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "revenue_cents": pa.array(
+                    np.floor(price * (1 - disc) * 100).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    # partition count ~ cluster cpus: each partition is a join-aggregator
+    # actor; oversubscribing them (32 actors on 8 cpus) measured 10x slower
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    joined = li.map_batches(slim, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=max(4, min(32, cpus)),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "priority": batch["o_orderpriority"].to_pylist(),
+                "revenue_cents": batch["revenue_cents"].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = (
+            df.groupby("priority", sort=False)
+            .agg(n_items=("revenue_cents", "size"), revenue_cents=("revenue_cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("priority")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .sort("priority")
+    )
+
+
+def purchase_attribution(sf_dir: str) -> ray.data.Dataset:
+    """As-of join within the events stream: every purchase is attributed
+    to the user's most recent click at or before it (merge_asof per user
+    group — sort inside the group, never globally)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def attribute(group: pd.DataFrame) -> pd.DataFrame:
+        purchases = (
+            group[group.event_type == "purchase"]
+            .sort_values(["ts", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        clicks = (
+            group[group.event_type == "click"]
+            .sort_values(["ts", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if purchases.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"), "click_id": pd.Series(dtype="int64")}
+            )
+        if clicks.empty:
+            return pd.DataFrame({"event_id": purchases.event_id, "click_id": -1})
+        merged = pd.merge_asof(
+            purchases[["ts", "event_id"]],
+            clicks[["ts", "event_id"]].rename(columns={"event_id": "click_id"}),
+            on="ts",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": merged.event_id,
+                "click_id": merged.click_id.fillna(-1).astype("int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(attribute, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # Corpus term frequency (explode + partial combine + top-k)
 # --------------------------------------------------------------------------
