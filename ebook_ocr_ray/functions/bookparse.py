@@ -29,7 +29,9 @@ _TOC_MARK = re.compile(r"<!--\s*(/?)\s*toc\s*-->", re.IGNORECASE)
 _CONTENT_MARK = re.compile(r"<!--\s*(/?)\s*content\s*-->", re.IGNORECASE)
 _SKIP_MARK = re.compile(r"<!--\s*(/?)\s*skip\s*-->", re.IGNORECASE)
 _FIGURE_MARK = re.compile(r"<!--\s*FIGURE:\s*(.+?)\s*-->", re.IGNORECASE)
-_FIGURE_PLACEHOLDER = re.compile(r"^\[図(\d*)\]$")
+_FIGURE_PLACEHOLDER = re.compile(r"^\[(図|写真|表|イラスト|グラフ|チャート)([^\]]*)\]$")
+_FIGURE_INLINE = re.compile(r"\[(図|写真|表|イラスト|グラフ|チャート)([^\]]*)\]")
+_PAGE_META = re.compile(r"^(.*?)\s*(\d+)\s*/\s*(\d+)\s*$")
 _HEADING = re.compile(r"^(#{1,6})\s*(.*)$")
 
 BULLETS = ("●", "○", "◎", "•", "·", "・", "◆", "◇", "■", "□", "▶", "▷", "►", "-", "*")
@@ -98,13 +100,90 @@ def parse_list_line(line: str) -> tuple[str, str] | None:
 
 
 def parse_figure(line: str) -> str | None:
+    """Figure comment path or a standalone placeholder marker
+    ([図N] / [写真N] / [表N] / [イラスト] / [グラフ] / [チャート],
+    reference parser/figure.py:49-105)."""
     m = _FIGURE_MARK.search(line)
     if m:
         return m.group(1)
     m = _FIGURE_PLACEHOLDER.match(line.strip())
     if m:
-        return f"figure_{m.group(1) or '0'}"
+        return f"{m.group(1)}{m.group(2)}"
     return None
+
+
+def find_figure_marker(text: str) -> str | None:
+    """First inline figure marker anywhere in a text run (the reference's
+    re.search behavior for caption harvesting)."""
+    m = _FIGURE_INLINE.search(text)
+    return f"{m.group(1)}{m.group(2)}" if m else None
+
+
+def parse_page_metadata(text: str) -> tuple[str, int, int, str] | None:
+    """'name N / M' page-position metadata -> (section_name, current,
+    total, meta_type); meta_type is 'section-page' when the name contains
+    節, else 'chapter-page' (reference parser/page.py:135-177)."""
+    m = _PAGE_META.match(text.strip())
+    if not m:
+        return None
+    name = m.group(1).strip()
+    meta_type = "section-page" if "節" in name else "chapter-page"
+    return name, int(m.group(2)), int(m.group(3)), meta_type
+
+
+_ENTRY_START = re.compile(
+    r"(?:Chapter\s+\d+\s)|(?:Section\s+\d+\.\d+\s)|(?:Subsection\s+\d+\.\d+\.\d+\s)"
+    r"|(?:第\d+章)|(?:(?<=\s)\d+\.\d+(?:\.\d+)*\s)",
+    re.IGNORECASE,
+)
+_KEYWORD_TAIL = re.compile(r"(Chapter|Section|Subsection)\s*$", re.IGNORECASE)
+
+
+def split_compound_toc_line(line: str) -> list[str]:
+    """Lookahead split of a TOC line carrying several entries
+    ('1.1 Foo 1.2 Bar' -> ['1.1 Foo', '1.2 Bar']; reference
+    parser/toc.py split_toc_entries). A bare-number start directly after a
+    Section/Chapter keyword belongs to that keyword's entry and does not
+    split. Single-entry lines pass through."""
+    cuts = [0]
+    for m in _ENTRY_START.finditer(line):
+        start = m.start()
+        if start == 0:
+            continue
+        if _KEYWORD_TAIL.search(line[:start]):
+            continue                      # number belongs to the keyword entry
+        cuts.append(start)
+    parts = [
+        line[a:b].strip() for a, b in zip(cuts, cuts[1:] + [len(line)])
+    ]
+    parts = [p for p in parts if p]
+    return parts if len(parts) > 1 else [line]
+
+
+def merge_split_toc_lines(lines: list[str]) -> list[str]:
+    """Join entries whose keyword and body landed on separate lines:
+    'Chapter' + '1 Title' -> 'Chapter 1 Title'; 'Episode 01' + 'Title' ->
+    'Episode 01 Title'. Blank lines between the halves don't block the
+    merge (reference parser/toc.py merge_toc_lines)."""
+    out: list[str] = []
+    pending: str | None = None
+    for raw in lines:
+        line = raw.strip()
+        if not line:
+            continue
+        if pending is not None:
+            out.append(f"{pending} {line}")
+            pending = None
+            continue
+        if re.fullmatch(r"(Chapter|Section|Subsection|Column)", line, re.IGNORECASE):
+            pending = line
+        elif re.fullmatch(r"(Episode|Column)\s+\d+", line, re.IGNORECASE):
+            pending = line
+        else:
+            out.append(line)
+    if pending is not None:
+        out.append(pending)
+    return out
 
 
 def ends_with_terminator(text: str) -> bool:
@@ -202,6 +281,8 @@ class Page:
     number: str
     source_file: str
     elements: list[Element] = field(default_factory=list)
+    metadata: str = ""              # raw 'name N / M' page-position line
+    meta_type: str = ""             # chapter-page | section-page
 
 
 @dataclass
@@ -223,6 +304,7 @@ def parse_document(book_md: str) -> ParsedDoc:
 
     marker_stack: list[str] = []
     in_toc = False
+    toc_lines: list[str] = []
     current = Page(number="", source_file="")
     para_lines: list[str] = []
     list_items: list[str] = []
@@ -282,10 +364,22 @@ def parse_document(book_md: str) -> ParsedDoc:
             continue
 
         if in_toc:
-            entry = parse_toc_entry(line)
-            if entry is not None:
-                toc.append(entry)
+            toc_lines.append(line)
             continue
+
+        # 'name N / M' on the first content line of a page is the page's
+        # position metadata, not a paragraph (reference page.py:135-177)
+        if (
+            not current.elements
+            and not para_lines
+            and not list_items
+            and line.strip()
+        ):
+            meta = parse_page_metadata(line)
+            if meta is not None:
+                current.metadata = line.strip()
+                current.meta_type = meta[3]
+                continue
 
         fig = parse_figure(line)
         if fig is not None:
@@ -324,6 +418,15 @@ def parse_document(book_md: str) -> ParsedDoc:
     flush_all()
     if current.elements or current.number:
         pages.append(current)
+
+    # TOC assembly: merge split entries, then lookahead-split compound
+    # lines, then parse (reference toc.py merge_toc_lines +
+    # split_toc_entries ordering)
+    for toc_line in merge_split_toc_lines(toc_lines):
+        for part in split_compound_toc_line(toc_line):
+            entry = parse_toc_entry(part)
+            if entry is not None:
+                toc.append(entry)
 
     # paragraph continuation merge runs per page, after the scan
     for page in pages:
@@ -387,6 +490,25 @@ def split_structure_prefix(text: str) -> tuple[str, str]:
     if m:
         return m.group(1), text.strip()[m.end():].strip()
     return "", text.strip()
+
+
+def document_health(doc: ParsedDoc) -> dict:
+    """Invariant checks (reference G7/G8: validate_page_count fails at
+    >50% page loss, error rate warns at >10%): numbered-page continuity
+    against the highest seen page number, and parse-error rate."""
+    numbered = [int(p.number) for p in doc.pages if p.number.isdigit()]
+    expected = max(numbered) if numbered else 0
+    present = len(set(numbered))
+    loss_pct = int(round(100 * (expected - present) / expected)) if expected else 0
+    n_pages = max(len(doc.pages), 1)
+    err_pct = int(round(100 * len(doc.errors) / n_pages))
+    return {
+        "n_pages": len(doc.pages),
+        "page_loss_pct": loss_pct,
+        "page_count_ok": loss_pct <= 50,
+        "error_rate_pct": err_pct,
+        "error_rate_ok": err_pct <= 10,
+    }
 
 
 def detect_running_head(doc: ParsedDoc) -> str | None:

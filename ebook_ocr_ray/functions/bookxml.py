@@ -95,7 +95,11 @@ def build_book_xml(doc: ParsedDoc, title: str = "") -> str:
         )
 
     for page in doc.pages:
-        ET.SubElement(target(), "pagebreak", number=page.number)
+        attrs = {"number": page.number}
+        if page.metadata:
+            attrs["meta"] = page.metadata
+            attrs["metaType"] = page.meta_type
+        ET.SubElement(target(), "pagebreak", **attrs)
         for el in page.elements:
             if el.kind == "heading":
                 ch = _CHAPTER_HEAD.match(el.text.strip())

@@ -135,7 +135,7 @@ class TestDocumentParse:
         lists = [e for e in page2.elements if e.kind == "list"]
         assert lists and lists[0].items == ("a", "b")
         figs = [e for e in page2.elements if e.kind == "figure"]
-        assert figs and figs[0].text == "figure_1"
+        assert figs and figs[0].text == "図1"
 
     def test_running_head_detected(self):
         doc = parse_document(self.MD)
@@ -182,3 +182,92 @@ class TestStructuralPipeline:
         again = structural_pipeline("/root/testdata/sf0.001").to_pandas()
         assert out.sort_values("doc_id").book_xml.tolist() == \
             again.sort_values("doc_id").book_xml.tolist()
+
+
+class TestTocAssembly:
+    def test_merge_split_lines(self):
+        from ebook_ocr_ray.functions.bookparse import merge_split_toc_lines
+
+        assert merge_split_toc_lines(["Chapter", "1 Title"]) == ["Chapter 1 Title"]
+        assert merge_split_toc_lines(["Episode 01", "", "Title"]) == ["Episode 01 Title"]
+        assert merge_split_toc_lines(["第1章 done"]) == ["第1章 done"]
+
+    def test_split_compound_line(self):
+        from ebook_ocr_ray.functions.bookparse import split_compound_toc_line
+
+        assert split_compound_toc_line("1.1 Foo 1.2 Bar") == ["1.1 Foo", "1.2 Bar"]
+        assert split_compound_toc_line("Chapter 1 Alpha Section 1.1 Beta") == [
+            "Chapter 1 Alpha",
+            "Section 1.1 Beta",
+        ]
+        assert split_compound_toc_line("2.1 Single entry") == ["2.1 Single entry"]
+
+    def test_document_level_assembly(self):
+        from ebook_ocr_ray.functions.bookparse import parse_document
+
+        md = "\n".join(
+            [
+                "<!-- toc -->",
+                "Chapter",
+                "1 Things ... 2",
+                "<!-- /toc -->",
+                "# Chapter 1 Things",
+            ]
+        )
+        doc = parse_document(md)
+        assert len(doc.toc) == 1
+        assert doc.toc[0].number == "1" and doc.toc[0].text == "Things"
+
+
+class TestPageMetadata:
+    def test_parse_metadata_forms(self):
+        from ebook_ocr_ray.functions.bookparse import parse_page_metadata
+
+        assert parse_page_metadata("はじめに 1 / 3") == ("はじめに", 1, 3, "chapter-page")
+        assert parse_page_metadata("第1節 5 / 10") == ("第1節", 5, 10, "section-page")
+        assert parse_page_metadata("7 / 9")[1:3] == (7, 9)
+        assert parse_page_metadata("not metadata") is None
+
+    def test_first_line_of_page_captured(self):
+        from ebook_ocr_ray.functions.bookparse import parse_document
+
+        md = "--- Page 1 (p.png) ---\nはじめに 1 / 3\nactual paragraph text."
+        doc = parse_document(md)
+        assert doc.pages[0].metadata == "はじめに 1 / 3"
+        paras = [e.text for e in doc.pages[0].elements if e.kind == "paragraph"]
+        assert paras == ["actual paragraph text."]
+
+    def test_metadata_in_xml(self):
+        import xml.etree.ElementTree as ET
+
+        from ebook_ocr_ray.functions.bookparse import parse_document
+        from ebook_ocr_ray.functions.bookxml import build_book_xml
+
+        md = "--- Page 1 (p.png) ---\n第2節 2 / 4\nbody."
+        root = ET.fromstring(build_book_xml(parse_document(md)))
+        pb = next(root.iter("pagebreak"))
+        assert pb.get("meta") == "第2節 2 / 4" and pb.get("metaType") == "section-page"
+
+
+class TestHealth:
+    def test_page_loss_and_error_rate(self):
+        from ebook_ocr_ray.functions.bookparse import document_health, parse_document
+
+        md = "--- Page 1 (a.png) ---\nok.\n--- Page 5 (b.png) ---\nok."
+        h = document_health(parse_document(md))
+        assert h["n_pages"] == 2 and h["page_loss_pct"] == 60
+        assert not h["page_count_ok"]
+
+        clean = parse_document("--- Page 1 (a.png) ---\nok.\n--- Page 2 (b.png) ---\nok.")
+        h2 = document_health(clean)
+        assert h2["page_count_ok"] and h2["error_rate_ok"]
+
+
+class TestFigureMarkers:
+    def test_extended_placeholder_kinds(self):
+        from ebook_ocr_ray.functions.bookparse import find_figure_marker, parse_figure
+
+        assert parse_figure("[写真3]") == "写真3"
+        assert parse_figure("[グラフ]") == "グラフ"
+        assert parse_figure("text [図1] text") is None      # standalone only
+        assert find_figure_marker("text [図1] text") == "図1"
