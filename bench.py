@@ -88,13 +88,18 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / timings["extract_e2e"], 1),
             "extract_docs": n_docs,
         }
+    from ebook_ocr_ray.stages.structural import structural_pipeline
+
     timed("q1_pricing", lambda: analytics.q1_pricing(SF_DIR).to_pandas())
+    timed("priority_revenue", lambda: analytics.priority_revenue(SF_DIR).to_pandas())
     timed("events_hourly", lambda: analytics.events_hourly(SF_DIR).count())
+    timed("purchase_attribution", lambda: analytics.purchase_attribution(SF_DIR).count())
     timed("top_terms", lambda: analytics.top_terms(SF_DIR).to_pandas())
     timed("token_stats", lambda: analytics.token_table(SF_DIR).count())
     timed("knn_brute", lambda: neighbors.knn_brute(SF_DIR).to_pandas())
     timed("minhash_clusters", lambda: neardup.minhash_clusters(SF_DIR))
     timed("dedup_exact_docs", lambda: analytics.dedup_exact_docs(SF_DIR).count())
+    timed("structural_xml", lambda: structural_pipeline(SF_DIR).count())
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -1,0 +1,135 @@
+"""CLI entry points — the analog of the reference's Makefile step targets
+(/root/reference/Makefile:37-160) and CLI options (--limit from
+src/cli/run_ocr.py:28-37, engine selection from rover/ensemble.py:300-327).
+
+    python -m ebook_ocr_ray extract   --sf-dir ... --out /tmp/out [--limit N]
+                                      [--extractors dom,density] [--primary dom]
+                                      [--no-dedup] [--resume]
+    python -m ebook_ocr_ray structural --sf-dir ... --out /tmp/out [--limit N]
+    python -m ebook_ocr_ray lineage    --sf-dir ...
+
+Owns its Ray session (guarded init) — the only places allowed to, per the
+driver contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_extract(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from ebook_ocr_ray.config import ExtractionConfig
+    from ebook_ocr_ray.pipelines.extraction import (
+        dedup_exact,
+        extract,
+        pages_dataset,
+        prepare_pages,
+    )
+    from ebook_ocr_ray.state.checkpoint import run_checkpointed_extraction
+
+    cfg = ExtractionConfig(
+        extractors=tuple(args.extractors.split(",")),
+        primary=args.primary,
+    )
+
+    def extracted_factory():
+        pages = pages_dataset(args.sf_dir, with_duplicates=args.with_duplicates)
+        if args.limit:
+            pages = pages.limit(args.limit)
+        prepared = prepare_pages(pages)
+        if not args.no_dedup:
+            prepared = prepared.materialize()
+            prepared = dedup_exact(prepared, slim=prepared)
+        return extract(prepared, cfg)
+
+    if args.resume or args.checkpoint:
+        manifest = run_checkpointed_extraction(extracted_factory, args.out)
+        done = int((manifest.status == "complete").sum())
+        print(json.dumps({"out": args.out, "partitions_complete": done}))
+    else:
+        ds = extracted_factory()
+        ds.write_parquet(args.out, partition_cols=["part_id"])
+        print(json.dumps({"out": args.out, "rows": "written"}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_structural(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from ebook_ocr_ray.stages.structural import structural_pipeline
+
+    ds = structural_pipeline(args.sf_dir)
+    if args.limit:
+        ds = ds.limit(args.limit)
+    ds.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_lineage(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from ebook_ocr_ray.pipelines.extraction import extraction_pipeline, lineage
+
+    df = lineage(extraction_pipeline(args.sf_dir, dedup=False)).to_pandas()
+    print(df.to_json(orient="records"))
+    ray.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="ebook_ocr_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("extract", help="run the extraction pipeline")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--out", required=True)
+    p.add_argument("--limit", type=int, default=0, help="head-N of the pages table")
+    p.add_argument("--extractors", default="dom,density,readability")
+    p.add_argument("--primary", default="dom")
+    p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--with-duplicates", action="store_true")
+    p.add_argument("--checkpoint", action="store_true", help="partitioned + manifest")
+    p.add_argument("--resume", action="store_true", help="skip completed partitions")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("structural", help="book_md -> XML compile")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--out", required=True)
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_structural)
+
+    p = sub.add_parser("lineage", help="per-site lineage table")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_lineage)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -475,7 +475,8 @@ def normalize_heading(text: str) -> str:
 
 _NUM_PREFIX_RE = re.compile(r"^(\d+(?:\.\d+)*)\s+")
 _STRUCT_PREFIX_RE = re.compile(
-    r"^(?:Chapter|Section|Subsection)\s+(\d+(?:\.\d+)*)\s*", re.IGNORECASE
+    r"^(?:(?:Chapter|Section|Subsection)\s+(\d+(?:\.\d+)*)\s*|第(\d+)章\s*)",
+    re.IGNORECASE,
 )
 
 
@@ -485,7 +486,7 @@ def split_structure_prefix(text: str) -> tuple[str, str]:
     (reference transformer_utils.py:13-77 comparison normalization)."""
     m = _STRUCT_PREFIX_RE.match(text.strip())
     if m:
-        return m.group(1), text.strip()[m.end():].strip()
+        return (m.group(1) or m.group(2)), text.strip()[m.end():].strip()
     m = _NUM_PREFIX_RE.match(text.strip())
     if m:
         return m.group(1), text.strip()[m.end():].strip()

@@ -423,23 +423,43 @@ def text_profile(sf_dir: str) -> ray.data.Dataset:
 
 
 def dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
-    """One surviving row (min doc_id) per distinct text. The groupby key is
-    the md5 of the text, not the text itself, so the shuffle moves 32-byte
-    keys; group payloads stay in their blocks."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    """One surviving row (min doc_id) per distinct text — the same
+    survivor-aggregate + broadcast-filter shape as the pages dedup
+    (pipelines/extraction.dedup_exact): a slim (hash -> min doc_id) pass
+    over a cheap re-read, then a local filter; full rows never shuffle and
+    per-group Python never runs."""
+    slim = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "text_sha",
-            pa.array([md5_fingerprint(t) for t in batch["text"].to_pylist()], pa.string()),
+    def sha_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "text_sha": [md5_fingerprint(t) for t in batch["text"].to_pylist()],
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            }
         )
+        agg = (
+            df.groupby("text_sha", sort=False)
+            .agg(n=("doc_id", "size"), min_id=("doc_id", "min"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values("doc_id", kind="mergesort").head(1)
+    partials = slim.map_batches(sha_counts, batch_format="pyarrow").to_pandas()
+    counts = partials.groupby("text_sha").agg(n=("n", "sum"), min_id=("min_id", "min"))
+    dup_map = dict(counts[counts.n > 1]["min_id"])   # only duplicate groups ship
+    dup_ref = ray.put(dup_map)
 
-    return (
-        docs.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_sha")
-        .map_groups(first, batch_format="pandas")
-        .drop_columns(["text_sha"])
-    )
+    def keep(batch: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        if not dups:
+            return batch
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        mask = [
+            (s := md5_fingerprint(t)) not in dups or dups[s] == d
+            for t, d in zip(texts, ids)
+        ]
+        return batch.filter(pa.array(mask))
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return docs.map_batches(keep, batch_format="pyarrow")

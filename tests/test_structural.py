@@ -271,3 +271,31 @@ class TestFigureMarkers:
         assert parse_figure("[グラフ]") == "グラフ"
         assert parse_figure("text [図1] text") is None      # standalone only
         assert find_figure_marker("text [図1] text") == "図1"
+
+
+class TestGoldenBook:
+    """Committed golden e2e fixture (analog of the reference's
+    sample_book.md -> expected_book.xml pair)."""
+
+    def test_sample_book_matches_committed_xml(self):
+        import os
+
+        fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+        sample = open(os.path.join(fixtures, "sample_book.md")).read()
+        expected = open(os.path.join(fixtures, "expected_book.xml")).read()
+        doc = parse_document(sample)
+        assert build_book_xml(doc, title="サンプル") == expected
+
+    def test_sample_book_structure(self):
+        import os
+
+        fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+        doc = parse_document(open(os.path.join(fixtures, "sample_book.md")).read())
+        root = ET.fromstring(build_book_xml(doc, title="t"))
+        assert [c.get("number") for c in root.findall("chapter")] == ["1", "2"]
+        toc = root.find("toc")
+        assert [e.get("match") for e in toc] == ["exact", "exact", "exact"]
+        assert root.find("front-matter/pagebreak[@metaType='chapter-page']") is not None
+        assert root.find(".//em") is not None
+        figs = [f.get("src") for f in root.iter("figure")]
+        assert figs == ["写真1", "images/fig_a.png"]
