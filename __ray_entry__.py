@@ -19,7 +19,7 @@ from typing import Any
 from ebook_ocr_ray.functions.textstats import STOPWORDS
 
 _URL_SQL = "'https://site-' || (doc_id % 20) || '.example/doc/' || doc_id"
-_TEXT_SQL = "'Document ' || doc_id || chr(10) || text"
+_TEXT_SQL = "'Document ' || format('{:,}', doc_id) || chr(10) || text"
 _TS_SQL = "TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND"
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 
@@ -215,7 +215,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 7 = 3
         """,
         "extract_headings": f"""
-            SELECT {_URL_SQL} AS url, 'Document ' || doc_id AS heading
+            SELECT {_URL_SQL} AS url,
+                   'Document ' || format('{{:,}}', doc_id) AS heading
             FROM documents
         """,
         "dedup_pages": f"""
@@ -240,7 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "lineage_sites": f"""
             SELECT 'site-' || (doc_id % 20) AS site,
                    COUNT(*) AS doc_count,
-                   SUM(length('Document ' || doc_id) + 1 + length(text)) AS char_count
+                   SUM(length('Document ' || format('{{:,}}', doc_id)) + 1 + length(text)) AS char_count
             FROM documents GROUP BY 1
         """,
         "q1_pricing": """

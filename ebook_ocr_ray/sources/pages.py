@@ -58,8 +58,11 @@ def page_ts(doc_id: int, dup: bool = False) -> _dt.datetime:
 
 
 def doc_title(doc_id: int) -> str:
-    # >= 10 chars always, so the short-ASCII garbage rule can never eat it
-    return f"Document {doc_id}"
+    # >= 10 chars always (short-ASCII rule can't eat it) and digits are
+    # comma-grouped so no >=5 char run exists for ANY doc_id (char-run
+    # rule can't either) — both invariants required for the closed-form
+    # oracle to hold at every amplification level
+    return f"Document {doc_id:,}"
 
 
 def expected_extraction(doc_id: int, text: str) -> str:

@@ -142,4 +142,4 @@ class TestGoldenRoundTrip:
         payload = synth_pdf(doc_id, text) if doc_id % 7 == 3 else synth_html(doc_id, text)
         got, heads, n, g, c, a = extract_one(payload, ExtractionConfig())
         assert got == expected_extraction(doc_id, text)
-        assert heads == [f"Document {doc_id}"]
+        assert heads == [f"Document {doc_id:,}"]
