@@ -147,6 +147,14 @@ def _heading_rules(sf_dir: str):
     return heading_repair_pipeline(sf_dir)
 
 
+def _corpus_metrics(sf_dir: str):
+    """Global metrics over the html slice (pdf line counts depend on pixel
+    wrapping, html docs always vote exactly 2 lines -> closed form)."""
+    from ebook_ocr_ray.pipelines.extraction import corpus_metrics, extraction_pipeline
+
+    return corpus_metrics(extraction_pipeline(sf_dir, dedup=False, kind="html"))
+
+
 def _site_boilerplate(sf_dir: str):
     from ebook_ocr_ray.pipelines.boilerplate import site_boilerplate_pages
 
@@ -197,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heading_rules": _heading_rules,
         # corpus-level boilerplate mining (groupby site)
         "site_boilerplate": _site_boilerplate,
+        # global pipeline metrics (one-row aggregate)
+        "corpus_metrics": _corpus_metrics,
     }
 
 
@@ -343,6 +353,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(2 AS INT) AS n_rules, CAST(2 AS INT) AS n_applied,
                    CAST(100 AS INT) AS match_rate_pct
             FROM documents
+        """,
+        "corpus_metrics": """
+            SELECT COUNT(*) AS n_docs, COUNT(*) AS n_html,
+                   CAST(0 AS BIGINT) AS n_pdf, CAST(0 AS BIGINT) AS n_errors,
+                   2 * COUNT(*) AS total_lines
+            FROM documents WHERE doc_id % 7 <> 3
         """,
         "site_boilerplate": """
             WITH sites AS (SELECT DISTINCT 'site-' || (doc_id % 20) AS site

@@ -308,6 +308,37 @@ def extract(
     )
 
 
+def corpus_metrics(extracted: ray.data.Dataset) -> pd.DataFrame:
+    """Global pipeline metrics in one row (the reference's per-run console
+    stats — ensemble.py:283-285, cli.py:269-272 — as a table): doc/kind/
+    error counts, total voted lines. Partial counts per batch, then one
+    tiny global aggregate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kinds = batch["doc_kind"].to_pylist()
+        errors = batch["error"].to_pylist()
+        n_lines = batch["n_lines"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_docs": pa.array([len(kinds)], pa.int64()),
+                "n_html": pa.array([sum(k == "html" for k in kinds)], pa.int64()),
+                "n_pdf": pa.array([sum(k == "pdf" for k in kinds)], pa.int64()),
+                "n_errors": pa.array([sum(e is not None for e in errors)], pa.int64()),
+                "total_lines": pa.array([int(n_lines.sum())], pa.int64()),
+            }
+        )
+
+    partials = extracted.map_batches(partial, batch_format="pyarrow")
+    totals = partials.aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_html", alias_name="n_html"),
+        Sum("n_pdf", alias_name="n_pdf"),
+        Sum("n_errors", alias_name="n_errors"),
+        Sum("total_lines", alias_name="total_lines"),
+    )
+    return pd.DataFrame([totals]).astype("int64")
+
+
 def lineage(extracted: ray.data.Dataset, key: str = "site") -> ray.data.Dataset:
     """Per-site lineage/metrics: doc & byte & char counts. Partial
     aggregation inside map_batches first, so the shuffle moves one row per
@@ -346,6 +377,7 @@ def extraction_pipeline(
     dedup: bool = True,
     cfg: ExtractionConfig | None = None,
     repeat: int = 1,
+    kind: str | None = None,
 ) -> ray.data.Dataset:
     """documents -> pages -> prepare -> (dedup) -> extract.
 
@@ -359,7 +391,7 @@ def extraction_pipeline(
     IO happens twice; extraction happens once, on survivors only.
     """
     prepared = prepare_pages(
-        pages_dataset(sf_dir, with_duplicates=with_duplicates, repeat=repeat)
+        pages_dataset(sf_dir, with_duplicates=with_duplicates, repeat=repeat, kind=kind)
     )
     if dedup:
         prepared = prepared.materialize()
