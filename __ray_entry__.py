@@ -155,6 +155,38 @@ def _corpus_metrics(sf_dir: str):
     return corpus_metrics(extraction_pipeline(sf_dir, dedup=False, kind="html"))
 
 
+def _split_spreads(sf_dir: str):
+    """Multi-article payloads (the spread analog) split 1->2 before
+    extraction; closed-form oracle per article."""
+    import pyarrow as pa
+
+    from ebook_ocr_ray.pipelines.extraction import extract, load_documents, prepare_pages
+    from ebook_ocr_ray.sources.pages import PAGES_SCHEMA, page_ts, page_url, synth_spread_html
+    from ebook_ocr_ray.stages.extract import split_multidoc_batch
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array([page_url(i) for i in ids], pa.string()),
+                pa.array([page_ts(i) for i in ids], pa.timestamp("us")),
+                pa.array([synth_spread_html(i, t) for i, t in zip(ids, texts)], pa.binary()),
+                pa.array(texts, pa.string()),
+                pa.array(langs, pa.string()),
+            ],
+            schema=PAGES_SCHEMA,
+        )
+
+    pages = (
+        load_documents(sf_dir)
+        .map_batches(build, batch_format="pyarrow")
+        .map_batches(split_multidoc_batch, batch_format="pyarrow")
+    )
+    return extract(prepare_pages(pages)).select_columns(["url", "extracted_text"])
+
+
 def _site_boilerplate(sf_dir: str):
     from ebook_ocr_ray.pipelines.boilerplate import site_boilerplate_pages
 
@@ -172,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_headings": _extract_headings,
         "dedup_pages": _dedup_pages,
         "sequence_dedup_pages": _sequence_dedup_pages,
+        "split_spreads": _split_spreads,
         "lineage_sites": _lineage_sites,
         # relational / windowed
         "q1_pricing": analytics.q1_pricing,
@@ -239,6 +272,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_URL_SQL} AS url,
                    {_TS_SQL} + INTERVAL 2 DAY AS warc_ts
             FROM documents WHERE doc_id % 5 = 0
+        """,
+        "split_spreads": f"""
+            SELECT {_URL_SQL} || '#a0' AS url, {_TEXT_SQL} AS extracted_text
+            FROM documents
+            UNION ALL
+            SELECT {_URL_SQL} || '#a1' AS url,
+                   {_TEXT_SQL} || ' updated revision content' AS extracted_text
+            FROM documents
         """,
         "events_gaps": """
             SELECT event_id,

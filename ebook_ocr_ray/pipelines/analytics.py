@@ -218,13 +218,15 @@ def priority_revenue(sf_dir: str) -> ray.data.Dataset:
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    # partition count ~ cluster cpus: each partition is a join-aggregator
-    # actor; oversubscribing them (32 actors on 8 cpus) measured 10x slower
+    # partition count ~ HALF the cluster cpus, capped: each partition is a
+    # join-aggregator actor that must coexist with the map tasks feeding
+    # it; measured at 32 cpus/sf0.1: 8 parts 3.7s, 16 parts 3.8s,
+    # 32 parts 18.9s (aggregators starve their own producers)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     joined = li.map_batches(slim, batch_format="pyarrow").join(
         orders,
         join_type="inner",
-        num_partitions=max(4, min(32, cpus)),
+        num_partitions=max(4, min(16, cpus // 2)),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

@@ -135,6 +135,27 @@ def synth_pdf(doc_id: int, text: str) -> bytes:
     return b"%PDF-1.4\n%EBOOKRAY-CHARBOX " + layout.encode("utf-8") + b"\n%%EOF\n"
 
 
+def synth_spread_html(doc_id: int, text: str) -> bytes:
+    """A 'spread' capture: ONE payload carrying TWO <article> documents
+    (the analog of a two-page book spread in one frame). The split stage
+    turns it into two logical pages; article 1 is the base text, article 2
+    the revised variant."""
+    t = _html.escape(doc_title(doc_id))
+    a0 = f"<article>\n<h1>{t}</h1>\n<p>{_html.escape(text)}</p>\n</article>"
+    a1 = (
+        f"<article>\n<h1>{t}</h1>\n"
+        f"<p>{_html.escape(text + VERSION_SUFFIX)}</p>\n</article>"
+    )
+    page = (
+        "<html><head><title>spread</title></head><body>\n"
+        '<header><nav><a href="/">Home</a> <a href="/about">About</a></nav></header>\n'
+        f"{a0}\n{a1}\n"
+        f'<footer><p><a href="/privacy">privacy</a> (c) {page_site(doc_id)}</p></footer>\n'
+        "</body></html>\n"
+    )
+    return page.encode("utf-8")
+
+
 def synth_payload(doc_id: int, text: str) -> bytes:
     return synth_pdf(doc_id, text) if is_pdf_doc(doc_id) else synth_html(doc_id, text)
 

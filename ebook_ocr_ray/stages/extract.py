@@ -65,6 +65,55 @@ def prepare_batch(batch: pa.Table, num_partitions: int = DEFAULT_NUM_PARTITIONS)
     )
 
 
+def split_multidoc_batch(batch: pa.Table) -> pa.Table:
+    """1->N flat map: a payload carrying several <article> elements splits
+    into one pages row per article (url gains a #aK fragment; other
+    columns are inherited). Single-article / PDF rows pass through
+    untouched.
+
+    The analog of the reference's spread-page split
+    (src/preprocessing/split_spread.py:174-216): one physical capture ->
+    N logical documents, with stable derived keys instead of renumbering
+    (SURVEY.md M3/M4)."""
+    import re as _re
+
+    article_re = _re.compile(rb"<article>.*?</article>", _re.DOTALL)
+
+    urls, tss, payloads, texts, langs = [], [], [], [], []
+    for url, ts, payload, text, lang in zip(
+        batch["url"].to_pylist(),
+        batch["warc_ts"].to_pylist(),
+        batch["html"].to_pylist(),
+        batch["text"].to_pylist(),
+        batch["lang"].to_pylist(),
+    ):
+        parts = article_re.findall(payload or b"")
+        if len(parts) < 2:
+            urls.append(url)
+            tss.append(ts)
+            payloads.append(payload)
+            texts.append(text)
+            langs.append(lang)
+            continue
+        head, tail = payload.split(parts[0], 1)[0], payload.rsplit(parts[-1], 1)[1]
+        for k, article in enumerate(parts):
+            urls.append(f"{url}#a{k}")
+            tss.append(ts)
+            payloads.append(head + article + tail)
+            texts.append(text)
+            langs.append(lang)
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.timestamp("us")),
+            pa.array(payloads, pa.binary()),
+            pa.array(texts, pa.string()),
+            pa.array(langs, pa.string()),
+        ],
+        names=["url", "warc_ts", "html", "text", "lang"],
+    )
+
+
 OUT_FIELDS = [
     ("url", pa.string()),
     ("warc_ts", pa.timestamp("us")),

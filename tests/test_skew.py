@@ -57,3 +57,65 @@ class TestOversizedBlobs:
         assert (big_rows.n_lines > 100).all()   # title + many repeated lines
 
 
+
+
+class TestSpreadSplit:
+    """1->N multi-article payload split (the spread-page analog)."""
+
+    def test_split_two_articles(self):
+        from ebook_ocr_ray.sources.pages import synth_spread_html
+        from ebook_ocr_ray.stages.extract import split_multidoc_batch
+
+        import datetime as dt
+
+        t = pa.Table.from_pylist(
+            [
+                {
+                    "url": "https://s.example/d/1",
+                    "warc_ts": dt.datetime(2026, 1, 1),
+                    "html": synth_spread_html(1, "six words or more right here"),
+                    "text": "six words or more right here",
+                    "lang": "en",
+                },
+                {
+                    "url": "https://s.example/d/2",
+                    "warc_ts": dt.datetime(2026, 1, 1),
+                    "html": b"<main><p>single doc body, long enough text.</p></main>",
+                    "text": "",
+                    "lang": "en",
+                },
+            ]
+        )
+        out = split_multidoc_batch(t)
+        urls = out["url"].to_pylist()
+        assert urls == [
+            "https://s.example/d/1#a0",
+            "https://s.example/d/1#a1",
+            "https://s.example/d/2",
+        ]
+
+    def test_split_parts_extract_independently(self):
+        from ebook_ocr_ray.sources.pages import VERSION_SUFFIX, synth_spread_html
+        from ebook_ocr_ray.stages.extract import extract_one, split_multidoc_batch
+
+        import datetime as dt
+
+        text = "six words or more right here"
+        t = pa.Table.from_pylist(
+            [
+                {
+                    "url": "u",
+                    "warc_ts": dt.datetime(2026, 1, 1),
+                    "html": synth_spread_html(5, text),
+                    "text": text,
+                    "lang": "en",
+                }
+            ]
+        )
+        out = split_multidoc_batch(t)
+        from ebook_ocr_ray.config import ExtractionConfig
+
+        got0 = extract_one(out["html"][0].as_py(), ExtractionConfig())[0]
+        got1 = extract_one(out["html"][1].as_py(), ExtractionConfig())[0]
+        assert got0 == f"Document 5\n{text}"
+        assert got1 == f"Document 5\n{text}{VERSION_SUFFIX}"
