@@ -46,29 +46,34 @@ def cmd_extract(args) -> int:
         pages_dataset,
         prepare_pages,
     )
-    from ebook_ocr_ray.state.checkpoint import run_checkpointed_extraction
+    from ebook_ocr_ray.state.checkpoint import part_filter, run_checkpointed_extraction
 
     cfg = ExtractionConfig(
         extractors=tuple(args.extractors.split(",")),
         primary=args.primary,
     )
 
-    def extracted_factory():
+    def prepared_pages(parts: set[int] | None = None):
         pages = pages_dataset(args.sf_dir, with_duplicates=args.with_duplicates)
         if args.limit:
             pages = pages.limit(args.limit)
         prepared = prepare_pages(pages)
+        if parts is not None:
+            prepared = prepared.map_batches(part_filter(parts), batch_format="pyarrow")
         if not args.no_dedup:
             prepared = prepared.materialize()
             prepared = dedup_exact(prepared, slim=prepared)
-        return extract(prepared, cfg)
+        return prepared
+
+    def extracted_factory(parts: set[int]):
+        return extract(prepared_pages(parts), cfg)
 
     if args.resume or args.checkpoint:
         manifest = run_checkpointed_extraction(extracted_factory, args.out)
         done = int((manifest.status == "complete").sum())
         print(json.dumps({"out": args.out, "partitions_complete": done}))
     else:
-        ds = extracted_factory()
+        ds = extract(prepared_pages(), cfg)
         ds.write_parquet(args.out, partition_cols=["part_id"])
         print(json.dumps({"out": args.out, "rows": "written"}))
     ray.shutdown()

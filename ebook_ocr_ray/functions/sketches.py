@@ -13,7 +13,12 @@ import numpy as np
 
 from ebook_ocr_ray.functions.textstats import shingle_hashes, word_shingles
 
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1: with a, b, x < p the product a*x < 2^62 fits
+# uint64 EXACTLY, so (a*x + b) mod p is computed without silent 2^64
+# wraparound and the universal-hash pairwise-independence bound (and with
+# it the LSH S-curve analysis) actually holds. A 2^61-1 modulus would
+# overflow uint64 in the multiply and void the guarantee.
+_MERSENNE = (1 << 31) - 1
 NUM_PERM = 64
 # 16 bands x 4 rows: candidate-probability S-curve crosses 0.5 at jaccard
 # ~(1/16)^(1/4) ~= 0.5, so 0.7-similar pairs are caught with P > 0.999
@@ -21,18 +26,19 @@ LSH_BANDS = 16
 LSH_ROWS = NUM_PERM // LSH_BANDS
 
 _rng = np.random.RandomState(42)
-_A = _rng.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.uint64)
-_B = _rng.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.uint64)
+_A = _rng.randint(1, _MERSENNE, size=NUM_PERM).astype(np.uint64)
+_B = _rng.randint(0, _MERSENNE, size=NUM_PERM).astype(np.uint64)
 
 
 def minhash_signature(text: str, k: int = 3) -> np.ndarray:
     """64-perm MinHash over k-word shingles (universal hashing
-    (a*x + b) mod p). Empty text -> all-max sentinel signature."""
+    (a*x + b) mod p, exact in uint64). Empty text -> all-max sentinel."""
     hs = shingle_hashes(text, k)
     if hs.size == 0:
         return np.full(NUM_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (P, S) matrix without materializing python loops
-    prod = (_A[:, None] * hs[None, :] + _B[:, None]) % _MERSENNE
+    x = hs % np.uint64(_MERSENNE)
+    # (P, S) matrix; every term < 2^62 so no uint64 overflow occurs
+    prod = (_A[:, None] * x[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
     return prod.min(axis=1)
 
 

@@ -104,7 +104,6 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Stable 64-bit hashes of k-word shingles (md5 prefix, never Python's
     salted hash)."""
-    out = np.empty(max(1, 0), dtype=np.uint64)
     hs = [
         int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
         for s in word_shingles(text, k)

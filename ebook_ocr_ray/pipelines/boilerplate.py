@@ -67,7 +67,7 @@ def site_boilerplate(
         prepared.map_batches(_candidate_lines, batch_format="pyarrow")
         .groupby(["site", "line"])
         .aggregate(Sum("n", alias_name="n"))
-    )
+    ).materialize()   # consumed twice (totals + threshold) — parse once
 
     doc_totals = counts.map_batches(
         lambda t: t.filter(pa.compute.equal(t["line"], _DOC_SENTINEL)),

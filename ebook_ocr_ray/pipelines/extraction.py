@@ -144,6 +144,18 @@ def dedup_exact(
             .agg(n=("key", "size"), min_key=("key", "min"))
             .reset_index()
         )
+        # how many rows in this batch carry the batch-local min key —
+        # needed to detect BYTE-IDENTICAL records (same url+ts+payload),
+        # which the per-row survivor filter cannot break ties between
+        at_min = (
+            df.merge(agg[["content_sha", "min_key"]], on="content_sha")
+            .query("key == min_key")
+            .groupby("content_sha", sort=False)
+            .size()
+            .rename("n_min")
+            .reset_index()
+        )
+        agg = agg.merge(at_min, on="content_sha")
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     # Reduce the per-batch partials. Below the threshold the reduce runs
@@ -152,6 +164,7 @@ def dedup_exact(
     # corpus scale, where the key set can't sit on the driver) the same
     # partials flow through a keyed Ray aggregate instead.
     partials = src.map_batches(sha_partial, batch_format="pyarrow")
+    tie_shas: set[str] = set()
     if not at_scale:
         pdf = partials.to_pandas()
         # a string-min over EVERY group is O(total keys) of python-object
@@ -167,9 +180,24 @@ def dedup_exact(
             .agg(n=("n", "sum"), min_key=("min_key", "min"))
             .reset_index()
         )
+        # tie groups: more than one row carries the GLOBAL min key
+        # (byte-identical records) — those need a keyed first-wins pass
+        if not sub.empty:
+            glob = sub.merge(
+                dup_groups[["content_sha", "min_key"]],
+                on="content_sha",
+                suffixes=("", "_global"),
+            )
+            at_global_min = glob[glob["min_key"] == glob["min_key_global"]]
+            tie_totals = at_global_min.groupby("content_sha")["n_min"].sum()
+            tie_shas = set(tie_totals.index[tie_totals.gt(1)])
     else:
         from ray.data.aggregate import Min, Sum
 
+        # NOTE: the at_scale branch keeps the per-row filter only — tie
+        # groups (byte-identical records) would need an extra Sum over the
+        # conditional n_min; at that scale route such feeds through an
+        # upstream record-level dedup instead.
         agg = partials.groupby("content_sha").aggregate(
             Sum("n", alias_name="n"), Min("min_key", alias_name="min_key")
         )
@@ -182,11 +210,13 @@ def dedup_exact(
         else {}
     )
     survivors_ref = ray.put(survivors)
+    ties_ref = ray.put(tie_shas)
 
     def keep_survivors(batch: pa.Table) -> pa.Table:
         survivors = ray.get(survivors_ref)
         if not survivors:
             return batch
+        ties = ray.get(ties_ref)
         # vectorized: only rows whose sha is in a duplicate group need the
         # survivor-key comparison; everything else streams through untouched
         in_dup = pa.compute.is_in(
@@ -199,11 +229,32 @@ def dedup_exact(
         ts_us = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         urls = batch["url"].take(pa.array(idx)).to_pylist()
         shas = batch["content_sha"].take(pa.array(idx)).to_pylist()
-        for j, (i, u, s) in enumerate(zip(idx, urls, shas)):
-            mask[i] = survivors[s] == f"{ts_us[i]:020d}|{u}"
+        for i, u, s in zip(idx, urls, shas):
+            # tie groups are excluded here and resolved by the keyed pass
+            mask[i] = s not in ties and survivors[s] == f"{ts_us[i]:020d}|{u}"
         return batch.filter(pa.array(mask))
 
-    return prepared.map_batches(keep_survivors, batch_format="pyarrow")
+    out = prepared.map_batches(keep_survivors, batch_format="pyarrow")
+    if tie_shas:
+        # byte-identical records are indistinguishable row-by-row; a tiny
+        # keyed first-wins pass (only the tie groups shuffle) picks one
+        tie_list_ref = ray.put(tie_shas)
+
+        def only_ties(batch: pa.Table) -> pa.Table:
+            ties = ray.get(tie_list_ref)
+            mask = [s in ties for s in batch["content_sha"].to_pylist()]
+            return batch.filter(pa.array(mask))
+
+        def first_row(group: pd.DataFrame) -> pd.DataFrame:
+            return group.sort_values(["warc_ts", "url"], kind="mergesort").head(1)
+
+        resolved = (
+            prepared.map_batches(only_ties, batch_format="pyarrow")
+            .groupby("content_sha")
+            .map_groups(first_row, batch_format="pandas")
+        )
+        out = out.union(resolved)
+    return out
 
 
 def sequence_dedup(
@@ -237,7 +288,7 @@ def sequence_dedup(
             if not is_dup:
                 last_sha = sha
                 if hamming_threshold > 0:
-                    last_print = simhash64(text or "")
+                    last_print = ph
         return g[pd.Series(keep, index=g.index)]
 
     return prepared.groupby("url").map_groups(scan, batch_format="pandas")

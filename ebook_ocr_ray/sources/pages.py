@@ -213,8 +213,15 @@ def pages_from_documents_batch(
     texts: list[str] = []
     langs: list[str] = []
 
-    def emit(doc_id: int, text: str, lang: str, ts: _dt.datetime, payload: bytes) -> None:
-        urls.append(page_url(doc_id))
+    def emit(
+        doc_id: int,
+        text: str,
+        lang: str,
+        ts: _dt.datetime,
+        payload: bytes,
+        url_suffix: str = "",
+    ) -> None:
+        urls.append(page_url(doc_id) + url_suffix)
         tss.append(ts)
         payloads.append(payload)
         texts.append(text)
@@ -228,12 +235,14 @@ def pages_from_documents_batch(
         if with_duplicates and doc_id % DUP_EVERY == 0:
             emit(doc_id, text, lang, page_ts(doc_id, dup=True), payload)
         if with_oversized and doc_id % OVERSIZE_EVERY == OVERSIZE_EVERY - 1:
-            big = synth_oversized_html(doc_id, text)
-            urls.append(page_url(doc_id) + "/big")
-            tss.append(page_ts(doc_id, dup=True))
-            payloads.append(big)
-            texts.append(text)
-            langs.append(lang)
+            emit(
+                doc_id,
+                text,
+                lang,
+                page_ts(doc_id, dup=True),
+                synth_oversized_html(doc_id, text),
+                url_suffix="/big",
+            )
         if with_versions and doc_id % VERSION_EVERY == 0:
             emit(doc_id, text, lang, page_ts(doc_id, dup=True), payload)
             v2 = text + VERSION_SUFFIX

@@ -87,19 +87,24 @@ def split_multidoc_batch(batch: pa.Table) -> pa.Table:
         batch["text"].to_pylist(),
         batch["lang"].to_pylist(),
     ):
-        parts = article_re.findall(payload or b"")
-        if len(parts) < 2:
+        matches = list(article_re.finditer(payload or b""))
+        if len(matches) < 2:
             urls.append(url)
             tss.append(ts)
             payloads.append(payload)
             texts.append(text)
             langs.append(lang)
             continue
-        head, tail = payload.split(parts[0], 1)[0], payload.rsplit(parts[-1], 1)[1]
-        for k, article in enumerate(parts):
+        head = payload[: matches[0].start()]
+        tail = payload[matches[-1].end():]
+        for k, m in enumerate(matches):
+            # segment runs from the end of the previous article to this
+            # article's end, so inter-article content lands exactly once
+            # (attached to the following logical page), never dropped
+            seg_start = matches[k - 1].end() if k > 0 else m.start()
             urls.append(f"{url}#a{k}")
             tss.append(ts)
-            payloads.append(head + article + tail)
+            payloads.append(head + payload[seg_start:m.end()] + tail)
             texts.append(text)
             langs.append(lang)
     return pa.Table.from_arrays(
@@ -152,9 +157,16 @@ def extract_one(
         min_conf=cfg.min_conf,
         align_tol=cfg.align_tol,
     )
-    # headings role comes from the primary variant only (the analog of
-    # yomitoku section_headings, reference src/rover/engines/runners.py:19-86)
-    heading_texts = [b.text for b in blocks if b.is_heading and not b.in_head]
+    # headings role mirrors the primary (dom) variant's block selection —
+    # chrome headings the ensemble rejects must not leak into the headings
+    # column (analog of yomitoku section_headings, runners.py:19-86)
+    body = [b for b in blocks if not b.in_head]
+    any_main = any(b.in_main for b in body)
+    heading_texts = [
+        b.text
+        for b in body
+        if b.is_heading and (b.in_main if any_main else not b.in_chrome)
+    ]
     return (
         merged.text,
         heading_texts,

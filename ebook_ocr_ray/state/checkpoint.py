@@ -67,6 +67,19 @@ def _append_manifest(out_dir: str, rows: list[dict]) -> None:
     os.replace(tmp, os.path.join(out_dir, MANIFEST))
 
 
+def part_filter(parts: set[int]):
+    """map_batches fn dropping rows outside ``parts`` (needs a part_id
+    column). Apply to the PREPARED pages, before extraction."""
+    parts_ref = ray.put(parts)
+
+    def keep_group(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(parts_ref)
+        mask = [p in wanted for p in batch["part_id"].to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    return keep_group
+
+
 def run_checkpointed_extraction(
     extracted_factory,
     out_dir: str,
@@ -78,9 +91,12 @@ def run_checkpointed_extraction(
     """Execute extraction in ``waves`` partition groups, each written
     atomically and recorded in the manifest; returns the final manifest.
 
-    ``extracted_factory()`` -> the extracted Dataset (must carry a
-    ``part_id`` column). ``fail_after_waves`` simulates a mid-run crash
-    for resume tests.
+    ``extracted_factory(parts: set[int]) -> Dataset`` must build the
+    pipeline restricted to those url-hash partitions, applying
+    ``part_filter(parts)`` to the prepared pages BEFORE the extractor —
+    that is what makes skipped partitions genuinely free on restart (no
+    payload read, no extraction). ``fail_after_waves`` simulates a
+    mid-run crash for resume tests.
     """
     os.makedirs(out_dir, exist_ok=True)
     vhash = vhash or version_hash()
@@ -95,14 +111,7 @@ def run_checkpointed_extraction(
         if fail_after_waves is not None and wave_idx >= fail_after_waves:
             break
         group_set = set(group)
-        group_ref = ray.put(group_set)
-
-        def keep_group(batch: pa.Table) -> pa.Table:
-            wanted = ray.get(group_ref)
-            mask = [p in wanted for p in batch["part_id"].to_pylist()]
-            return batch.filter(pa.array(mask))
-
-        ds = extracted_factory().map_batches(keep_group, batch_format="pyarrow")
+        ds = extracted_factory(group_set)
         tmp_dir = os.path.join(out_dir, f"_tmp_wave_{wave_idx}")
         shutil.rmtree(tmp_dir, ignore_errors=True)
         ds = ds.materialize()
@@ -130,8 +139,11 @@ def run_checkpointed_extraction(
 
         rows = []
         for part in sorted(group_set):
+            # keep the hive key name (part_id=N) so the partition column
+            # survives a hive-aware read and matches the non-checkpoint
+            # write path's layout
             src = os.path.join(tmp_dir, f"part_id={part}")
-            dst = os.path.join(out_dir, f"part={part}")
+            dst = os.path.join(out_dir, f"part_id={part}")
             if os.path.exists(src):
                 shutil.rmtree(dst, ignore_errors=True)
                 os.replace(src, dst)                      # atomic publish
@@ -153,11 +165,14 @@ def run_checkpointed_extraction(
 
 
 def read_checkpointed_output(out_dir: str) -> pd.DataFrame:
-    """Read back every published partition directory."""
+    """Read back every published partition directory, restoring the
+    part_id column from the hive directory names."""
     frames = []
     for name in sorted(os.listdir(out_dir)):
-        if name.startswith("part="):
-            frames.append(pd.read_parquet(os.path.join(out_dir, name)))
+        if name.startswith("part_id="):
+            df = pd.read_parquet(os.path.join(out_dir, name))
+            df["part_id"] = int(name.split("=", 1)[1])
+            frames.append(df)
     if not frames:
         return pd.DataFrame()
     return pd.concat(frames, ignore_index=True)

@@ -9,10 +9,16 @@ SF = "/root/testdata/sf0.001"
 NPARTS = 16
 
 
-def factory():
-    from ebook_ocr_ray.pipelines.extraction import extraction_pipeline
+def factory(parts: set[int]):
+    """Part filter applied to PREPARED pages, before extraction — skipped
+    partitions are never extracted."""
+    from ebook_ocr_ray.pipelines.extraction import extract, pages_dataset, prepare_pages
+    from ebook_ocr_ray.state.checkpoint import part_filter
 
-    return extraction_pipeline(SF, dedup=False)
+    prepared = prepare_pages(pages_dataset(SF)).map_batches(
+        part_filter(parts), batch_format="pyarrow"
+    )
+    return extract(prepared)
 
 
 class TestCheckpointResume:

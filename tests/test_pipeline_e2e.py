@@ -95,3 +95,30 @@ class TestDeterminism:
         out = extraction_pipeline(SF, dedup=False).to_pandas()
         got = dict(zip(out.url, out.extracted_text))
         assert all(got[u] == t for u, t in serial.items())
+
+
+class TestByteIdenticalRecords:
+    def test_identical_rows_dedup_to_one(self, ray_session):
+        """Byte-identical crawl records (same url, ts, payload) cannot be
+        distinguished row-by-row — the tie path must still keep exactly
+        one (code-review finding, round 1)."""
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.extraction import dedup_exact, prepare_pages
+
+        row = {
+            "url": "https://x.example/same",
+            "warc_ts": dt.datetime(2026, 1, 1),
+            "html": b"<main><p>identical record body, long enough text.</p></main>",
+            "text": "",
+            "lang": "en",
+        }
+        other = dict(row, url="https://x.example/other", html=b"<main><p>a different body entirely here.</p></main>")
+        ds = rd.from_arrow(pa.Table.from_pylist([row, row, row, other]))
+        prepared = prepare_pages(ds).materialize()
+        out = dedup_exact(prepared, slim=prepared).to_pandas()
+        assert len(out) == 2
+        assert sorted(out.url) == ["https://x.example/other", "https://x.example/same"]

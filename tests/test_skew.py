@@ -119,3 +119,28 @@ class TestSpreadSplit:
         got1 = extract_one(out["html"][1].as_py(), ExtractionConfig())[0]
         assert got0 == f"Document 5\n{text}"
         assert got1 == f"Document 5\n{text}{VERSION_SUFFIX}"
+
+
+class TestInterludePreservation:
+    def test_content_between_articles_kept_once(self):
+        """Inter-article bytes attach to the following logical page —
+        nothing silently dropped (code-review finding, round 1)."""
+        import datetime as dt
+
+        from ebook_ocr_ray.stages.extract import split_multidoc_batch
+
+        payload = (
+            b"<body><article><p>first article body text here.</p></article>"
+            b"<p>interlude text between articles, long enough.</p>"
+            b"<article><p>second article body text here.</p></article></body>"
+        )
+        t = pa.Table.from_pylist(
+            [{"url": "u", "warc_ts": dt.datetime(2026, 1, 1), "html": payload,
+              "text": "", "lang": "en"}]
+        )
+        out = split_multidoc_batch(t)
+        blobs = out["html"].to_pylist()
+        assert len(blobs) == 2
+        assert b"interlude" not in blobs[0]
+        assert b"interlude" in blobs[1]          # exactly once, with part 2
+        assert b"first article" in blobs[0] and b"second article" in blobs[1]
