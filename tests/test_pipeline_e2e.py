@@ -122,3 +122,17 @@ class TestByteIdenticalRecords:
         out = dedup_exact(prepared, slim=prepared).to_pandas()
         assert len(out) == 2
         assert sorted(out.url) == ["https://x.example/other", "https://x.example/same"]
+
+
+class TestAtScaleDedupPath:
+    def test_ray_aggregate_branch_matches_driver_branch(self, ray_session):
+        """at_scale=True (keyed Ray aggregate instead of driver combine)
+        must select the same survivors on tie-free input."""
+        from ebook_ocr_ray.pipelines.extraction import dedup_exact, pages_dataset, prepare_pages
+
+        prepared = prepare_pages(pages_dataset(SF, with_duplicates=True)).materialize()
+        a = dedup_exact(prepared, slim=prepared, at_scale=False).to_pandas()
+        b = dedup_exact(prepared, slim=prepared, at_scale=True).to_pandas()
+        ka = sorted(zip(a.url, a.warc_ts))
+        kb = sorted(zip(b.url, b.warc_ts))
+        assert ka == kb
