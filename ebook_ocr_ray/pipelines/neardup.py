@@ -53,6 +53,75 @@ def _candidate_pairs_from_buckets(buckets: ray.data.Dataset) -> list[tuple[int, 
     return list(dedup.itertuples(index=False, name=None))
 
 
+def label_propagation_clusters(
+    edges: ray.data.Dataset, max_iters: int = 10
+) -> ray.data.Dataset:
+    """Distributed connected components over an (id_a, id_b) edge dataset:
+    iterative min-label propagation, the at-scale replacement for the
+    driver union-find when the candidate-edge set is too large to collect.
+
+    Each round: explode edges to (node, neighbor_label) in both
+    directions, take the min label per node (keyed aggregate), and join
+    labels back onto edges by relabeling endpoints. Rounds needed =
+    graph diameter (near-dup clusters are shallow; 10 covers them).
+    Converged when no label changes; returns (doc_id, cluster_id).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    # initial labels: every node labels itself
+    def seed(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([a, b])
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "label": pa.array(nodes, pa.int64())})
+
+    labels = edges.map_batches(seed, batch_format="pyarrow").groupby("node").aggregate(
+        Min("label", alias_name="label")
+    ).materialize()
+
+    for _ in range(max_iters):
+        label_map = dict(
+            zip(
+                labels.to_pandas()["node"],
+                labels.to_pandas()["label"],
+            )
+        )
+        map_ref = ray.put(label_map)
+
+        def propagate(batch: pa.Table) -> pa.Table:
+            lm = ray.get(map_ref)
+            a = batch["id_a"].to_numpy(zero_copy_only=False)
+            b = batch["id_b"].to_numpy(zero_copy_only=False)
+            la = np.array([lm[x] for x in a], dtype=np.int64)
+            lb = np.array([lm[x] for x in b], dtype=np.int64)
+            m = np.minimum(la, lb)
+            return pa.table(
+                {
+                    "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                    "label": pa.array(np.concatenate([m, m]), pa.int64()),
+                }
+            )
+
+        new_labels = (
+            edges.map_batches(propagate, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        old = labels.to_pandas().sort_values("node").reset_index(drop=True)
+        new = new_labels.to_pandas().sort_values("node").reset_index(drop=True)
+        labels = new_labels
+        if old.equals(new):
+            break
+    # NOTE: the per-round broadcast of the full label map bounds this
+    # variant by driver memory for labels (not edges); the fully keyed
+    # variant replaces the broadcast with an edge<->label co-partitioned
+    # join on `node`.
+    return labels
+
+
 def _union_find_clusters(doc_ids: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
     parent: dict[int, int] = {}
 

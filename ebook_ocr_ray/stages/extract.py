@@ -6,12 +6,14 @@ Two stages:
                          content hash, url-hash partition id, site, payload
                          size. Cheap, runs before dedup so duplicate
                          payloads never reach the expensive extractor.
-- ``DocumentExtractor``  callable CLASS for an actor pool
-                         (map_batches(DocumentExtractor, concurrency=...)).
-                         Holds the compiled extractor ensemble; one
-                         construction per actor, batches of documents per
-                         call (the analog of the reference's lazy engine
-                         singletons, src/rover/engines/core.py:14-64).
+- ``DocumentExtractor``  callable class holding the compiled extractor
+                         ensemble. Shipped as ONE instance through the
+                         object store for a task pool (the default — its
+                         state is a cheap ruleset), or passed as the
+                         class with concurrency=N for a fixed actor pool
+                         when __init__ loads heavy state (the analog of
+                         the reference's lazy engine singletons,
+                         src/rover/engines/core.py:14-64).
 
 All batch IO is Arrow (batch_format="pyarrow"); the binary payload column
 never round-trips through pandas.

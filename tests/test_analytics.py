@@ -167,3 +167,57 @@ class TestSketchUnits:
         from ebook_ocr_ray.functions.textstats import rolling_fingerprint
 
         assert rolling_fingerprint("ab cd") != rolling_fingerprint("cd ab")
+
+
+class TestLabelPropagation:
+    def test_chain_and_islands(self, ray_session):
+        """Distributed min-label propagation finds components of a chain
+        graph (diameter > 1) and leaves islands separate."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.neardup import label_propagation_clusters
+
+        # chain 1-2-3-4, pair 10-11, separate pair 20-21
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([1, 2, 3, 10, 20], pa.int64()),
+                    "id_b": pa.array([2, 3, 4, 11, 21], pa.int64()),
+                }
+            )
+        )
+        out = label_propagation_clusters(edges).to_pandas()
+        labels = dict(zip(out.node, out.label))
+        assert labels[1] == labels[2] == labels[3] == labels[4] == 1
+        assert labels[10] == labels[11] == 10
+        assert labels[20] == labels[21] == 20
+
+    def test_matches_union_find_on_minhash_candidates(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.neardup import (
+            label_propagation_clusters,
+            minhash_clusters,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog and runs far away today " * 4
+        rows = [
+            {"doc_id": 0, "text": base.strip()},
+            {"doc_id": 1, "text": base.strip()},
+            {"doc_id": 2, "text": (base + "extra tail words here").strip()},
+            {"doc_id": 3, "text": "completely different content about databases and queries"},
+        ]
+        pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+        uf = minhash_clusters(str(tmp_path))
+        uf_map = dict(zip(uf.doc_id, uf.cluster_id))
+        edges = rd.from_arrow(
+            pa.table({"id_a": pa.array([0, 0], pa.int64()),
+                      "id_b": pa.array([1, 2], pa.int64())})
+        )
+        lp = label_propagation_clusters(edges).to_pandas()
+        lp_map = dict(zip(lp.node, lp.label))
+        for d in (0, 1, 2):
+            assert lp_map[d] == uf_map[d] == 0

@@ -143,3 +143,39 @@ class TestGoldenRoundTrip:
         got, heads, n, g, c, a = extract_one(payload, ExtractionConfig())
         assert got == expected_extraction(doc_id, text)
         assert heads == [f"Document {doc_id:,}"]
+
+
+class TestHtmlRobustness:
+    """Messy real-world HTML shapes must not crash or corrupt extraction
+    (probed live; locked in as regressions)."""
+
+    CASES = {
+        "comment": ("<main><!-- c --><p>real body text here, long enough.</p></main>",
+                    "real body text here, long enough."),
+        "script_with_markup": (
+            "<body><script>var x = '<p>fake</p>';</script>"
+            "<p>actual content text here.</p></body>",
+            "actual content text here."),
+        "nested_main": ("<main><main><p>inner nested main body text.</p></main></main>",
+                        "inner nested main body text."),
+        "unclosed_p": ("<main><p>first paragraph body text<p>second paragraph body text</main>",
+                       "first paragraph body text\nsecond paragraph body text"),
+        "mismatched_close": ("<main><p>text body here long enough.</b></p></main>",
+                             "text body here long enough."),
+        "attr_soup": ('<main><p class="x" data-y="<z>">attribute soup body text.</p></main>',
+                      "attribute soup body text."),
+        "void_br": ("<main><p>line one<br>line two of same block here.</p></main>",
+                    "line oneline two of same block here."),
+        "table_cells": (
+            "<main><table><tr><td>cell one text here</td>"
+            "<td>cell two text here</td></tr></table></main>",
+            "cell one text here\ncell two text here"),
+        "empty_main_falls_back": ("<main></main><p>outside text long enough here.</p>",
+                                  "outside text long enough here."),
+    }
+
+    @pytest.mark.parametrize("name", sorted(CASES))
+    def test_case(self, name):
+        html, expected = self.CASES[name]
+        got, *_ = extract_one(html.encode(), ExtractionConfig())
+        assert got == expected
