@@ -274,6 +274,7 @@ class Element:
     items: tuple[str, ...] = ()
     list_type: str = ""
     read_aloud: bool = True
+    caption: str = ""                 # figure only: harvested **bold** caption
 
 
 @dataclass
@@ -385,6 +386,22 @@ def parse_document(book_md: str) -> ParsedDoc:
         if fig is not None:
             flush_all()
             current.elements.append(Element("figure", text=fig, read_aloud=False))
+            continue
+
+        # a **bold** line right after a figure is its caption (reference
+        # parser/figure.py:108-167 caption harvest)
+        stripped = line.strip()
+        if (
+            current.elements
+            and not para_lines
+            and not list_items
+            and current.elements[-1].kind == "figure"
+            and not current.elements[-1].caption
+            and stripped.startswith("**")
+            and stripped.endswith("**")
+            and len(stripped) > 4
+        ):
+            current.elements[-1].caption = stripped[2:-2].strip()
             continue
 
         h = parse_heading(line)

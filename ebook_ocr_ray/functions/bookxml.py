@@ -42,10 +42,18 @@ def set_text_with_emphasis(node: ET.Element, text: str) -> None:
         em.tail = parts[i + 1] if i + 1 < len(parts) else ""
 
 
-def _append_element(parent: ET.Element, el: Element, running_head: str | None) -> None:
+def _append_element(
+    parent: ET.Element,
+    el: Element,
+    running_head: str | None,
+    container_title: str = "",
+) -> None:
     if el.kind == "heading":
         if running_head and normalize_heading(el.text) == running_head:
             return                                    # running head: page chrome
+        if container_title and _is_duplicate_heading(el.text, container_title):
+            return      # repeats the chapter/section title (reference
+            #             transformer_utils.py:13-77 duplicate suppression)
         node = ET.SubElement(parent, "heading", level=str(el.level),
                              readAloud=str(el.read_aloud).lower())
         set_text_with_emphasis(node, el.text)
@@ -59,7 +67,19 @@ def _append_element(parent: ET.Element, el: Element, running_head: str | None) -
             it = ET.SubElement(node, "item")
             it.text = item
     elif el.kind == "figure":
-        ET.SubElement(parent, "figure", src=el.text)
+        attrs = {"src": el.text}
+        if el.caption:
+            attrs["caption"] = el.caption
+        ET.SubElement(parent, "figure", **attrs)
+
+
+def _is_duplicate_heading(heading_text: str, container_title: str) -> bool:
+    """True when the heading restates the enclosing chapter/section title
+    (compared after stripping Chapter/Section/number prefixes)."""
+    from ebook_ocr_ray.functions.bookparse import split_structure_prefix
+
+    _, bare = split_structure_prefix(heading_text)
+    return normalize_heading(bare) == normalize_heading(container_title) != ""
 
 
 def build_book_xml(doc: ParsedDoc, title: str = "") -> str:
@@ -117,7 +137,8 @@ def build_book_xml(doc: ParsedDoc, title: str = "") -> str:
                         title=sec.group(2).strip()
                     )
                     continue
-            _append_element(target(), el, running_head)
+            container = target()
+            _append_element(container, el, running_head, container.get("title", ""))
 
     # no structure headings at all -> single Content chapter fallback
     if current_chapter is None and len(front) > 0:

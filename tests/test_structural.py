@@ -299,3 +299,50 @@ class TestGoldenBook:
         assert root.find(".//em") is not None
         figs = [f.get("src") for f in root.iter("figure")]
         assert figs == ["写真1", "images/fig_a.png"]
+
+
+class TestFigureCaptionAndDuplicateHeading:
+    def test_caption_harvest(self):
+        md = "\n".join(
+            [
+                "--- Page 1 (p.png) ---",
+                "<!-- FIGURE: images/x.png -->",
+                "**図1: キャプション**",
+                "following paragraph text.",
+            ]
+        )
+        doc = parse_document(md)
+        figs = [e for e in doc.pages[0].elements if e.kind == "figure"]
+        assert figs[0].caption == "図1: キャプション"
+        root = ET.fromstring(build_book_xml(doc))
+        fig = next(root.iter("figure"))
+        assert fig.get("caption") == "図1: キャプション"
+
+    def test_caption_not_stolen_after_paragraph(self):
+        md = "\n".join(
+            [
+                "--- Page 1 (p.png) ---",
+                "<!-- FIGURE: images/x.png -->",
+                "intervening paragraph line",
+                "**bold but not a caption**",
+            ]
+        )
+        doc = parse_document(md)
+        figs = [e for e in doc.pages[0].elements if e.kind == "figure"]
+        assert figs[0].caption == ""
+
+    def test_duplicate_heading_suppressed(self):
+        md = "\n".join(
+            [
+                "--- Page 1 (p.png) ---",
+                "# Chapter 1 Things",
+                "## Things",                     # restates the chapter title
+                "## Other heading kept",
+                "body text here.",
+            ]
+        )
+        root = ET.fromstring(build_book_xml(parse_document(md)))
+        ch = root.find("chapter")
+        heads = [h.text for h in ch.iter("heading")]
+        assert "Things" not in heads
+        assert "Other heading kept" in heads
