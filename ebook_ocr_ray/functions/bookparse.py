@@ -84,12 +84,20 @@ def parse_heading(line: str) -> tuple[int, str, str | None] | None:
 
 
 def parse_list_line(line: str) -> tuple[str, str] | None:
-    """(list_type, content) or None (reference parser/utils.py:15-74)."""
+    """(list_type, content) or None (reference parser/utils.py:15-74).
+
+    The ASCII markers '-' and '*' double as emphasis/rule syntax, so they
+    require a following space ('- item', '* item'); without it a
+    '**bold**' paragraph would lose its first '*' and '---' would become
+    a one-item list. Glyph bullets (●•・…) bind with or without space.
+    """
     stripped = line.strip()
     if not stripped:
         return None
     for marker in BULLETS:
         if stripped.startswith(marker):
+            if marker in ("-", "*") and not stripped[len(marker):].startswith(" "):
+                continue
             rest = stripped[len(marker):].lstrip()
             if rest:
                 return "unordered", rest
@@ -187,6 +195,10 @@ def merge_split_toc_lines(lines: list[str]) -> list[str]:
 
 
 def ends_with_terminator(text: str) -> bool:
+    # NOTE: the pair check is unreachable (both pairs end in 。, already a
+    # TERMINATORS member) — preserved verbatim because the reference has
+    # the identical dead branch (parser/paragraph.py:136-141) and frozen
+    # semantics beat tidiness here
     t = text.rstrip()
     if not t:
         return False
@@ -368,12 +380,16 @@ def parse_document(book_md: str) -> ParsedDoc:
             toc_lines.append(line)
             continue
 
-        # 'name N / M' on the first content line of a page is the page's
-        # position metadata, not a paragraph (reference page.py:135-177)
+        # 'name N / M' is page-position metadata, not a paragraph
+        # (reference page.py:135-177). Recognized near the top of a page:
+        # before any content, or directly after heading(s) (the running-
+        # head-then-metadata layout) — but never once body text started,
+        # where a trailing 'N / M' is more likely real prose.
         if (
-            not current.elements
-            and not para_lines
+            not para_lines
             and not list_items
+            and all(e.kind == "heading" for e in current.elements)
+            and not current.metadata
             and line.strip()
         ):
             meta = parse_page_metadata(line)

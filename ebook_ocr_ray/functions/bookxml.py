@@ -119,26 +119,56 @@ def build_book_xml(doc: ParsedDoc, title: str = "") -> str:
         if page.metadata:
             attrs["meta"] = page.metadata
             attrs["metaType"] = page.meta_type
-        ET.SubElement(target(), "pagebreak", **attrs)
+        pagebreak_pending = True
+
+        def emit_pagebreak() -> None:
+            nonlocal pagebreak_pending
+            if pagebreak_pending:
+                ET.SubElement(target(), "pagebreak", **attrs)
+                pagebreak_pending = False
+
         for el in page.elements:
             if el.kind == "heading":
                 ch = _CHAPTER_HEAD.match(el.text.strip())
                 if el.level == 1 and ch:
                     number = ch.group(1) or ch.group(2)
+                    title = ch.group(3).strip()
+                    if (
+                        current_chapter is not None
+                        and current_chapter.get("number") == number
+                        and current_chapter.get("title") == title
+                    ):
+                        # repeat of the open chapter's own heading (a
+                        # running head) — page chrome, not a new chapter
+                        emit_pagebreak()
+                        continue
                     current_chapter = ET.SubElement(
-                        book, "chapter", number=number, title=ch.group(3).strip()
+                        book, "chapter", number=number, title=title
                     )
                     current_section = None
+                    # a chapter opens on its page: the pagebreak belongs
+                    # INSIDE the new chapter, not the previous container
+                    emit_pagebreak()
                     continue
                 sec = _SECTION_HEAD.match(el.text.strip())
                 if el.level == 2 and sec and current_chapter is not None:
+                    number, title = sec.group(1), sec.group(2).strip()
+                    if (
+                        current_section is not None
+                        and current_section.get("number") == number
+                        and current_section.get("title") == title
+                    ):
+                        emit_pagebreak()
+                        continue
                     current_section = ET.SubElement(
-                        current_chapter, "section", number=sec.group(1),
-                        title=sec.group(2).strip()
+                        current_chapter, "section", number=number, title=title
                     )
+                    emit_pagebreak()
                     continue
+            emit_pagebreak()
             container = target()
             _append_element(container, el, running_head, container.get("title", ""))
+        emit_pagebreak()      # empty page still records its break
 
     # no structure headings at all -> single Content chapter fallback
     if current_chapter is None and len(front) > 0:

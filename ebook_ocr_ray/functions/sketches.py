@@ -79,6 +79,10 @@ def hamming64(a: int, b: int) -> int:
 
 
 def simhash_band_keys(print64: int, tables: int = 4) -> list[tuple[int, int]]:
-    """Split the 64-bit print into 16-bit bands; prints within hamming
-    distance <= tables-1 share at least one identical band (pigeonhole)."""
-    return [(t, (print64 >> (16 * t)) & 0xFFFF) for t in range(tables)]
+    """Split the 64-bit print into ``tables`` equal bands; prints within
+    hamming distance <= tables-1 are GUARANTEED to share at least one
+    identical band (pigeonhole). Callers must size tables >= threshold+1
+    or accept probabilistic recall beyond that distance."""
+    width = 64 // tables
+    mask = (1 << width) - 1
+    return [(t, (print64 >> (width * t)) & mask) for t in range(tables)]

@@ -82,13 +82,8 @@ def label_propagation_clusters(
     ).materialize()
 
     for _ in range(max_iters):
-        label_map = dict(
-            zip(
-                labels.to_pandas()["node"],
-                labels.to_pandas()["label"],
-            )
-        )
-        map_ref = ray.put(label_map)
+        ldf = labels.to_pandas()
+        map_ref = ray.put(dict(zip(ldf["node"], ldf["label"])))
 
         def propagate(batch: pa.Table) -> pa.Table:
             lm = ray.get(map_ref)
@@ -110,8 +105,8 @@ def label_propagation_clusters(
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
-        old = labels.to_pandas().sort_values("node").reset_index(drop=True)
         new = new_labels.to_pandas().sort_values("node").reset_index(drop=True)
+        old = ldf.sort_values("node").reset_index(drop=True)
         labels = new_labels
         if old.equals(new):
             break
@@ -199,16 +194,19 @@ def minhash_clusters(
     ).astype({"doc_id": "int64", "cluster_id": "int64"})
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
-    """(id_a, id_b, hamming) candidate near-dup pairs: 16-bit band blocking
-    over the 64-bit simhash, exact hamming verify on candidates."""
+def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """(id_a, id_b, hamming) near-dup pairs: band blocking over the 64-bit
+    simhash sized so recall is GUARANTEED up to ``max_hamming`` (pigeonhole
+    needs max_hamming+1 bands; the default 3 -> 4x16-bit bands). Raising
+    the threshold automatically narrows the bands (e.g. 7 -> 8x8-bit)."""
+    tables = max_hamming + 1
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
         out_doc, out_band, out_key, out_print = [], [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             ph = simhash64(text)
-            for band, key in simhash_band_keys(ph):
+            for band, key in simhash_band_keys(ph, tables=tables):
                 out_doc.append(doc_id)
                 out_band.append(band)
                 out_key.append(key)

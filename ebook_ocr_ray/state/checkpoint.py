@@ -117,25 +117,18 @@ def run_checkpointed_extraction(
         ds = ds.materialize()
         ds.write_parquet(tmp_dir, partition_cols=["part_id"])
 
-        stats = (
-            ds.map_batches(
-                lambda t: pa.table(
-                    {
-                        "part_id": t["part_id"],
-                        "docs": pa.array([1] * t.num_rows, pa.int64()),
-                        "bytes": t["payload_bytes"],
-                        "chars": pa.compute.utf8_length(
-                            t["extracted_text"].cast(pa.large_string())
-                        ).cast(pa.int64()),
-                    }
-                ),
-                batch_format="pyarrow",
+        # per-partition stats via the same partial-aggregation combiner as
+        # the lineage table (one row per (part, batch) reaches the driver,
+        # not one per document); an all-empty wave yields an empty frame
+        from ebook_ocr_ray.pipelines.extraction import lineage
+
+        stats_df = lineage(ds, key="part_id").to_pandas()
+        if "part_id" in stats_df.columns:
+            stats = stats_df.set_index("part_id")
+        else:
+            stats = pd.DataFrame(
+                columns=["doc_count", "byte_count", "char_count"]
             )
-            .to_pandas()
-            .groupby("part_id")
-            .agg(doc_count=("docs", "sum"), byte_count=("bytes", "sum"),
-                 char_count=("chars", "sum"))
-        )
 
         rows = []
         for part in sorted(group_set):

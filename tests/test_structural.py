@@ -295,7 +295,7 @@ class TestGoldenBook:
         assert [c.get("number") for c in root.findall("chapter")] == ["1", "2"]
         toc = root.find("toc")
         assert [e.get("match") for e in toc] == ["exact", "exact", "exact"]
-        assert root.find("front-matter/pagebreak[@metaType='chapter-page']") is not None
+        assert root.find(".//pagebreak[@metaType='chapter-page']") is not None
         assert root.find(".//em") is not None
         figs = [f.get("src") for f in root.iter("figure")]
         assert figs == ["写真1", "images/fig_a.png"]
