@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": analytics.top_terms,
         "source_stats": analytics.source_stats,
         # text analysis
+        "train_val_split": analytics.train_val_split,
         "token_stats": analytics.token_table,
         "doc_fingerprint": analytics.fingerprint_table,
         "dedup_exact_docs": analytics.dedup_exact_docs,
@@ -344,6 +345,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
                    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "train_val_split": f"""
+            SELECT doc_id, {_URL_SQL} AS url,
+                   CASE WHEN substr(md5({_URL_SQL}), 1, 1) IN ('0','1','2')
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents
         """,
         "token_stats": f"""
             SELECT doc_id,

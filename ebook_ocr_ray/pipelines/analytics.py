@@ -419,6 +419,33 @@ def text_profile(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(prof, batch_format="pyarrow")
 
 
+def train_val_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic corpus split by content-independent url hash: rows
+    whose md5(url) starts with 0/1/2 go to 'val' (~3/16 = 18.75%), the
+    rest to 'train'. Hash-based membership (never modulo on ids, never
+    RNG) keeps the split stable under re-sharding, resumable runs, and
+    corpus growth — the standard web-scale train/val discipline."""
+    from ebook_ocr_ray.sources.pages import page_url
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        urls = [page_url(d) for d in batch["doc_id"].to_pylist()]
+        splits = [
+            "val" if hashlib.md5(u.encode()).hexdigest()[0] in "012" else "train"
+            for u in urls
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url": pa.array(urls, pa.string()),
+                "split": pa.array(splits, pa.string()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Exact dedup over documents (hash-partition + per-group first)
 # --------------------------------------------------------------------------
