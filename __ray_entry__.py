@@ -187,6 +187,38 @@ def _split_spreads(sf_dir: str):
     return extract(prepare_pages(pages)).select_columns(["url", "extracted_text"])
 
 
+def _heading_pattern_stats(sf_dir: str):
+    """Corpus heading-category histogram (NUMBERED / UNNUMBERED /
+    SPECIAL): every synth book contributes 2 numbered structure headings
+    + 1 unnumbered note — closed-form oracle."""
+    import pyarrow as pa
+    from ray.data import read_parquet
+    from ray.data.aggregate import Sum
+
+    from ebook_ocr_ray.functions.bookparse import parse_document
+    from ebook_ocr_ray.functions.headrules import classify_heading
+    from ebook_ocr_ray.stages.structural import synth_book_md
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            doc = parse_document(synth_book_md(doc_id, text))
+            for _ln, _lvl, h in doc.headings:
+                c = classify_heading(h)
+                counts[c] = counts.get(c, 0) + 1
+        return pa.table({"category": list(counts), 
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("category")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("category")
+    )
+
+
 def _site_boilerplate(sf_dir: str):
     from ebook_ocr_ray.pipelines.boilerplate import site_boilerplate_pages
 
@@ -239,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heading_rules": _heading_rules,
         # corpus-level boilerplate mining (groupby site)
         "site_boilerplate": _site_boilerplate,
+        "heading_pattern_stats": _heading_pattern_stats,
         # global pipeline metrics (one-row aggregate)
         "corpus_metrics": _corpus_metrics,
     }
@@ -407,6 +440,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_pdf, CAST(0 AS BIGINT) AS n_errors,
                    2 * COUNT(*) AS total_lines
             FROM documents WHERE doc_id % 7 <> 3
+        """,
+        "heading_pattern_stats": """
+            SELECT 'NUMBERED' AS category, 2 * COUNT(*) AS n FROM documents
+            UNION ALL
+            SELECT 'UNNUMBERED' AS category, COUNT(*) AS n FROM documents
+            ORDER BY category
         """,
         "site_boilerplate": """
             WITH sites AS (SELECT DISTINCT 'site-' || (doc_id % 20) AS site

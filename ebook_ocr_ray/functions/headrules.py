@@ -84,6 +84,18 @@ def generate_rules(
     return rules
 
 
+def classify_heading(text: str) -> str:
+    """NUMBERED (carries a structure/number prefix) / SPECIAL (decorated
+    with ■◆□●◇▲) / UNNUMBERED — the reference's heading-pattern histogram
+    categories (heading_normalizer.py:281-352)."""
+    from ebook_ocr_ray.functions.normalize import is_special_marker
+
+    if is_special_marker(text):
+        return "SPECIAL"
+    number, _ = split_structure_prefix(normalize_heading_number(text))
+    return "NUMBERED" if number else "UNNUMBERED"
+
+
 def apply_rules(book_md: str, rules: list[Rule]) -> tuple[str, int, int]:
     """Guarded apply: a rule fires only if its line still matches ``old``.
     Returns (new_md, applied, skipped)."""

@@ -101,3 +101,15 @@ class TestEndToEnd:
         assert len(out) == 500
         assert (out.n_rules == 2).all() and (out.n_applied == 2).all()
         assert (out.match_rate_pct == 100).all()
+
+
+class TestClassification:
+    def test_categories(self):
+        from ebook_ocr_ray.functions.headrules import classify_heading
+
+        assert classify_heading("Chapter 1 Intro") == "NUMBERED"
+        assert classify_heading("2.1 Depth") == "NUMBERED"
+        assert classify_heading("第3章 タイトル") == "NUMBERED"
+        assert classify_heading("1-2 dashed number") == "NUMBERED"   # normalized first
+        assert classify_heading("Plain title") == "UNNUMBERED"
+        assert classify_heading("■ Note box") == "SPECIAL"
