@@ -111,9 +111,86 @@ def label_propagation_clusters(
         if old.equals(new):
             break
     # NOTE: the per-round broadcast of the full label map bounds this
-    # variant by driver memory for labels (not edges); the fully keyed
-    # variant replaces the broadcast with an edge<->label co-partitioned
-    # join on `node`.
+    # variant by driver memory for labels (not edges); see
+    # label_propagation_keyed for the join-based variant with no driver
+    # state at all.
+    return labels
+
+
+def label_propagation_keyed(
+    edges: ray.data.Dataset, max_iters: int = 10, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Fully keyed min-label propagation: labels are attached to edge
+    endpoints via hash-partitioned Dataset.join on the node key — NO
+    driver-side label map, so both edges and labels can exceed driver
+    memory. Per round: join labels onto id_a, then onto id_b, emit
+    min(label_a, label_b) to both endpoints, keyed Min aggregate.
+
+    Costs two hash joins + one aggregate per round vs the broadcast
+    variant's one aggregate — use it when the label set can't sit on the
+    driver; otherwise label_propagation_clusters is cheaper.
+    """
+    from ray.data.aggregate import Min
+
+    def seed(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([a, b])
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "label": pa.array(nodes, pa.int64())})
+
+    labels = (
+        edges.map_batches(seed, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    for _ in range(max_iters):
+        la = edges.join(
+            labels.map_batches(
+                lambda t: t.rename_columns(["node", "label_a"]), batch_format="pyarrow"
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("id_a",),
+            right_on=("node",),
+        )
+        lab = la.join(
+            labels.map_batches(
+                lambda t: t.rename_columns(["node", "label_b"]), batch_format="pyarrow"
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("id_b",),
+            right_on=("node",),
+        )
+
+        def emit_min(batch: pa.Table) -> pa.Table:
+            a = batch["id_a"].to_numpy(zero_copy_only=False)
+            b = batch["id_b"].to_numpy(zero_copy_only=False)
+            m = np.minimum(
+                batch["label_a"].to_numpy(zero_copy_only=False),
+                batch["label_b"].to_numpy(zero_copy_only=False),
+            )
+            return pa.table(
+                {
+                    "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                    "label": pa.array(np.concatenate([m, m]), pa.int64()),
+                }
+            )
+
+        new_labels = (
+            lab.map_batches(emit_min, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        old = labels.to_pandas().sort_values("node").reset_index(drop=True)
+        new = new_labels.to_pandas().sort_values("node").reset_index(drop=True)
+        labels = new_labels
+        if old.equals(new):
+            break
     return labels
 
 

@@ -221,3 +221,26 @@ class TestLabelPropagation:
         lp_map = dict(zip(lp.node, lp.label))
         for d in (0, 1, 2):
             assert lp_map[d] == uf_map[d] == 0
+
+    def test_keyed_variant_matches_broadcast(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.neardup import (
+            label_propagation_clusters,
+            label_propagation_keyed,
+        )
+
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([1, 2, 3, 10, 20, 5], pa.int64()),
+                    "id_b": pa.array([2, 3, 4, 11, 21, 6], pa.int64()),
+                }
+            )
+        )
+        a = label_propagation_clusters(edges).to_pandas().sort_values("node").reset_index(drop=True)
+        b = label_propagation_keyed(edges).to_pandas().sort_values("node").reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
