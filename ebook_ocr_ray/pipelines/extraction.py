@@ -257,6 +257,45 @@ def dedup_exact(
     return out
 
 
+def verify_against_golden(
+    extracted: ray.data.Dataset, golden_path: str, num_partitions: int = 8
+) -> pd.DataFrame:
+    """Golden-fixture verification join (SURVEY.md J7): hash-join the
+    extracted corpus to a golden parquet on url and return the mismatch
+    rows (url, extracted_text, golden_text). Empty frame = byte-identity
+    holds corpus-wide. The join shuffles slim (url, text) rows only."""
+    golden = ray.data.read_parquet(golden_path).map_batches(
+        lambda t: pa.table(
+            {
+                "url": t["url"],
+                "golden_text": t["extracted_text"].cast(pa.large_string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    slim = extracted.map_batches(
+        lambda t: pa.table(
+            {
+                "url": t["url"],
+                "extracted_text": t["extracted_text"].cast(pa.large_string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = slim.join(
+        golden, join_type="inner", num_partitions=num_partitions, on=("url",)
+    )
+    mismatches = joined.map_batches(
+        lambda t: t.filter(
+            pa.compute.invert(
+                pa.compute.equal(t["extracted_text"], t["golden_text"])
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return mismatches.to_pandas()
+
+
 def sequence_dedup(
     prepared: ray.data.Dataset, hamming_threshold: int = 0
 ) -> ray.data.Dataset:

@@ -136,3 +136,42 @@ class TestAtScaleDedupPath:
         ka = sorted(zip(a.url, a.warc_ts))
         kb = sorted(zip(b.url, b.warc_ts))
         assert ka == kb
+
+
+class TestGoldenVerificationJoin:
+    def test_join_reports_no_mismatches(self, ray_session):
+        from ebook_ocr_ray.pipelines.extraction import (
+            extraction_pipeline,
+            verify_against_golden,
+        )
+
+        extracted = extraction_pipeline(SF, dedup=False)
+        mism = verify_against_golden(extracted, GOLDEN)
+        assert len(mism) == 0
+
+    def test_join_catches_a_corruption(self, ray_session):
+        import pyarrow as pa
+
+        from ebook_ocr_ray.pipelines.extraction import (
+            extraction_pipeline,
+            verify_against_golden,
+        )
+
+        def corrupt_one(t: pa.Table) -> pa.Table:
+            texts = t["extracted_text"].to_pylist()
+            urls = t["url"].to_pylist()
+            for i, u in enumerate(urls):
+                if u.endswith("/doc/1"):
+                    texts[i] = texts[i] + " CORRUPTED"
+            return t.set_column(
+                t.schema.get_field_index("extracted_text"),
+                "extracted_text",
+                pa.array(texts, pa.large_string()),
+            )
+
+        extracted = extraction_pipeline(SF, dedup=False).map_batches(
+            corrupt_one, batch_format="pyarrow"
+        )
+        mism = verify_against_golden(extracted, GOLDEN)
+        assert len(mism) == 1
+        assert mism.url.iloc[0].endswith("/doc/1")
