@@ -1,0 +1,57 @@
+"""Unit tests for text-analysis primitives."""
+
+from ebook_ocr_ray.functions.textstats import (
+    detect_language,
+    md5_fingerprint,
+    quality_score,
+    token_stats,
+    tokenize,
+)
+
+
+class TestTokenizer:
+    def test_bpe_ish_split(self):
+        assert tokenize("hello, world 42!") == ["hello", ",", "world", "42", "!"]
+        assert tokenize("") == []
+        assert tokenize("a-b") == ["a", "-", "b"]
+
+    def test_token_stats_matches_whitespace_semantics(self):
+        n, distinct, stop = token_stats("the cat and the dog")
+        assert (n, distinct, stop) == (5, 4, 3)   # the, the, and
+        assert token_stats("") == (0, 0, 0)
+
+
+class TestQuality:
+    def test_ordering(self):
+        good = "the quick brown fox jumps over the lazy dog and keeps running far " * 3
+        noisy = "zzzzzzzz !!!! ???? @@@@ #####"
+        assert quality_score(good.strip()) > quality_score(noisy)
+        assert quality_score("") == 0.0
+
+    def test_run_penalty(self):
+        base = "the words are fine and the content reads well for everyone today"
+        assert quality_score(base) > quality_score(base + " aaaaa")
+
+    def test_bounds(self):
+        for t in ("", "x", "the " * 100, "!!!!" * 50):
+            assert 0.0 <= quality_score(t.strip() or t) <= 1.0
+
+
+class TestLangId:
+    def test_deterministic_and_bounded(self):
+        text = "the thing and the other thing of the day"
+        a = detect_language(text)
+        assert a == detect_language(text)
+        assert a[0] == "en" and 0.0 <= a[1] <= 1.0
+
+    def test_profiles_distinguish(self):
+        de = "der ich sche und die einen solchen dingen der ich"
+        assert detect_language(de)[0] == "de"
+        zh = "的是了在我有不人的是了"
+        assert detect_language(zh)[0] == "zh"
+        assert detect_language("")[0] == "und"
+
+
+class TestFingerprint:
+    def test_md5_hex(self):
+        assert md5_fingerprint("abc") == "900150983cd24fb0d6963f7d28e17f72"
