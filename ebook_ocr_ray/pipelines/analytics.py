@@ -40,6 +40,12 @@ from ebook_ocr_ray.functions.textstats import (
 # --------------------------------------------------------------------------
 
 
+def _cents(values: np.ndarray) -> np.ndarray:
+    """The module's money invariant in ONE place: floor(x*100) as int64,
+    exactly mirroring the oracles' CAST(floor(x*100) AS BIGINT)."""
+    return np.floor(np.asarray(values, dtype=np.float64) * 100).astype(np.int64)
+
+
 def q1_pricing(sf_dir: str) -> ray.data.Dataset:
     """Pricing summary per (returnflag, linestatus): quantities, base and
     discounted revenue in integer cents, row counts."""
@@ -56,8 +62,8 @@ def q1_pricing(sf_dir: str) -> ray.data.Dataset:
                 "l_returnflag": batch["l_returnflag"].to_pylist(),
                 "l_linestatus": batch["l_linestatus"].to_pylist(),
                 "qty": batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
-                "base_cents": np.floor(price * 100).astype(np.int64),
-                "revenue_cents": np.floor((price * (1 - disc)) * 100).astype(np.int64),
+                "base_cents": _cents(price),
+                "revenue_cents": _cents(price * (1 - disc)),
             }
         )
         agg = (
@@ -102,9 +108,7 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
             {
                 "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
                 "window_start": win.to_pandas(),
-                "value_cents": np.floor(
-                    batch["value"].to_numpy(zero_copy_only=False) * 100
-                ).astype(np.int64),
+                "value_cents": _cents(batch["value"].to_numpy(zero_copy_only=False)),
             }
         )
         agg = (
@@ -133,7 +137,10 @@ def events_gaps(sf_dir: str) -> ray.data.Dataset:
 
     def gaps(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["ts", "event_id"], kind="mergesort")
-        gap = g.ts.astype("int64").diff()
+        # force microsecond resolution BEFORE the int cast — some
+        # arrow->pandas paths deliver datetime64[ns], which would make
+        # the diffs silently 1000x the oracle's microseconds
+        gap = g.ts.astype("datetime64[us]").astype("int64").diff()
         return pd.DataFrame(
             {"event_id": g.event_id, "gap_us": gap.fillna(-1).astype("int64")}
         )
@@ -166,9 +173,7 @@ def orders_by_region(sf_dir: str) -> ray.data.Dataset:
         def __call__(self, batch: pa.Table) -> pa.Table:
             cust = batch["o_custkey"].to_numpy(zero_copy_only=False)
             regions = pd.Series(cust).map(self.lookup).to_numpy()
-            cents = np.floor(
-                batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
-            ).astype(np.int64)
+            cents = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
             df = pd.DataFrame({"region": regions, "total_cents": cents})
             agg = (
                 df.groupby("region", sort=False)
@@ -209,9 +214,7 @@ def priority_revenue(sf_dir: str) -> ray.data.Dataset:
         return pa.table(
             {
                 "l_orderkey": batch["l_orderkey"],
-                "revenue_cents": pa.array(
-                    np.floor(price * (1 - disc) * 100).astype(np.int64), pa.int64()
-                ),
+                "revenue_cents": pa.array(_cents(price * (1 - disc)), pa.int64()),
             }
         )
 
@@ -488,7 +491,7 @@ def dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
             (s := md5_fingerprint(t)) not in dups or dups[s] == d
             for t, d in zip(texts, ids)
         ]
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(mask, pa.bool_()))
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     return docs.map_batches(keep, batch_format="pyarrow")

@@ -83,7 +83,7 @@ def site_boilerplate(
         ):
             bar = max(min_ratio * totals.get(site, 0), min_count)
             keep.append(line != _DOC_SENTINEL and n >= bar)
-        return batch.filter(pa.array(keep)).drop_columns(["n"])
+        return batch.filter(pa.array(keep, pa.bool_())).drop_columns(["n"])
 
     return counts.map_batches(threshold, batch_format="pyarrow")
 

@@ -232,7 +232,7 @@ def dedup_exact(
         for i, u, s in zip(idx, urls, shas):
             # tie groups are excluded here and resolved by the keyed pass
             mask[i] = s not in ties and survivors[s] == f"{ts_us[i]:020d}|{u}"
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(mask, pa.bool_()))
 
     out = prepared.map_batches(keep_survivors, batch_format="pyarrow")
     if tie_shas:
@@ -243,7 +243,7 @@ def dedup_exact(
         def only_ties(batch: pa.Table) -> pa.Table:
             ties = ray.get(tie_list_ref)
             mask = [s in ties for s in batch["content_sha"].to_pylist()]
-            return batch.filter(pa.array(mask))
+            return batch.filter(pa.array(mask, pa.bool_()))
 
         def first_row(group: pd.DataFrame) -> pd.DataFrame:
             return group.sort_values(["warc_ts", "url"], kind="mergesort").head(1)

@@ -220,7 +220,7 @@ def _gather_texts(sf_dir: str, doc_ids: set[int]) -> dict[int, str]:
 
     def keep(batch: pa.Table) -> pa.Table:
         wanted = ray.get(ids_ref)
-        mask = pa.array([d in wanted for d in batch["doc_id"].to_pylist()])
+        mask = pa.array([d in wanted for d in batch["doc_id"].to_pylist()], pa.bool_())
         return batch.filter(mask)
 
     t = (

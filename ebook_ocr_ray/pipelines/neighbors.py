@@ -20,6 +20,32 @@ import ray
 import ray.data
 
 
+def _partial_topk_select(row: np.ndarray, cand_ids: np.ndarray, k: int):
+    """EXACT per-batch top-k by (sim desc, nid asc): a bare argpartition on
+    sim can drop a tied candidate the deterministic final reduce would
+    prefer by lower id, desyncing from the SQL oracle on tied sims
+    (duplicate vectors). -inf rows (masked self-matches) never emit."""
+    finite = np.isfinite(row)
+    if not finite.any():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    idx = np.nonzero(finite)[0]
+    order = idx[np.lexsort((cand_ids[idx], -row[idx]))][: k]
+    return cand_ids[order], row[order]
+
+
+def _final_topk(k: int):
+    """Shared deterministic per-query reduce: (sim desc, nid asc), rank."""
+
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "nid"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {"qid": g.qid, "nid": g.nid, "rank": np.arange(1, len(g) + 1, dtype=np.int64)}
+        )
+
+    return fn
+
+
 def _load_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     t = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     emb = np.asarray(t["embedding"].to_list(), dtype=np.float64)
@@ -36,8 +62,9 @@ def knn_brute(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.data.Dataset:
     """Exact cosine top-k for the first ``n_queries`` vec_ids against the
     whole table. Returns (qid, nid, rank) — ints only, so the oracle
     comparison is immune to float formatting."""
-    qt = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qt = qt[qt.vec_id < n_queries]
+    qt = pd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "<", n_queries)]
+    )
     q_ids = qt.vec_id.to_numpy()
     q_mat = _normalize(np.asarray(qt.embedding.to_list(), dtype=np.float64))
     query_ref = ray.put((q_ids, q_mat))
@@ -57,11 +84,10 @@ def knn_brute(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.data.Dataset:
             for qi, qid in enumerate(self.q_ids):
                 row = sims[qi].copy()
                 row[ids == qid] = -np.inf                  # exclude self
-                take = min(self.k, row.size)
-                top = np.argpartition(-row, take - 1)[:take]
-                out_q.extend([qid] * take)
-                out_n.extend(ids[top].tolist())
-                out_s.extend(row[top].tolist())
+                nids, svals = _partial_topk_select(row, ids, self.k)
+                out_q.extend([qid] * len(nids))
+                out_n.extend(nids.tolist())
+                out_s.extend(svals.tolist())
             return pa.table(
                 {
                     "qid": pa.array(out_q, pa.int64()),
@@ -69,13 +95,6 @@ def knn_brute(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.data.Dataset:
                     "sim": pa.array(out_s, pa.float64()),
                 }
             )
-
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "nid"], ascending=[False, True], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame(
-            {"qid": g.qid, "nid": g.nid, "rank": np.arange(1, len(g) + 1, dtype=np.int64)}
-        )
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     partials = emb.map_batches(
@@ -85,7 +104,7 @@ def knn_brute(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.data.Dataset:
         batch_size=2048,
         concurrency=(1, 8),
     )
-    return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
+    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
 
 
 def knn_ivf(
@@ -135,11 +154,10 @@ def knn_ivf(
                     continue
                 row = self.q_mat[qi] @ mat[mask].T
                 cand_ids = ids[mask]
-                take = min(self.k, row.size)
-                top = np.argpartition(-row, take - 1)[:take]
-                out_q.extend([qid] * take)
-                out_n.extend(cand_ids[top].tolist())
-                out_s.extend(row[top].tolist())
+                nids, svals = _partial_topk_select(row, cand_ids, self.k)
+                out_q.extend([qid] * len(nids))
+                out_n.extend(nids.tolist())
+                out_s.extend(svals.tolist())
             return pa.table(
                 {
                     "qid": pa.array(out_q, pa.int64()),
@@ -147,13 +165,6 @@ def knn_ivf(
                     "sim": pa.array(out_s, pa.float64()),
                 }
             )
-
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "nid"], ascending=[False, True], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame(
-            {"qid": g.qid, "nid": g.nid, "rank": np.arange(1, len(g) + 1, dtype=np.int64)}
-        )
 
     emb_ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     partials = emb_ds.map_batches(
@@ -163,7 +174,7 @@ def knn_ivf(
         batch_size=2048,
         concurrency=(1, 8),
     )
-    return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
+    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
 
 
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.35) -> ray.data.Dataset:

@@ -130,6 +130,8 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
 
 def decode_video_frames(payload: bytes, sample_every: int) -> list[np.ndarray]:
     """Every ``sample_every``-th frame as (H, W, 3) uint8."""
+    if sample_every < 1:
+        raise ValueError(f"sample_every must be >= 1, got {sample_every}")
     if not payload.startswith(VID_MAGIC):
         raise NotImplementedError("no video codec in this container — wire PyAV here")
     f, w, h, seed = struct.unpack("<IIII", payload[8:24])
@@ -164,7 +166,7 @@ class ImageFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, means, stds, thumbs = [], [], [], []
         mask = [k == "image" for k in batch["kind"].to_pylist()]
-        sub = batch.filter(pa.array(mask))
+        sub = batch.filter(pa.array(mask, pa.bool_()))
         for mid, payload in zip(sub["media_id"].to_pylist(), sub["payload"].to_pylist()):
             img = decode_image(payload)
             small = self._resize(img)
@@ -191,13 +193,17 @@ class AudioFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, rms, zcr, secs = [], [], [], []
         mask = [k == "audio" for k in batch["kind"].to_pylist()]
-        sub = batch.filter(pa.array(mask))
+        sub = batch.filter(pa.array(mask, pa.bool_()))
         for mid, payload in zip(sub["media_id"].to_pylist(), sub["payload"].to_pylist()):
             wave, rate = decode_audio(payload)
             n = len(wave) // self.frame * self.frame
-            frames = wave[:n].reshape(-1, self.frame)
             ids.append(mid)
-            rms.append(float(np.sqrt((frames**2).mean(axis=1)).mean()))
+            if n == 0:
+                # clip shorter than one frame: RMS over the whole clip
+                rms.append(float(np.sqrt((wave**2).mean())) if len(wave) else 0.0)
+            else:
+                frames = wave[:n].reshape(-1, self.frame)
+                rms.append(float(np.sqrt((frames**2).mean(axis=1)).mean()))
             zcr.append(float((np.diff(np.sign(wave)) != 0).mean()))
             secs.append(len(wave) / rate)
         return pa.table(
@@ -219,7 +225,7 @@ class FrameSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, idxs, blobs = [], [], []
         mask = [k == "video" for k in batch["kind"].to_pylist()]
-        sub = batch.filter(pa.array(mask))
+        sub = batch.filter(pa.array(mask, pa.bool_()))
         for mid, payload in zip(sub["media_id"].to_pylist(), sub["payload"].to_pylist()):
             for j, frame in enumerate(decode_video_frames(payload, self.every)):
                 ids.append(mid)
@@ -243,29 +249,40 @@ def _pool_size() -> int:
     return max(1, min(8, cpus - 2))
 
 
-def media_dataset(sf_dir: str):
+def media_dataset(sf_dir: str, kind: str | None = None):
+    """``kind`` prunes BEFORE synthesis (kind is doc_id % 3): a per-kind
+    feature pipeline never synthesizes or ships the other 2/3 of payload
+    bytes."""
     import ray.data
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if kind is not None:
+        want = ("image", "audio", "video").index(kind)
+
+        def prune(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 3 == want))
+
+        docs = docs.map_batches(prune, batch_format="pyarrow")
     return docs.map_batches(synth_media_batch, batch_format="pyarrow")
 
 
 def image_features(sf_dir: str):
     """Actor pool: codec state loaded once per actor; small batches because
     rows are payload-heavy."""
-    return media_dataset(sf_dir).map_batches(
+    return media_dataset(sf_dir, kind="image").map_batches(
         ImageFeatures, batch_format="pyarrow", batch_size=256, concurrency=_pool_size(), num_cpus=1
     )
 
 
 def audio_features(sf_dir: str):
-    return media_dataset(sf_dir).map_batches(
+    return media_dataset(sf_dir, kind="audio").map_batches(
         AudioFeatures, batch_format="pyarrow", batch_size=256, concurrency=_pool_size(), num_cpus=1
     )
 
 
 def video_frames(sf_dir: str, every: int = 5):
-    return media_dataset(sf_dir).map_batches(
+    return media_dataset(sf_dir, kind="video").map_batches(
         FrameSampler,
         fn_constructor_kwargs={"every": every},
         batch_format="pyarrow",

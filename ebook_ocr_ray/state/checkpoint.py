@@ -75,7 +75,7 @@ def part_filter(parts: set[int]):
     def keep_group(batch: pa.Table) -> pa.Table:
         wanted = ray.get(parts_ref)
         mask = [p in wanted for p in batch["part_id"].to_pylist()]
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(mask, pa.bool_()))
 
     return keep_group
 
