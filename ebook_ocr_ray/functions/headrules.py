@@ -110,6 +110,29 @@ def apply_rules(book_md: str, rules: list[Rule]) -> tuple[str, int, int]:
     return "\n".join(lines), applied, skipped
 
 
+def generate_sed_script(rules: list[Rule]) -> str:
+    """Render rules as a line-addressed sed script (reference
+    normalization_rules.py:141-180) — the human-auditable apply artifact:
+    ``<line+1>s/<old>/<new>/`` with sed metacharacters escaped. Line
+    numbers are 1-based (sed convention); the exact-guard lives in the
+    address+pattern pair: a drifted line simply won't match."""
+
+    def esc(s: str) -> str:
+        out = []
+        for ch in s:
+            if ch in r"\/&.^$*[]":
+                out.append("\\" + ch)
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    lines = [f"# {len(rules)} heading normalization rule(s)"]
+    for r in rules:
+        lines.append(f"# {r.kind}")
+        lines.append(f"{r.line + 1}s/^{esc(r.old)}$/{esc(r.new)}/")
+    return "\n".join(lines) + "\n"
+
+
 def normalize_headings(book_md: str) -> tuple[str, dict]:
     """Full cmd_normalize flow for one document: parse -> match -> rules ->
     apply. Returns (repaired_md, report)."""

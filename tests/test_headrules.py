@@ -113,3 +113,42 @@ class TestClassification:
         assert classify_heading("1-2 dashed number") == "NUMBERED"   # normalized first
         assert classify_heading("Plain title") == "UNNUMBERED"
         assert classify_heading("■ Note box") == "SPECIAL"
+
+
+class TestSedScript:
+    def test_emission_and_real_sed_apply(self, tmp_path):
+        """The emitted script must actually work under sed(1)."""
+        import subprocess
+
+        from ebook_ocr_ray.functions.bookparse import match_toc_to_headings, parse_document
+        from ebook_ocr_ray.functions.headrules import generate_rules, generate_sed_script
+
+        md = "\n".join(
+            [
+                "<!-- toc -->",
+                "Chapter 1 Alpha ... 2",
+                "<!-- /toc -->",
+                "# Alpha",
+                "body text.",
+            ]
+        )
+        doc = parse_document(md)
+        match_toc_to_headings(doc.toc, doc.headings)
+        rules = generate_rules(md.split("\n"), doc.toc, doc.headings)
+        script = generate_sed_script(rules)
+        assert "4s/" in script and "ADD_NUMBER" in script
+
+        src = tmp_path / "book.md"
+        src.write_text(md)
+        sed_file = tmp_path / "fix.sed"
+        sed_file.write_text(script)
+        out = subprocess.run(
+            ["sed", "-f", str(sed_file), str(src)], capture_output=True, text=True, check=True
+        ).stdout
+        assert "\n# 1 Alpha\n" in out
+
+    def test_metacharacters_escaped(self):
+        from ebook_ocr_ray.functions.headrules import Rule, generate_sed_script
+
+        script = generate_sed_script([Rule("FORMAT_ONLY", 0, "# a/b.c*d", "# e/f")])
+        assert r"\/" in script and r"\." in script and r"\*" in script
