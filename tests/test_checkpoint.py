@@ -66,3 +66,30 @@ class TestCheckpointResume:
         assert len(completed_parts(out, version_hash())) == 64
         # a different extractor version sees nothing as complete
         assert completed_parts(out, version_hash("v2")) == set()
+
+
+class TestManifestEdges:
+    def test_manifest_roundtrip_and_overwrite(self, tmp_path):
+        from ebook_ocr_ray.state.checkpoint import _append_manifest, read_manifest
+
+        out = str(tmp_path)
+        _append_manifest(out, [{"part_id": 1, "doc_count": 5, "byte_count": 10,
+                                "char_count": 20, "extractor_version_hash": "v",
+                                "status": "complete"}])
+        _append_manifest(out, [{"part_id": 1, "doc_count": 7, "byte_count": 11,
+                                "char_count": 21, "extractor_version_hash": "v",
+                                "status": "complete"}])
+        m = read_manifest(out)
+        assert len(m) == 1 and int(m.doc_count.iloc[0]) == 7   # last write wins
+
+    def test_empty_manifest(self, tmp_path):
+        from ebook_ocr_ray.state.checkpoint import completed_parts, read_manifest
+
+        assert read_manifest(str(tmp_path)).empty
+        assert completed_parts(str(tmp_path), "v") == set()
+
+    def test_version_hash_is_stable_and_distinct(self):
+        from ebook_ocr_ray.state.checkpoint import version_hash
+
+        assert version_hash() == version_hash()
+        assert version_hash("a") != version_hash("b")

