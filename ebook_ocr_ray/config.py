@@ -81,7 +81,13 @@ ENGINE_VERSION = "ebook-ocr-ray/0.1"
 
 @dataclass(frozen=True)
 class ExtractionConfig:
-    """Typed config resolved once at pipeline build and shipped to actors."""
+    """Typed config resolved once at pipeline build and shipped to actors.
+
+    Validation happens HERE, at build time, never in the data path — the
+    reference's rule for trim parameters (validate_trim_value,
+    src/preprocessing/split_spread.py:63-76 / SURVEY.md M2) applied to the
+    whole tuning surface: a bad config fails the job before any task runs.
+    """
 
     extractors: tuple[str, ...] = ("dom", "density", "readability")
     primary: str = PRIMARY_EXTRACTOR
@@ -90,3 +96,22 @@ class ExtractionConfig:
     row_tol: float = ROW_CLUSTER_TOL
     align_tol: float = CROSS_SOURCE_TOL
     num_partitions: int = DEFAULT_NUM_PARTITIONS
+
+    def __post_init__(self) -> None:
+        if not self.extractors:
+            raise ValueError("extractors must not be empty")
+        unknown = [e for e in self.extractors if e not in EXTRACTOR_WEIGHTS]
+        if unknown:
+            raise ValueError(
+                f"unknown extractor(s) {unknown}; known: {sorted(EXTRACTOR_WEIGHTS)}"
+            )
+        if self.primary not in self.extractors:
+            raise ValueError(
+                f"primary {self.primary!r} not among extractors {self.extractors}"
+            )
+        if not 0.0 <= self.min_conf <= 1.0:
+            raise ValueError(f"min_conf must be in [0, 1], got {self.min_conf}")
+        if self.row_tol <= 0 or self.align_tol <= 0:
+            raise ValueError("clustering tolerances must be positive")
+        if self.num_partitions < 1:
+            raise ValueError(f"num_partitions must be >= 1, got {self.num_partitions}")
