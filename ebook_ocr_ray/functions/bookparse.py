@@ -230,16 +230,43 @@ _LEADER_SPACE = re.compile(r"\s{3,}(\d+)\s*$")
 _MD_PREFIX = re.compile(r"^\s*(#{1,6}|[-*])\s*")
 _EMPHASIS = re.compile(r"\*\*(.+?)\*\*")
 
-_TOC_PATTERNS: list[tuple[re.Pattern, int]] = [
-    (re.compile(r"^Chapter\s+(\d+)\s*(.*)$", re.IGNORECASE), 1),
-    (re.compile(r"^Section\s+(\d+\.\d+)\s*(.*)$", re.IGNORECASE), 2),
-    (re.compile(r"^Subsection\s+(\d+\.\d+\.\d+)\s*(.*)$", re.IGNORECASE), 3),
-    (re.compile(r"^(\d+\.\d+\.\d+\.\d+\.\d+)\s+(.+)$"), 5),
-    (re.compile(r"^(\d+\.\d+\.\d+\.\d+)\s+(.+)$"), 4),
-    (re.compile(r"^(\d+\.\d+\.\d+)\s+(.+)$"), 3),
-    (re.compile(r"^(\d+\.\d+)\s+(.+)$"), 2),
-    (re.compile(r"^第(\d+)章\s*(.*)$"), 1),
-]
+# Structure keywords are CONFIG, not code (the reference's CLAUDE.md
+# mandate, SURVEY.md §2.10: --header-level1..5 pipe-separated keywords).
+# build_toc_patterns compiles a pattern set from keyword lists; the
+# module-level default reproduces the built-in Chapter/Section/第N章 set.
+DEFAULT_LEVEL_KEYWORDS: dict[int, tuple[str, ...]] = {
+    1: ("Chapter",),
+    2: ("Section",),
+    3: ("Subsection",),
+}
+
+
+def build_toc_patterns(
+    level_keywords: dict[int, tuple[str, ...]] | None = None,
+) -> list[tuple[re.Pattern, int]]:
+    """Compile TOC entry patterns from configurable level keywords plus
+    the fixed numeric/Japanese forms. Keywords are matched
+    case-insensitively with a level-appropriate dotted number."""
+    kw = level_keywords or DEFAULT_LEVEL_KEYWORDS
+    number_for_level = {1: r"(\d+)", 2: r"(\d+\.\d+)", 3: r"(\d+\.\d+\.\d+)"}
+    patterns: list[tuple[re.Pattern, int]] = []
+    for level in sorted(kw):
+        num = number_for_level.get(level, r"(\d+(?:\.\d+)*)")
+        for word in kw[level]:
+            patterns.append(
+                (re.compile(rf"^{re.escape(word)}\s+{num}\s*(.*)$", re.IGNORECASE), level)
+            )
+    patterns += [
+        (re.compile(r"^(\d+\.\d+\.\d+\.\d+\.\d+)\s+(.+)$"), 5),
+        (re.compile(r"^(\d+\.\d+\.\d+\.\d+)\s+(.+)$"), 4),
+        (re.compile(r"^(\d+\.\d+\.\d+)\s+(.+)$"), 3),
+        (re.compile(r"^(\d+\.\d+)\s+(.+)$"), 2),
+        (re.compile(r"^第(\d+)章\s*(.*)$"), 1),
+    ]
+    return patterns
+
+
+_TOC_PATTERNS: list[tuple[re.Pattern, int]] = build_toc_patterns()
 
 
 @dataclass
@@ -252,7 +279,9 @@ class TocEntry:
     match_kind: str = "missing"     # exact | fuzzy | missing
 
 
-def parse_toc_entry(line: str) -> TocEntry | None:
+def parse_toc_entry(
+    line: str, patterns: list[tuple[re.Pattern, int]] | None = None
+) -> TocEntry | None:
     if not line.strip():
         return None
     page = ""
@@ -264,7 +293,7 @@ def parse_toc_entry(line: str) -> TocEntry | None:
             break
     line = _MD_PREFIX.sub("", line)
     line = _EMPHASIS.sub(r"\1", line).strip()
-    for rx, level in _TOC_PATTERNS:
+    for rx, level in (patterns if patterns is not None else _TOC_PATTERNS):
         m = rx.match(line)
         if m:
             return TocEntry(text=(m.group(2) or "").strip(), level=level,
@@ -306,10 +335,18 @@ class ParsedDoc:
     headings: list[tuple[int, int, str]]    # (global_line, level, text)
 
 
-def parse_document(book_md: str) -> ParsedDoc:
+def parse_document(
+    book_md: str,
+    level_keywords: dict[int, tuple[str, ...]] | None = None,
+) -> ParsedDoc:
     """The page micro-parser (reference parser/page.py:515-668): one pass
     over the document's lines; the content/skip marker stack persists
-    across page boundaries; TOC lines are collected between toc markers."""
+    across page boundaries; TOC lines are collected between toc markers.
+    ``level_keywords`` overrides the structure-keyword config (§2.10) for
+    TOC entry recognition."""
+    toc_patterns = (
+        build_toc_patterns(level_keywords) if level_keywords is not None else _TOC_PATTERNS
+    )
     pages: list[Page] = []
     toc: list[TocEntry] = []
     errors: list[str] = []
@@ -457,7 +494,7 @@ def parse_document(book_md: str) -> ParsedDoc:
     # split_toc_entries ordering)
     for toc_line in merge_split_toc_lines(toc_lines):
         for part in split_compound_toc_line(toc_line):
-            entry = parse_toc_entry(part)
+            entry = parse_toc_entry(part, toc_patterns)
             if entry is not None:
                 toc.append(entry)
 

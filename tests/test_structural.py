@@ -346,3 +346,40 @@ class TestFigureCaptionAndDuplicateHeading:
         heads = [h.text for h in ch.iter("heading")]
         assert "Things" not in heads
         assert "Other heading kept" in heads
+
+
+class TestConfigurableStructureKeywords:
+    """§2.10: structure keywords are config, never hardcoded."""
+
+    def test_custom_keywords_recognized(self):
+        from ebook_ocr_ray.functions.bookparse import build_toc_patterns, parse_toc_entry
+
+        patterns = build_toc_patterns({1: ("Part", "Book"), 2: ("Unit",)})
+        e = parse_toc_entry("Part 3 The Middle ... 44", patterns)
+        assert (e.level, e.number, e.text, e.page) == (1, "3", "The Middle", "44")
+        e = parse_toc_entry("Unit 3.1 Detail ... 45", patterns)
+        assert (e.level, e.number) == (2, "3.1")
+        e = parse_toc_entry("Book 7 Other ... 2", patterns)
+        assert (e.level, e.number) == (1, "7")
+
+    def test_document_level_override(self):
+        from ebook_ocr_ray.functions.bookparse import parse_document
+
+        md = "\n".join(
+            [
+                "<!-- toc -->",
+                "Part 1 Alpha ... 2",
+                "<!-- /toc -->",
+                "# Part 1 Alpha",
+            ]
+        )
+        default = parse_document(md)
+        assert default.toc[0].number == ""              # 'Part' unknown by default
+        custom = parse_document(md, level_keywords={1: ("Part",)})
+        assert custom.toc[0].number == "1" and custom.toc[0].text == "Alpha"
+
+    def test_default_unchanged(self):
+        from ebook_ocr_ray.functions.bookparse import parse_toc_entry
+
+        e = parse_toc_entry("Chapter 2 Still Works ... 9")
+        assert (e.level, e.number) == (1, "2")
