@@ -21,8 +21,24 @@ from ebook_ocr_ray.functions.bookparse import (
     normalize_heading,
 )
 
-_CHAPTER_HEAD = re.compile(r"^(?:Chapter\s+(\d+)|第(\d+)章)\s*(.*)$", re.IGNORECASE)
-_SECTION_HEAD = re.compile(r"^(?:Section\s+)?(\d+\.\d+)(?!\.)\s*(.*)$", re.IGNORECASE)
+def build_head_patterns(
+    level_keywords: dict[int, tuple[str, ...]] | None = None,
+) -> tuple[re.Pattern, re.Pattern]:
+    """Compile (chapter, section) heading matchers from the configurable
+    structure keywords (§2.10 — same config surface as
+    bookparse.build_toc_patterns); defaults reproduce
+    Chapter/第N章 + Section exactly."""
+    from ebook_ocr_ray.functions.bookparse import DEFAULT_LEVEL_KEYWORDS
+
+    kw = level_keywords or DEFAULT_LEVEL_KEYWORDS
+    ch = "|".join(re.escape(w) for w in kw.get(1, ("Chapter",)))
+    sec = "|".join(re.escape(w) for w in kw.get(2, ("Section",)))
+    chapter = re.compile(rf"^(?:(?:{ch})\s+(\d+)|第(\d+)章)\s*(.*)$", re.IGNORECASE)
+    section = re.compile(rf"^(?:(?:{sec})\s+)?(\d+\.\d+)(?!\.)\s*(.*)$", re.IGNORECASE)
+    return chapter, section
+
+
+_CHAPTER_HEAD, _SECTION_HEAD = build_head_patterns()
 
 
 _EMPHASIS_SPLIT = re.compile(r"\*\*(.+?)\*\*")
@@ -82,8 +98,18 @@ def _is_duplicate_heading(heading_text: str, container_title: str) -> bool:
     return normalize_heading(bare) == normalize_heading(container_title) != ""
 
 
-def build_book_xml(doc: ParsedDoc, title: str = "") -> str:
-    """Serialize a parsed document to the book XML contract."""
+def build_book_xml(
+    doc: ParsedDoc,
+    title: str = "",
+    level_keywords: dict[int, tuple[str, ...]] | None = None,
+) -> str:
+    """Serialize a parsed document to the book XML contract.
+    ``level_keywords`` overrides the structure-keyword config (§2.10)."""
+    chapter_head, section_head = (
+        build_head_patterns(level_keywords)
+        if level_keywords is not None
+        else (_CHAPTER_HEAD, _SECTION_HEAD)
+    )
     running_head = detect_running_head(doc)
     toc = match_toc_to_headings(doc.toc, doc.headings)
 
@@ -129,7 +155,7 @@ def build_book_xml(doc: ParsedDoc, title: str = "") -> str:
 
         for el in page.elements:
             if el.kind == "heading":
-                ch = _CHAPTER_HEAD.match(el.text.strip())
+                ch = chapter_head.match(el.text.strip())
                 if el.level == 1 and ch:
                     number = ch.group(1) or ch.group(2)
                     title = ch.group(3).strip()
@@ -150,7 +176,7 @@ def build_book_xml(doc: ParsedDoc, title: str = "") -> str:
                     # INSIDE the new chapter, not the previous container
                     emit_pagebreak()
                     continue
-                sec = _SECTION_HEAD.match(el.text.strip())
+                sec = section_head.match(el.text.strip())
                 if el.level == 2 and sec and current_chapter is not None:
                     number, title = sec.group(1), sec.group(2).strip()
                     if (

@@ -383,3 +383,23 @@ class TestConfigurableStructureKeywords:
 
         e = parse_toc_entry("Chapter 2 Still Works ... 9")
         assert (e.level, e.number) == (1, "2")
+
+    def test_xml_builder_honors_keywords(self):
+        from ebook_ocr_ray.functions.bookxml import build_book_xml
+
+        md = "\n".join(
+            [
+                "--- Page 1 (p.png) ---",
+                "# Part 2 Custom Structure",
+                "body text under the custom chapter.",
+            ]
+        )
+        doc = parse_document(md)
+        default_xml = build_book_xml(doc)
+        custom_xml = build_book_xml(doc, level_keywords={1: ("Part",)})
+        droot, croot = ET.fromstring(default_xml), ET.fromstring(custom_xml)
+        # default: 'Part' unknown -> fallback Content chapter
+        assert droot.find("chapter").get("title") == "Content"
+        # custom: a real numbered chapter opens
+        ch = croot.find("chapter")
+        assert ch.get("number") == "2" and ch.get("title") == "Custom Structure"
