@@ -36,6 +36,16 @@ def entry() -> Any:
 # --------------------------------------------------------------------------
 
 
+def _sorted_frame(ds: Any, by: list[str]):
+    """Driver-result boundary: collect a (small, already-aggregated) result
+    and give it a total row order. The driver's value-hash must see a
+    deterministic row sequence regardless of Ray's block arrival order;
+    aggregate outputs are tiny relative to the corpus, so collecting here
+    is the write_parquet analog, not a mid-pipeline materialization."""
+    df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    return df.sort_values(by, kind="mergesort").reset_index(drop=True)
+
+
 def _extract_docs(sf_dir: str, kind: str | None = None):
     from ebook_ocr_ray.pipelines.extraction import extract, pages_dataset, prepare_pages
 
@@ -79,8 +89,11 @@ def _sequence_dedup_pages(sf_dir: str):
 def _lineage_sites(sf_dir: str):
     from ebook_ocr_ray.pipelines.extraction import extraction_pipeline, lineage
 
-    return lineage(extraction_pipeline(sf_dir, dedup=False)).select_columns(
-        ["site", "doc_count", "char_count"]
+    return _sorted_frame(
+        lineage(extraction_pipeline(sf_dir, dedup=False)).select_columns(
+            ["site", "doc_count", "char_count"]
+        ),
+        ["site"],
     )
 
 
@@ -238,15 +251,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_dedup_pages": _sequence_dedup_pages,
         "split_spreads": _split_spreads,
         "lineage_sites": _lineage_sites,
-        # relational / windowed
-        "q1_pricing": analytics.q1_pricing,
-        "priority_revenue": analytics.priority_revenue,
+        # relational / windowed (aggregates returned as total-ordered frames)
+        "q1_pricing": lambda sf: _sorted_frame(
+            analytics.q1_pricing(sf), ["l_returnflag", "l_linestatus"]
+        ),
+        "priority_revenue": lambda sf: _sorted_frame(
+            analytics.priority_revenue(sf), ["priority"]
+        ),
         "purchase_attribution": analytics.purchase_attribution,
-        "events_hourly": analytics.events_hourly,
+        "events_hourly": lambda sf: _sorted_frame(
+            analytics.events_hourly(sf), ["user_id", "window_start"]
+        ),
         "events_gaps": analytics.events_gaps,
-        "orders_by_region": analytics.orders_by_region,
+        "orders_by_region": lambda sf: _sorted_frame(
+            analytics.orders_by_region(sf), ["region"]
+        ),
         "top_terms": analytics.top_terms,
-        "source_stats": analytics.source_stats,
+        "source_stats": lambda sf: _sorted_frame(analytics.source_stats(sf), ["source"]),
         # text analysis
         "train_val_split": analytics.train_val_split,
         "token_stats": analytics.token_table,
@@ -323,25 +344,32 @@ def oracle_sql() -> dict[str, str]:
                             -1) AS gap_us
             FROM events
         """,
+        # NOTE: every aggregate SUM below is wrapped in CAST(... AS BIGINT):
+        # DuckDB's SUM over integers returns HUGEINT, which lands in pandas
+        # as float64 — the engine emits int64, and a dtype-sensitive value
+        # hash would flag identical values as different (round-1 failure
+        # mode on exactly the six uncast-SUM oracles).
         "lineage_sites": f"""
             SELECT 'site-' || (doc_id % 20) AS site,
                    COUNT(*) AS doc_count,
-                   SUM(length('Document ' || format('{{:,}}', doc_id)) + 1 + length(text)) AS char_count
-            FROM documents GROUP BY 1
+                   CAST(SUM(length('Document ' || format('{{:,}}', doc_id)) + 1 + length(text))
+                        AS BIGINT) AS char_count
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS base_cents,
-                   SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))
-                       AS revenue_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS base_cents,
+                   CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
                    COUNT(*) AS n
             FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "priority_revenue": """
             SELECT o.o_orderpriority AS priority, COUNT(*) AS n_items,
-                   SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
-                       AS BIGINT)) AS revenue_cents
+                   CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1 ORDER BY 1
         """,
@@ -357,12 +385,13 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS window_start,
                    COUNT(*) AS n_events,
-                   SUM(CAST(floor(value * 100) AS BIGINT)) AS value_cents
-            FROM events GROUP BY 1, 2
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "orders_by_region": """
             SELECT r.r_name AS region, COUNT(*) AS n_orders,
-                   SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+                   CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -375,7 +404,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term ORDER BY n DESC, term LIMIT 50
         """,
         "source_stats": """
-            SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
             FROM documents GROUP BY source ORDER BY source
         """,

@@ -103,28 +103,44 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        win = pc.floor_temporal(batch["ts"], unit="hour")
+        # the window key travels through the shuffle as int64 microseconds:
+        # Ray's sort-based aggregate downcasts timestamp keys to [s]
+        # resolution, which would be a dtype (not value) mismatch against
+        # the oracle's date_trunc output
+        win = pc.floor_temporal(batch["ts"], unit="hour").cast(pa.timestamp("us"))
         df = pd.DataFrame(
             {
                 "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
-                "window_start": win.to_pandas(),
+                "window_us": win.cast(pa.int64()).to_numpy(zero_copy_only=False),
                 "value_cents": _cents(batch["value"].to_numpy(zero_copy_only=False)),
             }
         )
         agg = (
-            df.groupby(["user_id", "window_start"], sort=False)
+            df.groupby(["user_id", "window_us"], sort=False)
             .agg(n_events=("value_cents", "size"), value_cents=("value_cents", "sum"))
             .reset_index()
         )
         return pa.Table.from_pandas(agg, preserve_index=False)
 
+    def to_timestamp(batch: pa.Table) -> pa.Table:
+        win = batch["window_us"].cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "window_start": win,
+                "n_events": batch["n_events"],
+                "value_cents": batch["value_cents"],
+            }
+        )
+
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"])
+        .groupby(["user_id", "window_us"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
             Sum("value_cents", alias_name="value_cents"),
         )
+        .map_batches(to_timestamp, batch_format="pyarrow")
     )
 
 
