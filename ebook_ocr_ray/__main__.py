@@ -41,7 +41,8 @@ def cmd_extract(args) -> int:
     ray = _ray_session(args.num_cpus)
     from ebook_ocr_ray.config import ExtractionConfig
     from ebook_ocr_ray.pipelines.extraction import (
-        dedup_exact,
+        dedup_apply,
+        dedup_survivor_state,
         extract,
         pages_dataset,
         prepare_pages,
@@ -53,16 +54,27 @@ def cmd_extract(args) -> int:
         primary=args.primary,
     )
 
-    def prepared_pages(parts: set[int] | None = None):
+    def base_pages(parts: set[int] | None = None):
         pages = pages_dataset(args.sf_dir, with_duplicates=args.with_duplicates)
         if args.limit:
             pages = pages.limit(args.limit)
         prepared = prepare_pages(pages)
         if parts is not None:
             prepared = prepared.map_batches(part_filter(parts), batch_format="pyarrow")
-        if not args.no_dedup:
-            prepared = prepared.materialize()
-            prepared = dedup_exact(prepared, slim=prepared)
+        return prepared
+
+    # dedup survivor state is computed ONCE over the whole corpus (before
+    # any wave-level part filtering) so checkpointed runs dedup globally,
+    # identically to a non-checkpointed run — only the cheap broadcast
+    # keep-filter runs inside each wave
+    dedup_state = None if args.no_dedup else dedup_survivor_state(
+        base_pages().select_columns(["content_sha", "warc_ts", "url"])
+    )
+
+    def prepared_pages(parts: set[int] | None = None):
+        prepared = base_pages(parts)
+        if dedup_state is not None:
+            prepared = dedup_apply(prepared, *dedup_state)
         return prepared
 
     def extracted_factory(parts: set[int]):

@@ -474,8 +474,11 @@ def dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
     """One surviving row (min doc_id) per distinct text — the same
     survivor-aggregate + broadcast-filter shape as the pages dedup
     (pipelines/extraction.dedup_exact): a slim (hash -> min doc_id) pass
-    over a cheap re-read, then a local filter; full rows never shuffle and
-    per-group Python never runs."""
+    over a cheap re-read reduced by a KEYED aggregate (no per-unique-hash
+    state ever reaches the driver), then groups are filtered to actual
+    duplicates before the broadcast; full rows never shuffle and per-group
+    Python never runs. Doc ids are unique, so unlike the pages dedup no
+    byte-identical tie handling is needed."""
     slim = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sha_counts(batch: pa.Table) -> pa.Table:
@@ -492,9 +495,20 @@ def dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    partials = slim.map_batches(sha_counts, batch_format="pyarrow").to_pandas()
-    counts = partials.groupby("text_sha").agg(n=("n", "sum"), min_id=("min_id", "min"))
-    dup_map = dict(counts[counts.n > 1]["min_id"])   # only duplicate groups ship
+    dup_groups = (
+        slim.map_batches(sha_counts, batch_format="pyarrow")
+        .groupby("text_sha")
+        .aggregate(Sum("n", alias_name="n"), Min("min_id", alias_name="min_id"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    dup_map = (
+        dict(zip(dup_groups["text_sha"], dup_groups["min_id"]))
+        if "text_sha" in dup_groups.columns              # empty frames lose columns
+        else {}
+    )
     dup_ref = ray.put(dup_map)
 
     def keep(batch: pa.Table) -> pa.Table:

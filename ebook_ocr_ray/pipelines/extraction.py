@@ -111,29 +111,63 @@ def _survivor_key(ts_us: np.ndarray, urls: list[str]) -> list[str]:
     return [f"{t:020d}|{u}" for t, u in zip(ts_us, urls)]
 
 
-def dedup_exact(
-    prepared: ray.data.Dataset,
-    slim: ray.data.Dataset | None = None,
-    at_scale: bool = False,
-) -> ray.data.Dataset:
-    """Keep one row per payload hash — the earliest crawl (warc_ts, url as
-    the deterministic tiebreak). Exact-hash analog of the reference's
-    sequential frame dedup (src/preprocessing/deduplicate.py:9-66).
+def _make_survivor_agg():
+    """Keyed survivor aggregate over dedup partials: per content_sha it
+    tracks BOTH the global minimum survivor key and the number of input
+    rows carrying exactly that key (the byte-identical tie count the
+    per-row filter cannot resolve). One custom AggregateFnV2 does what a
+    conditional Sum cannot express with built-ins: the condition
+    (min_key == global min) is only known once the Min itself is global.
 
-    Scale design: duplicate rows are NEVER shuffled. A slim first pass
-    aggregates (content_sha -> count, min survivor key) — the shuffle moves
-    one ~60-byte row per (sha, batch) partial — then only the multi-crawl
-    shas (a small fraction of the corpus) are collected and broadcast via
-    ray.put, and the main pass filters each row locally: unique sha rows
-    stream straight through; duplicate-group rows survive only when they
-    carry the group's minimal key. At larger dup fractions the broadcast
-    dict becomes a Bloom filter + keyed side table; the aggregate stays.
+    The accumulator is encoded as ``"<n_at_min>:<min_key>"`` so partial
+    results store in Arrow blocks between the map-side combine and the
+    reduce. Survivor keys always start with a zero-padded digit, so the
+    ``"0:~"`` zero-sentinel (``~`` > every key byte) loses to any real
+    accumulator."""
+    from ray.data.aggregate import AggregateFnV2
 
-    ``slim`` optionally supplies a second instance of the prepared dataset
-    for the counting pass (each Dataset executes once; synthesizing pages
-    is cheaper than shuffling payloads).
+    class SurvivorAgg(AggregateFnV2):
+        def __init__(self, alias_name: str = "surv"):
+            super().__init__(
+                alias_name, on=None, ignore_nulls=True, zero_factory=lambda: "0:~"
+            )
+
+        def aggregate_block(self, block) -> str:
+            t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            keys = t["min_key"].to_pylist()
+            n_min = t["n_min"].to_pylist()
+            km = min(keys)
+            na = sum(n for k, n in zip(keys, n_min) if k == km)
+            return f"{na}:{km}"
+
+        def combine(self, a: str, b: str) -> str:
+            na_a, k_a = a.split(":", 1)
+            na_b, k_b = b.split(":", 1)
+            if k_a < k_b:
+                return a
+            if k_b < k_a:
+                return b
+            return f"{int(na_a) + int(na_b)}:{k_a}"
+
+    return SurvivorAgg()
+
+
+def dedup_survivor_state(slim: ray.data.Dataset) -> tuple[object, object]:
+    """Pass A of exact dedup: the slim survivor aggregate, fully keyed.
+
+    Per batch a vectorized partial emits one ~60-byte row per distinct
+    content_sha: (sha, n, batch-min survivor key, rows at that key). The
+    partials flow through ONE keyed aggregate — Sum(n) plus the custom
+    survivor aggregate — so no per-unique-hash state ever reaches the
+    driver. Groups are then filtered to actual duplicates (n > 1) BEFORE
+    collection; only the multi-crawl shas (a small fraction of any real
+    corpus) are broadcast via ray.put. At extreme dup fractions the
+    broadcast dict becomes a Bloom filter + keyed side table; the
+    aggregate shape is unchanged.
+
+    Returns (survivors_ref, ties_ref): ObjectRefs to the {sha -> min
+    survivor key} dict and the byte-identical tie-group sha set.
     """
-    src = slim if slim is not None else prepared
 
     def sha_partial(batch: pa.Table) -> pa.Table:
         ts_us = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -144,9 +178,9 @@ def dedup_exact(
             .agg(n=("key", "size"), min_key=("key", "min"))
             .reset_index()
         )
-        # how many rows in this batch carry the batch-local min key —
-        # needed to detect BYTE-IDENTICAL records (same url+ts+payload),
-        # which the per-row survivor filter cannot break ties between
+        # rows in this batch carrying the batch-local min key — combined
+        # by the survivor aggregate into the GLOBAL-min tie count, which
+        # detects BYTE-IDENTICAL records (same url+ts+payload)
         at_min = (
             df.merge(agg[["content_sha", "min_key"]], on="content_sha")
             .query("key == min_key")
@@ -158,59 +192,44 @@ def dedup_exact(
         agg = agg.merge(at_min, on="content_sha")
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    # Reduce the per-batch partials. Below the threshold the reduce runs
-    # driver-side in vectorized pandas — the partials are ~60 B/key, and a
-    # driver combine avoids a whole sort-shuffle round. Above it (true
-    # corpus scale, where the key set can't sit on the driver) the same
-    # partials flow through a keyed Ray aggregate instead.
-    partials = src.map_batches(sha_partial, batch_format="pyarrow")
-    tie_shas: set[str] = set()
-    if not at_scale:
-        pdf = partials.to_pandas()
-        # a string-min over EVERY group is O(total keys) of python-object
-        # work; only groups that actually have duplicates (row repeated
-        # across batches, or partial n > 1 within one batch) need it
-        counts = pdf["content_sha"].value_counts()
-        dup_shas = set(counts.index[counts.gt(1)]) | set(
-            pdf.loc[pdf["n"].gt(1), "content_sha"]
-        )
-        sub = pdf[pdf["content_sha"].isin(dup_shas)]
-        dup_groups = (
-            sub.groupby("content_sha", sort=False)
-            .agg(n=("n", "sum"), min_key=("min_key", "min"))
-            .reset_index()
-        )
-        # tie groups: more than one row carries the GLOBAL min key
-        # (byte-identical records) — those need a keyed first-wins pass
-        if not sub.empty:
-            glob = sub.merge(
-                dup_groups[["content_sha", "min_key"]],
-                on="content_sha",
-                suffixes=("", "_global"),
-            )
-            at_global_min = glob[glob["min_key"] == glob["min_key_global"]]
-            tie_totals = at_global_min.groupby("content_sha")["n_min"].sum()
-            tie_shas = set(tie_totals.index[tie_totals.gt(1)])
-    else:
-        from ray.data.aggregate import Min, Sum
-
-        # NOTE: the at_scale branch keeps the per-row filter only — tie
-        # groups (byte-identical records) would need an extra Sum over the
-        # conditional n_min; at that scale route such feeds through an
-        # upstream record-level dedup instead.
-        agg = partials.groupby("content_sha").aggregate(
-            Sum("n", alias_name="n"), Min("min_key", alias_name="min_key")
-        )
-        dup_groups = agg.map_batches(
-            lambda t: t.filter(pa.compute.greater(t["n"], 1)), batch_format="pyarrow"
-        ).to_pandas()
-    survivors = (
-        dict(zip(dup_groups["content_sha"], dup_groups["min_key"]))
-        if "content_sha" in dup_groups.columns
-        else {}
+    partials = slim.map_batches(sha_partial, batch_format="pyarrow")
+    agg = partials.groupby("content_sha").aggregate(
+        Sum("n", alias_name="n"), _make_survivor_agg()
     )
-    survivors_ref = ray.put(survivors)
-    ties_ref = ray.put(tie_shas)
+
+    def dup_groups_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.greater(t["n"], 1))
+        surv = t["surv"].to_pylist()
+        n_at, keys = [], []
+        for s in surv:
+            na, k = s.split(":", 1)
+            n_at.append(int(na))
+            keys.append(k)
+        return pa.table(
+            {
+                "content_sha": t["content_sha"],
+                "min_key": pa.array(keys, pa.string()),
+                "n_at_min": pa.array(n_at, pa.int64()),
+            }
+        )
+
+    dup_groups = agg.map_batches(dup_groups_only, batch_format="pyarrow").to_pandas()
+    if "content_sha" in dup_groups.columns:              # empty frames lose columns
+        survivors = dict(zip(dup_groups["content_sha"], dup_groups["min_key"]))
+        tie_shas = set(dup_groups.loc[dup_groups["n_at_min"].gt(1), "content_sha"])
+    else:
+        survivors, tie_shas = {}, set()
+    return ray.put(survivors), ray.put(tie_shas)
+
+
+def dedup_apply(
+    prepared: ray.data.Dataset, survivors_ref: object, ties_ref: object
+) -> ray.data.Dataset:
+    """Pass B of exact dedup: the broadcast survivor filter (+ tie-group
+    resolution) applied to the payload-bearing rows. Safe to apply to any
+    SUBSET of the corpus the state was computed over (checkpoint waves):
+    the survivor map is global, and a tie group's byte-identical rows
+    share a url, hence a part_id, hence a wave."""
 
     def keep_survivors(batch: pa.Table) -> pa.Table:
         survivors = ray.get(survivors_ref)
@@ -235,13 +254,12 @@ def dedup_exact(
         return batch.filter(pa.array(mask, pa.bool_()))
 
     out = prepared.map_batches(keep_survivors, batch_format="pyarrow")
-    if tie_shas:
+    if ray.get(ties_ref):
         # byte-identical records are indistinguishable row-by-row; a tiny
         # keyed first-wins pass (only the tie groups shuffle) picks one
-        tie_list_ref = ray.put(tie_shas)
 
         def only_ties(batch: pa.Table) -> pa.Table:
-            ties = ray.get(tie_list_ref)
+            ties = ray.get(ties_ref)
             mask = [s in ties for s in batch["content_sha"].to_pylist()]
             return batch.filter(pa.array(mask, pa.bool_()))
 
@@ -257,13 +275,43 @@ def dedup_exact(
     return out
 
 
+def dedup_exact(
+    prepared: ray.data.Dataset,
+    slim: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Keep one row per payload hash — the earliest crawl (warc_ts, url as
+    the deterministic tiebreak). Exact-hash analog of the reference's
+    sequential frame dedup (src/preprocessing/deduplicate.py:9-66).
+
+    Scale design: duplicate rows are NEVER shuffled, and no per-unique-
+    hash state touches the driver. Pass A (``dedup_survivor_state``) runs
+    the keyed survivor aggregate over a slim projection; pass B
+    (``dedup_apply``) filters each payload row locally against the
+    broadcast duplicate-group map, with byte-identical tie groups routed
+    through a tiny keyed first-wins pass.
+
+    ``slim`` optionally supplies a second instance of the prepared dataset
+    for the counting pass (each Dataset executes once; re-reading slim
+    columns is cheaper than shuffling payloads). Only (content_sha,
+    warc_ts, url) are read from it.
+    """
+    src = slim if slim is not None else prepared
+    survivors_ref, ties_ref = dedup_survivor_state(
+        src.select_columns(["content_sha", "warc_ts", "url"])
+    )
+    return dedup_apply(prepared, survivors_ref, ties_ref)
+
+
 def verify_against_golden(
     extracted: ray.data.Dataset, golden_path: str, num_partitions: int = 8
 ) -> pd.DataFrame:
-    """Golden-fixture verification join (SURVEY.md J7): hash-join the
-    extracted corpus to a golden parquet on url and return the mismatch
-    rows (url, extracted_text, golden_text). Empty frame = byte-identity
-    holds corpus-wide. The join shuffles slim (url, text) rows only."""
+    """Golden-fixture verification join (SURVEY.md J7): FULL-OUTER
+    hash-join the extracted corpus to a golden parquet on url and return
+    the mismatch rows (url, extracted_text, golden_text). Rows present on
+    only one side surface with a null partner — a document silently
+    dropped by the pipeline (or an unexpected extra) is a mismatch, not a
+    silent pass. Empty frame = byte-identity holds corpus-wide. The join
+    shuffles slim (url, text) rows only."""
     golden = ray.data.read_parquet(golden_path).map_batches(
         lambda t: pa.table(
             {
@@ -283,17 +331,17 @@ def verify_against_golden(
         batch_format="pyarrow",
     )
     joined = slim.join(
-        golden, join_type="inner", num_partitions=num_partitions, on=("url",)
+        golden, join_type="full_outer", num_partitions=num_partitions, on=("url",)
     )
-    mismatches = joined.map_batches(
-        lambda t: t.filter(
-            pa.compute.invert(
-                pa.compute.equal(t["extracted_text"], t["golden_text"])
-            )
-        ),
-        batch_format="pyarrow",
-    )
-    return mismatches.to_pandas()
+
+    def keep_mismatches(t: pa.Table) -> pa.Table:
+        # null-side rows (url only in one table) are mismatches too:
+        # pa.compute.equal yields null there, so keep everything that is
+        # not POSITIVELY equal
+        eq = pa.compute.equal(t["extracted_text"], t["golden_text"])
+        return t.filter(pa.compute.invert(pa.compute.fill_null(eq, False)))
+
+    return joined.map_batches(keep_mismatches, batch_format="pyarrow").to_pandas()
 
 
 def sequence_dedup(
@@ -472,18 +520,24 @@ def extraction_pipeline(
     """documents -> pages -> prepare -> (dedup) -> extract.
 
     Dedup needs two passes over the prepared pages (slim survivor
-    aggregate, then the filtered main pass). In the sandbox the pages are
-    synthesized, so the prepared dataset is materialized once and shared —
-    at sf scales that is tens of MB. At 100 TB the input is a Parquet
-    table: drop the materialize and let each pass be its own
-    ``read_parquet`` — pass A reads (url, warc_ts, payload) to hash and
-    aggregate, pass B re-reads, filters to survivors and extracts. Input
-    IO happens twice; extraction happens once, on survivors only.
+    aggregate, then the filtered main pass). Each pass is its OWN lazy
+    dataset from the re-readable source — nothing is materialized, so the
+    payload-bearing corpus never sits in the object store whole. Pass A
+    reads/synthesizes, hashes, and aggregates slim (sha, ts, url) rows;
+    pass B re-reads, filters to survivors and extracts. Input IO happens
+    twice; extraction happens once, on survivors only — the right trade
+    at 100 TB where the ensemble extraction dominates IO by orders of
+    magnitude.
     """
-    prepared = prepare_pages(
-        pages_dataset(sf_dir, with_duplicates=with_duplicates, repeat=repeat, kind=kind)
-    )
+
+    def prepared_factory() -> ray.data.Dataset:
+        return prepare_pages(
+            pages_dataset(
+                sf_dir, with_duplicates=with_duplicates, repeat=repeat, kind=kind
+            )
+        )
+
+    prepared = prepared_factory()
     if dedup:
-        prepared = prepared.materialize()
-        prepared = dedup_exact(prepared, slim=prepared)
+        prepared = dedup_exact(prepared, slim=prepared_factory())
     return extract(prepared, cfg)

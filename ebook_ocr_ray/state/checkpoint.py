@@ -140,6 +140,12 @@ def run_checkpointed_extraction(
             if os.path.exists(src):
                 shutil.rmtree(dst, ignore_errors=True)
                 os.replace(src, dst)                      # atomic publish
+            else:
+                # a zero-row partition still "publishes": remove any stale
+                # directory from a previous engine version, otherwise a
+                # recompute that now filters those rows out would record
+                # status=complete while outdated rows survive on disk
+                shutil.rmtree(dst, ignore_errors=True)
             s = stats.loc[part] if part in stats.index else None
             rows.append(
                 {

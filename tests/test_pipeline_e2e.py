@@ -124,18 +124,49 @@ class TestByteIdenticalRecords:
         assert sorted(out.url) == ["https://x.example/other", "https://x.example/same"]
 
 
-class TestAtScaleDedupPath:
-    def test_ray_aggregate_branch_matches_driver_branch(self, ray_session):
-        """at_scale=True (keyed Ray aggregate instead of driver combine)
-        must select the same survivors on tie-free input."""
-        from ebook_ocr_ray.pipelines.extraction import dedup_exact, pages_dataset, prepare_pages
+class TestKeyedSurvivorAggregate:
+    def test_cross_block_ties_detected(self, ray_session):
+        """Byte-identical records split across DIFFERENT blocks must still
+        be detected as a tie group — this exercises the custom survivor
+        aggregate's combine path (each block's partial sees n_min=1; only
+        the keyed merge can see the global tie)."""
+        import datetime as dt
 
-        prepared = prepare_pages(pages_dataset(SF, with_duplicates=True)).materialize()
-        a = dedup_exact(prepared, slim=prepared, at_scale=False).to_pandas()
-        b = dedup_exact(prepared, slim=prepared, at_scale=True).to_pandas()
-        ka = sorted(zip(a.url, a.warc_ts))
-        kb = sorted(zip(b.url, b.warc_ts))
-        assert ka == kb
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.extraction import (
+            dedup_apply,
+            dedup_survivor_state,
+            prepare_pages,
+        )
+
+        row = {
+            "url": "https://x.example/same",
+            "warc_ts": dt.datetime(2026, 1, 1),
+            "html": b"<main><p>identical record body, long enough text.</p></main>",
+            "text": "",
+            "lang": "en",
+        }
+        other = dict(
+            row,
+            url="https://x.example/other",
+            html=b"<main><p>a different body entirely here.</p></main>",
+        )
+        # three identical copies, each its own block (union of one-row
+        # datasets), so no single batch ever sees two of them
+        parts = [rd.from_arrow(pa.Table.from_pylist([r])) for r in (row, row, row, other)]
+        ds = parts[0].union(*parts[1:])
+        prepared = prepare_pages(ds).materialize()
+        survivors_ref, ties_ref = dedup_survivor_state(
+            prepared.select_columns(["content_sha", "warc_ts", "url"])
+        )
+        assert len(ray.get(ties_ref)) == 1               # the tie group was seen
+        assert len(ray.get(survivors_ref)) == 1          # only dup groups collected
+        out = dedup_apply(prepared, survivors_ref, ties_ref).to_pandas()
+        assert len(out) == 2
+        assert sorted(out.url) == ["https://x.example/other", "https://x.example/same"]
 
 
 class TestGoldenVerificationJoin:
@@ -175,3 +206,26 @@ class TestGoldenVerificationJoin:
         mism = verify_against_golden(extracted, GOLDEN)
         assert len(mism) == 1
         assert mism.url.iloc[0].endswith("/doc/1")
+
+    def test_join_catches_a_dropped_document(self, ray_session):
+        """A document entirely missing from the extracted corpus must
+        surface as a mismatch row (full-outer join), not vanish into a
+        silent pass (ADVICE round 1)."""
+        import pyarrow as pa
+
+        from ebook_ocr_ray.pipelines.extraction import (
+            extraction_pipeline,
+            verify_against_golden,
+        )
+
+        def drop_one(t: pa.Table) -> pa.Table:
+            mask = [not u.endswith("/doc/2") for u in t["url"].to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+        extracted = extraction_pipeline(SF, dedup=False).map_batches(
+            drop_one, batch_format="pyarrow"
+        )
+        mism = verify_against_golden(extracted, GOLDEN)
+        assert len(mism) == 1
+        assert mism.golden_text.notna().all()            # the golden side survived
+        assert mism.extracted_text.isna().all()          # the extracted side is gone
