@@ -10,14 +10,17 @@ Canonical shape (SURVEY.md + ray_guide):
       -> connected components -> (doc_id, cluster_id)
 
 Verification needs both texts of each candidate pair. Candidates after LSH
-blocking are a vanishing fraction of n^2, so the verify step broadcasts
-only the candidate docs' texts (gathered by a semi-join filter). The
-union-find runs driver-side over candidate EDGES only — bounded by the
-candidate count, not the corpus (documented assumption; at 100 TB this is
-the standard iterate-min-label-propagation swap-in point).
+blocking are a vanishing fraction of n^2, so the verify step JOINS the
+candidate-pair dataset to the documents table by key (two hash joins) and
+computes exact Jaccard inside map_batches — no driver state. Clustering is
+keyed min-label propagation (``label_propagation_keyed``), so neither the
+edge set nor the label table ever has to fit on the driver. A per-bucket
+size ceiling keeps one hot band key from going quadratic.
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pandas as pd
@@ -35,22 +38,66 @@ from ebook_ocr_ray.functions.sketches import (
     simhash_band_keys,
 )
 
+logger = logging.getLogger(__name__)
 
-def _candidate_pairs_from_buckets(buckets: ray.data.Dataset) -> list[tuple[int, int]]:
-    """groupby (band, key) -> unordered candidate pairs (id_a < id_b)."""
+# Ceiling on the all-pairs region within one LSH/simhash bucket. A band
+# key shared by B documents generates B^2/2 candidate pairs; a degenerate
+# key (boilerplate-only shingles, all-zero band) can otherwise pull the
+# whole corpus into one group. Beyond the cap the bucket degrades to a
+# STAR (each overflow id pairs with the bucket's min id only): pair count
+# becomes cap^2/2 + (B - cap) instead of B^2/2, while connectivity — all
+# downstream clustering needs — is preserved for genuinely-duplicate
+# buckets at graph diameter 2, so min-label propagation still converges
+# in a constant number of rounds (a chain would need O(B) rounds).
+MAX_BUCKET = 512
+
+
+def _bucket_pairs_fn(max_bucket: int):
+    """Per-(band,key) group fn: unordered candidate pairs (id_a < id_b);
+    all-pairs up to ``max_bucket``, logged star fallback beyond it."""
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group.doc_id.to_numpy())
+        g = group.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort")
+        ids = g.doc_id.to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ai, bi = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi]})
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+            )
+        head = ids[:max_bucket]
+        ai, bi = np.triu_indices(len(head), 1)
+        id_a, id_b = head[ai], head[bi]
+        if len(ids) > max_bucket:
+            logger.warning(
+                "near-dup bucket over cap: band=%s key=%s size=%d > %d — "
+                "star fallback (connectivity kept at diameter 2; dropped "
+                "overflow pairs fall back to the pair's other bands)",
+                g.band.iloc[0], g.key.iloc[0], len(ids), max_bucket,
+            )
+            tail = ids[max_bucket:]
+            id_a = np.concatenate([id_a, np.full(len(tail), ids[0], dtype=ids.dtype)])
+            id_b = np.concatenate([id_b, tail])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
 
-    out = buckets.groupby(["band", "key"]).map_groups(pairs, batch_format="pandas").to_pandas()
-    if out.empty:
-        return []
-    dedup = out.drop_duplicates()
-    return list(dedup.itertuples(index=False, name=None))
+    return pairs
+
+
+def candidate_pair_dataset(
+    buckets: ray.data.Dataset, max_bucket: int | None = None
+) -> ray.data.Dataset:
+    """groupby (band, key) -> DISTINCT unordered candidate pairs as a
+    Dataset: per-bucket pair generation (capped), then a keyed Count
+    aggregate dedupes pairs that co-occur in several bands — the dedup is
+    a shuffle over slim int pairs, never a driver collect."""
+    from ray.data.aggregate import Count
+
+    pairs = buckets.groupby(["band", "key"]).map_groups(
+        _bucket_pairs_fn(MAX_BUCKET if max_bucket is None else max_bucket),
+        batch_format="pandas",
+    )
+    distinct = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
+    return distinct.map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
 
 
 def label_propagation_clusters(
@@ -121,16 +168,21 @@ def label_propagation_keyed(
     edges: ray.data.Dataset, max_iters: int = 10, num_partitions: int = 8
 ) -> ray.data.Dataset:
     """Fully keyed min-label propagation: labels are attached to edge
-    endpoints via hash-partitioned Dataset.join on the node key — NO
-    driver-side label map, so both edges and labels can exceed driver
-    memory. Per round: join labels onto id_a, then onto id_b, emit
-    min(label_a, label_b) to both endpoints, keyed Min aggregate.
+    endpoints via hash-partitioned joins on the node key — NO driver-side
+    label map, so both edges and labels can exceed driver memory. Per
+    round: join labels onto id_a, then onto id_b, emit min(label_a,
+    label_b) to both endpoints, keyed Min aggregate. Convergence is
+    detected by a scalar Sum aggregate (labels only ever decrease, so the
+    total is a strictly-decreasing potential until the fixpoint) — no
+    label ever crosses the driver.
 
     Costs two hash joins + one aggregate per round vs the broadcast
     variant's one aggregate — use it when the label set can't sit on the
     driver; otherwise label_propagation_clusters is cheaper.
     """
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Min, Sum
+
+    from ebook_ocr_ray.joins import safe_join
 
     def seed(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy(zero_copy_only=False)
@@ -146,24 +198,33 @@ def label_propagation_keyed(
         .materialize()
     )
 
+    edge_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    lab_schema = lambda name: pa.schema([("node", pa.int64()), (name, pa.int64())])  # noqa: E731
+    prev_total = labels.aggregate(Sum("label", alias_name="total"))["total"]
     for _ in range(max_iters):
-        la = edges.join(
+        la = safe_join(
+            edges,
             labels.map_batches(
                 lambda t: t.rename_columns(["node", "label_a"]), batch_format="pyarrow"
             ),
-            join_type="inner",
+            on="id_a",
+            right_on="node",
             num_partitions=num_partitions,
-            on=("id_a",),
-            right_on=("node",),
+            left_schema=edge_schema,
+            right_schema=lab_schema("label_a"),
         )
-        lab = la.join(
+        lab = safe_join(
+            la,
             labels.map_batches(
                 lambda t: t.rename_columns(["node", "label_b"]), batch_format="pyarrow"
             ),
-            join_type="inner",
+            on="id_b",
+            right_on="node",
             num_partitions=num_partitions,
-            on=("id_b",),
-            right_on=("node",),
+            left_schema=pa.schema(
+                [("id_a", pa.int64()), ("id_b", pa.int64()), ("label_a", pa.int64())]
+            ),
+            right_schema=lab_schema("label_b"),
         )
 
         def emit_min(batch: pa.Table) -> pa.Table:
@@ -186,56 +247,64 @@ def label_propagation_keyed(
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
-        old = labels.to_pandas().sort_values("node").reset_index(drop=True)
-        new = new_labels.to_pandas().sort_values("node").reset_index(drop=True)
         labels = new_labels
-        if old.equals(new):
+        total = labels.aggregate(Sum("label", alias_name="total"))["total"]
+        if total == prev_total:                          # fixpoint: labels only decrease
             break
+        prev_total = total
     return labels
 
 
-def _union_find_clusters(doc_ids: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
-    parent: dict[int, int] = {}
+def _join_pair_texts(
+    pairs: ray.data.Dataset, sf_dir: str, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Attach both endpoint texts to each candidate pair via two
+    hash-partitioned joins against the documents table — only candidate
+    rows' texts ever move, and nothing lands on the driver."""
+    import pyarrow.parquet as pq
 
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
+    from ebook_ocr_ray.joins import safe_join
 
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return {d: find(d) for d in doc_ids}
+    text_type = pq.read_schema(f"{sf_dir}/documents.parquet").field("text").type
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 
+    def docs_as(col: str) -> ray.data.Dataset:
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(
+            lambda t: t.rename_columns(["doc_id", col]), batch_format="pyarrow"
+        )
 
-def _gather_texts(sf_dir: str, doc_ids: set[int]) -> dict[int, str]:
-    """Semi-join: fetch only candidate docs' texts (broadcast the id set)."""
-    if not doc_ids:
-        return {}
-    ids_ref = ray.put(doc_ids)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        mask = pa.array([d in wanted for d in batch["doc_id"].to_pylist()], pa.bool_())
-        return batch.filter(mask)
-
-    t = (
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(keep, batch_format="pyarrow")
-        .to_pandas()
+    with_a = safe_join(
+        pairs, docs_as("text_a"),
+        on="id_a", right_on="doc_id", num_partitions=num_partitions,
+        left_schema=pair_schema,
+        right_schema=pa.schema([("doc_id", pa.int64()), ("text_a", text_type)]),
     )
-    return dict(zip(t.doc_id, t.text))
+    return safe_join(
+        with_a, docs_as("text_b"),
+        on="id_b", right_on="doc_id", num_partitions=num_partitions,
+        left_schema=pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("text_a", text_type)]
+        ),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("text_b", text_type)]),
+    )
 
 
 def minhash_clusters(
-    sf_dir: str, k_shingle: int = 3, jaccard_threshold: float = 0.7
-) -> pd.DataFrame:
+    sf_dir: str,
+    k_shingle: int = 3,
+    jaccard_threshold: float = 0.7,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
     """(doc_id, cluster_id) for every document; cluster_id = min doc_id of
-    the near-dup component (singletons map to themselves)."""
+    the near-dup component (singletons map to themselves).
+
+    Fully distributed end to end: banded LSH blocking -> capped per-bucket
+    pair generation -> keyed pair dedup -> join-based exact-Jaccard verify
+    -> keyed min-label propagation -> left-outer join back onto the id
+    column. The only materialization is the verified edge set (slim int
+    pairs — the propagation's working set, consumed once per round)."""
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -255,28 +324,64 @@ def minhash_clusters(
         )
 
     buckets = docs.map_batches(explode_bands, batch_format="pyarrow")
-    candidates = _candidate_pairs_from_buckets(buckets)
+    candidates = candidate_pair_dataset(buckets)
 
-    texts = _gather_texts(sf_dir, {d for pair in candidates for d in pair})
-    verified = [
-        (a, b)
-        for a, b in candidates
-        if jaccard(texts[a], texts[b], k_shingle) >= jaccard_threshold
-    ]
+    def verify(batch: pa.Table) -> pa.Table:
+        keep = [
+            jaccard(ta, tb, k_shingle) >= jaccard_threshold
+            for ta, tb in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist())
+        ]
+        t = batch.filter(pa.array(keep, pa.bool_()))
+        return t.select(["id_a", "id_b"])
 
-    all_ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).to_pandas()
-    clusters = _union_find_clusters(all_ids.doc_id.tolist(), verified)
-    return pd.DataFrame(
-        {"doc_id": all_ids.doc_id, "cluster_id": all_ids.doc_id.map(clusters)}
-    ).astype({"doc_id": "int64", "cluster_id": "int64"})
+    edges = (
+        _join_pair_texts(candidates, sf_dir, num_partitions)
+        .map_batches(verify, batch_format="pyarrow")
+        .materialize()                                   # slim int pairs; the
+    )                                                    # propagation re-reads per round
+    all_ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if edges.count() == 0:
+        return all_ids.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"],
+                                "cluster_id": t["doc_id"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+    from ebook_ocr_ray.joins import safe_join
+
+    labels = label_propagation_keyed(edges, num_partitions=num_partitions)
+    joined = safe_join(
+        all_ids, labels,
+        on="doc_id", right_on="node",
+        num_partitions=num_partitions, join_type="left_outer",
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        label = pa.compute.coalesce(
+            t["label"].cast(pa.int64()), t["doc_id"].cast(pa.int64())
+        )
+        return pa.table({"doc_id": t["doc_id"], "cluster_id": label})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+def simhash_pairs(
+    sf_dir: str, max_hamming: int = 3, max_bucket: int | None = None
+) -> ray.data.Dataset:
     """(id_a, id_b, hamming) near-dup pairs: band blocking over the 64-bit
     simhash sized so recall is GUARANTEED up to ``max_hamming`` (pigeonhole
     needs max_hamming+1 bands; the default 3 -> 4x16-bit bands). Raising
-    the threshold automatically narrows the bands (e.g. 7 -> 8x8-bit)."""
+    the threshold automatically narrows the bands (e.g. 7 -> 8x8-bit).
+
+    Buckets are capped at ``max_bucket`` rows (deterministic lowest-id
+    keep, logged) so one degenerate band key cannot go quadratic, and
+    pairs found in several bands are deduped by a keyed aggregate — the
+    result stays a Dataset end to end."""
+    from ray.data.aggregate import Min
+
     tables = max_hamming + 1
+    max_bucket = MAX_BUCKET if max_bucket is None else max_bucket
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -302,8 +407,20 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         ids = g.doc_id.to_numpy()
         prints = g["print"].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ai, bi = np.triu_indices(len(ids), 1)
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        ai, bi = np.triu_indices(min(len(ids), max_bucket), 1)
+        if len(ids) > max_bucket:
+            # star fallback beyond the all-pairs cap (see MAX_BUCKET)
+            logger.warning(
+                "simhash bucket over cap: band=%s key=%s size=%d > %d — star fallback",
+                g.band.iloc[0], g.key.iloc[0], len(ids), max_bucket,
+            )
+            tail = np.arange(max_bucket, len(ids))
+            ai = np.concatenate([ai, np.zeros(len(tail), dtype=np.int64)])
+            bi = np.concatenate([bi, tail])
         rows = [
             (int(ids[x]), int(ids[y]), hamming64(int(prints[x]), int(prints[y])))
             for x, y in zip(ai, bi)
@@ -311,19 +428,10 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         df = pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
         return df[df.hamming <= max_hamming]
 
-    out = (
+    return (
         docs.map_batches(explode, batch_format="pyarrow")
         .groupby(["band", "key"])
         .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    if out.empty:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64"),
-                             "hamming": pd.Series(dtype="int64")})
-    return (
-        out.drop_duplicates(subset=["id_a", "id_b"])
-        .sort_values(["id_a", "id_b"])
-        .reset_index(drop=True)
-        .astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
+        .groupby(["id_a", "id_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
     )

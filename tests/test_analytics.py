@@ -117,7 +117,7 @@ class TestNearDup:
         pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
         from ebook_ocr_ray.pipelines.neardup import minhash_clusters
 
-        out = minhash_clusters(str(tmp_path))
+        out = minhash_clusters(str(tmp_path)).to_pandas()
         c = dict(zip(out.doc_id, out.cluster_id))
         assert c[0] == c[1] == c[2] == 0
         assert c[3] == 3
@@ -132,7 +132,7 @@ class TestNearDup:
         pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
         from ebook_ocr_ray.pipelines.neardup import simhash_pairs
 
-        out = simhash_pairs(str(tmp_path))
+        out = simhash_pairs(str(tmp_path)).to_pandas()
         assert (10, 11) in set(zip(out.id_a, out.id_b))
         assert out[out.hamming == 0].shape[0] >= 1
 
@@ -211,7 +211,7 @@ class TestLabelPropagation:
             {"doc_id": 3, "text": "completely different content about databases and queries"},
         ]
         pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
-        uf = minhash_clusters(str(tmp_path))
+        uf = minhash_clusters(str(tmp_path)).to_pandas()
         uf_map = dict(zip(uf.doc_id, uf.cluster_id))
         edges = rd.from_arrow(
             pa.table({"id_a": pa.array([0, 0], pa.int64()),
@@ -244,3 +244,52 @@ class TestLabelPropagation:
         import pandas as pd
 
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestHotBucketCap:
+    def test_overflow_bucket_linear_and_connected(self, ray_session):
+        """One degenerate bucket of 100 ids with cap 16: pair count is
+        triangle(16) + star(84) = 204, not triangle(100) = 4950, and the
+        chain keeps every id reachable (one component)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.neardup import (
+            candidate_pair_dataset,
+            label_propagation_keyed,
+        )
+
+        n = 100
+        buckets = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(n)), pa.int64()),
+                    "band": pa.array([0] * n, pa.int32()),
+                    "key": pa.array([7] * n, pa.int64()),
+                }
+            )
+        )
+        pairs = candidate_pair_dataset(buckets, max_bucket=16).materialize()
+        assert pairs.count() == 16 * 15 // 2 + (n - 16)
+        labels = label_propagation_keyed(pairs, num_partitions=2).to_pandas()
+        assert labels.label.nunique() == 1          # star keeps one component
+        assert set(labels.node) == set(range(n))
+
+    def test_identical_docs_cluster_despite_cap(self, ray_session, tmp_path):
+        """Exact duplicates overflowing the all-pairs cap still cluster
+        together via the chain fallback (every chain link verifies)."""
+        import pandas as pd
+
+        from ebook_ocr_ray.pipelines import neardup
+
+        n = 40
+        rows = [{"doc_id": i, "text": "the very same text body for every document here"}
+                for i in range(n)]
+        pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+        old = neardup.MAX_BUCKET
+        neardup.MAX_BUCKET = 8
+        try:
+            out = neardup.minhash_clusters(str(tmp_path), num_partitions=2).to_pandas()
+        finally:
+            neardup.MAX_BUCKET = old
+        assert (out.cluster_id == 0).all()
