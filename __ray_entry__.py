@@ -171,6 +171,13 @@ def _corpus_metrics(sf_dir: str):
 def _split_spreads(sf_dir: str):
     """Multi-article payloads (the spread analog) split 1->2 before
     extraction; closed-form oracle per article."""
+    return _spread_extracted(sf_dir).select_columns(["url", "extracted_text"])
+
+
+def _spread_extracted(sf_dir: str):
+    """Shared by split_spreads and consolidate_books: multi-article
+    payloads split 1->N, then ensemble-extracted (one row per article,
+    urls carry #aK derived keys)."""
     import pyarrow as pa
 
     from ebook_ocr_ray.pipelines.extraction import extract, load_documents, prepare_pages
@@ -197,7 +204,16 @@ def _split_spreads(sf_dir: str):
         .map_batches(build, batch_format="pyarrow")
         .map_batches(split_multidoc_batch, batch_format="pyarrow")
     )
-    return extract(prepare_pages(pages)).select_columns(["url", "extracted_text"])
+    return extract(prepare_pages(pages))
+
+
+def _consolidate_books(sf_dir: str):
+    """Reference step-5 analog (src/consolidate.py:53-91): article parts
+    of each url consolidated in order into book_txt / book_md with page
+    markers and ## heading wraps — closed-form oracle per document."""
+    from ebook_ocr_ray.pipelines.extraction import consolidate_books
+
+    return consolidate_books(_spread_extracted(sf_dir))
 
 
 def _heading_pattern_stats(sf_dir: str):
@@ -250,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_pages": _dedup_pages,
         "sequence_dedup_pages": _sequence_dedup_pages,
         "split_spreads": _split_spreads,
+        "consolidate_books": _consolidate_books,
         "lineage_sites": _lineage_sites,
         # relational / windowed (aggregates returned as total-ordered frames)
         "q1_pricing": lambda sf: _sorted_frame(
@@ -334,6 +351,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT {_URL_SQL} || '#a1' AS url,
                    {_TEXT_SQL} || ' updated revision content' AS extracted_text
+            FROM documents
+        """,
+        "consolidate_books": f"""
+            SELECT {_URL_SQL} AS url,
+                   chr(10) || '--- a0 ---' || chr(10) || chr(10)
+                     || {_TEXT_SQL} || chr(10) || chr(10)
+                     || chr(10) || '--- a1 ---' || chr(10) || chr(10)
+                     || {_TEXT_SQL} || ' updated revision content' || chr(10) || chr(10)
+                       AS book_txt,
+                   chr(10) || '--- a0 ---' || chr(10) || chr(10)
+                     || chr(10) || '## Document ' || format('{{:,}}', doc_id) || chr(10)
+                     || chr(10) || text || chr(10) || chr(10)
+                     || chr(10) || '--- a1 ---' || chr(10) || chr(10)
+                     || chr(10) || '## Document ' || format('{{:,}}', doc_id) || chr(10)
+                     || chr(10) || text || ' updated revision content' || chr(10) || chr(10)
+                       AS book_md,
+                   CAST(2 AS BIGINT) AS n_pages
             FROM documents
         """,
         "events_gaps": """

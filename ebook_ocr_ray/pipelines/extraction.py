@@ -509,6 +509,66 @@ def lineage(extracted: ray.data.Dataset, key: str = "site") -> ray.data.Dataset:
     )
 
 
+def consolidate_books(extracted: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document consolidation (reference step 5, src/consolidate.py:
+    53-91): every url's article parts (the ``#aK`` derived keys produced
+    by the 1->N spread split) concatenate IN ORDER into one book artifact,
+    with a ``--- {part} ---`` page marker before each part:
+
+    - ``book_txt``: plain ordered concat with markers;
+    - ``book_md``: same, but any line byte-equal to one of the part's
+      extracted headings is wrapped as ``\\n## {heading}\\n`` (the
+      headings.json membership check, ROVEROutput.get_all_headings).
+
+    Scale shape: groupby on the base url co-locates each document's few
+    parts; the fold is group-local and ordered, exactly like
+    ``sequence_dedup`` — no global sort, no driver state."""
+
+    def add_base(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        bases, parts = [], []
+        for u in urls:
+            base, _, frag = u.partition("#")
+            bases.append(base)
+            parts.append(frag or base)
+        return pa.table(
+            {
+                "base_url": pa.array(bases, pa.string()),
+                "part": pa.array(parts, pa.string()),
+                "url": batch["url"],
+                "extracted_text": batch["extracted_text"],
+                "headings": batch["headings"],
+            }
+        )
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("url", kind="mergesort")
+        txt_parts: list[str] = []
+        md_parts: list[str] = []
+        for part, text, headings in zip(g["part"], g["extracted_text"], g["headings"]):
+            marker = f"\n--- {part} ---\n\n"
+            txt_parts.append(marker + text + "\n\n")
+            heads = set(headings) if headings is not None else set()
+            if heads:
+                lines = [
+                    f"\n## {ln.strip()}\n" if ln.strip() in heads else ln
+                    for ln in text.split("\n")
+                ]
+                text = "\n".join(lines)
+            md_parts.append(marker + text + "\n\n")
+        return pd.DataFrame(
+            {
+                "url": [g["base_url"].iloc[0]],
+                "book_txt": ["".join(txt_parts)],
+                "book_md": ["".join(md_parts)],
+                "n_pages": pd.array([len(g)], dtype="int64"),
+            }
+        )
+
+    slim = extracted.map_batches(add_base, batch_format="pyarrow")
+    return slim.groupby("base_url").map_groups(build, batch_format="pandas")
+
+
 def extraction_pipeline(
     sf_dir: str,
     with_duplicates: bool = False,

@@ -229,3 +229,44 @@ class TestGoldenVerificationJoin:
         assert len(mism) == 1
         assert mism.golden_text.notna().all()            # the golden side survived
         assert mism.extracted_text.isna().all()          # the extracted side is gone
+
+
+class TestConsolidateBooks:
+    def test_ordered_concat_with_markers_and_heading_wrap(self, ray_session):
+        """Reference semantics (src/consolidate.py:53-91): parts sorted by
+        url, '--- part ---' markers, and in book_md any line byte-equal to
+        one of the part's headings wrapped as '\\n## h\\n'; book_txt left
+        plain."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.extraction import consolidate_books
+
+        rows = [
+            # parts arrive out of order; sort must restore a0 < a1
+            {"url": "https://s.example/d#a1", "extracted_text": "Title\nsecond part",
+             "headings": ["Title"]},
+            {"url": "https://s.example/d#a0", "extracted_text": "Title\nfirst part",
+             "headings": ["Title"]},
+            # a single-part doc with no headings: no wrapping at all
+            {"url": "https://s.example/solo", "extracted_text": "plain\nbody",
+             "headings": []},
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        out = consolidate_books(ds).to_pandas().set_index("url")
+
+        d = out.loc["https://s.example/d"]
+        assert d.n_pages == 2
+        assert d.book_txt == (
+            "\n--- a0 ---\n\nTitle\nfirst part\n\n"
+            "\n--- a1 ---\n\nTitle\nsecond part\n\n"
+        )
+        assert d.book_md == (
+            "\n--- a0 ---\n\n\n## Title\n\nfirst part\n\n"
+            "\n--- a1 ---\n\n\n## Title\n\nsecond part\n\n"
+        )
+        solo = out.loc["https://s.example/solo"]
+        assert solo.n_pages == 1
+        # part key falls back to the full url when there is no fragment
+        assert solo.book_txt == "\n--- https://s.example/solo ---\n\nplain\nbody\n\n"
+        assert solo.book_md == solo.book_txt
