@@ -216,6 +216,34 @@ def _consolidate_books(sf_dir: str):
     return consolidate_books(_spread_extracted(sf_dir))
 
 
+def _extract_fallback(sf_dir: str):
+    """Fallback-chain query (E15 analog, src/layout_ocr.py:50-66): a
+    deterministic slice of payloads (doc_id % 10 == 7) is corrupted to
+    unparseable bytes; the ensemble result fails the quality floor and
+    the engine falls back to the crawl's raw text column — closed-form
+    recoverable, so the whole chain is oracle-checked."""
+    import pyarrow as pa
+
+    from ebook_ocr_ray.pipelines.extraction import extract, pages_dataset, prepare_pages
+
+    GARBAGE = b"\x00\x01###$$$%%%&&&***!!!<<<>>>///\\\\|||~~~^^^"
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        payloads = batch["html"].to_pylist()
+        for i, u in enumerate(urls):
+            if int(u.rsplit("/", 1)[1]) % 10 == 7:
+                payloads[i] = GARBAGE
+        return batch.set_column(
+            batch.schema.get_field_index("html"), "html", pa.array(payloads, pa.binary())
+        )
+
+    pages = pages_dataset(sf_dir).map_batches(corrupt, batch_format="pyarrow")
+    return extract(prepare_pages(pages)).select_columns(
+        ["url", "extracted_text", "engine"]
+    )
+
+
 def _heading_pattern_stats(sf_dir: str):
     """Corpus heading-category histogram (NUMBERED / UNNUMBERED /
     SPECIAL): every synth book contributes 2 numbered structure headings
@@ -267,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_dedup_pages": _sequence_dedup_pages,
         "split_spreads": _split_spreads,
         "consolidate_books": _consolidate_books,
+        "extract_fallback": _extract_fallback,
         "lineage_sites": _lineage_sites,
         # relational / windowed (aggregates returned as total-ordered frames)
         "q1_pricing": lambda sf: _sorted_frame(
@@ -351,6 +380,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT {_URL_SQL} || '#a1' AS url,
                    {_TEXT_SQL} || ' updated revision content' AS extracted_text
+            FROM documents
+        """,
+        "extract_fallback": f"""
+            SELECT {_URL_SQL} AS url,
+                   CASE WHEN doc_id % 10 = 7 THEN text
+                        ELSE {_TEXT_SQL} END AS extracted_text,
+                   CASE WHEN doc_id % 10 = 7 THEN 'raw_text'
+                        ELSE 'ensemble' END AS engine
             FROM documents
         """,
         "consolidate_books": f"""

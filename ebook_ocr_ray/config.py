@@ -76,7 +76,17 @@ DEFAULT_NUM_PARTITIONS = 64
 # extraction path (skew-aware split)
 OVERSIZE_BLOB_BYTES = 1 << 18
 
-ENGINE_VERSION = "ebook-ocr-ray/0.1"
+ENGINE_VERSION = "ebook-ocr-ray/0.2"   # 0.2: fallback chain + engine column
+
+# --- low-quality fallback chain (analog of ocr_with_fallback, ----------
+# src/layout_ocr.py:50-66, with the quality floor from is_low_quality,
+# src/layout_ocr_utils.py:49-66)
+
+FALLBACK_MIN_LENGTH = 10        # stripped ensemble text shorter -> low quality
+FALLBACK_MAX_NON_CHAR = 0.5     # non-word-char ratio above -> low quality
+# default weight a registered extra extractor gets when none is supplied
+# (the reference's 4th engine weight, tesseract 0.8, runners.py:344-389)
+EXTRA_EXTRACTOR_WEIGHT = 0.8
 
 
 @dataclass(frozen=True)
@@ -87,6 +97,13 @@ class ExtractionConfig:
     reference's rule for trim parameters (validate_trim_value,
     src/preprocessing/split_spread.py:63-76 / SURVEY.md M2) applied to the
     whole tuning surface: a bad config fails the job before any task runs.
+
+    ``custom_extractors`` opens the registry (SURVEY.md §2.10 / the
+    reference's optional 4th engine, runners.py:344-389): map a new name
+    to a ``blocks -> list[Span]`` callable, list the name in
+    ``extractors``, and optionally give it a vote weight in ``weights``
+    (default EXTRA_EXTRACTOR_WEIGHT). The callable ships to workers with
+    the config object — no package edit required.
     """
 
     extractors: tuple[str, ...] = ("dom", "density", "readability")
@@ -96,15 +113,29 @@ class ExtractionConfig:
     row_tol: float = ROW_CLUSTER_TOL
     align_tol: float = CROSS_SOURCE_TOL
     num_partitions: int = DEFAULT_NUM_PARTITIONS
+    custom_extractors: dict[str, object] = field(default_factory=dict)
+    fallback_enabled: bool = True
+    fallback_min_length: int = FALLBACK_MIN_LENGTH
+    fallback_max_non_char: float = FALLBACK_MAX_NON_CHAR
 
     def __post_init__(self) -> None:
         if not self.extractors:
             raise ValueError("extractors must not be empty")
-        unknown = [e for e in self.extractors if e not in EXTRACTOR_WEIGHTS]
+        known = set(EXTRACTOR_WEIGHTS) | set(self.custom_extractors)
+        unknown = [e for e in self.extractors if e not in known]
         if unknown:
             raise ValueError(
-                f"unknown extractor(s) {unknown}; known: {sorted(EXTRACTOR_WEIGHTS)}"
+                f"unknown extractor(s) {unknown}; known: {sorted(known)}"
             )
+        not_callable = [
+            n for n, fn in self.custom_extractors.items() if not callable(fn)
+        ]
+        if not_callable:
+            raise ValueError(f"custom extractor(s) not callable: {not_callable}")
+        # every custom extractor in play gets a weight (explicit or default)
+        for name in self.extractors:
+            if name not in self.weights:
+                self.weights[name] = EXTRA_EXTRACTOR_WEIGHT
         if self.primary not in self.extractors:
             raise ValueError(
                 f"primary {self.primary!r} not among extractors {self.extractors}"
@@ -115,3 +146,7 @@ class ExtractionConfig:
             raise ValueError("clustering tolerances must be positive")
         if self.num_partitions < 1:
             raise ValueError(f"num_partitions must be >= 1, got {self.num_partitions}")
+        if self.fallback_min_length < 0:
+            raise ValueError("fallback_min_length must be >= 0")
+        if not 0.0 <= self.fallback_max_non_char <= 1.0:
+            raise ValueError("fallback_max_non_char must be in [0, 1]")

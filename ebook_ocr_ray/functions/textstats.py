@@ -109,3 +109,29 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
         for s in word_shingles(text, k)
     ]
     return np.array(hs, dtype=np.uint64) if hs else np.empty(0, dtype=np.uint64)
+
+
+# --- extraction-quality floor (fallback chain) -----------------------------
+
+_WORDISH_RE = re.compile(r"[぀-ゟ゠-ヿ一-鿿\w]")
+
+
+def non_char_ratio(text: str) -> float:
+    """Fraction of characters that are neither word characters nor CJK
+    (the reference's non-text ratio, src/layout_ocr_utils.py:33-47):
+    garbage payloads decode to mostly punctuation/replacement chars."""
+    if not text:
+        return 0.0
+    return 1.0 - len(_WORDISH_RE.findall(text)) / len(text)
+
+
+def is_low_quality(
+    text: str, min_length: int = 10, max_non_char_ratio: float = 0.5
+) -> bool:
+    """Quality floor for extracted text (src/layout_ocr_utils.py:49-66):
+    empty/whitespace-only, shorter than ``min_length`` after strip, or
+    more than ``max_non_char_ratio`` non-word characters."""
+    stripped = text.strip() if text else ""
+    if not stripped or len(stripped) < min_length:
+        return True
+    return non_char_ratio(text) > max_non_char_ratio

@@ -135,6 +135,7 @@ OUT_FIELDS = [
     ("gaps_filled", pa.int32()),
     ("agreement_milli", pa.int32()),
     ("contributions", pa.string()),
+    ("engine", pa.string()),
     ("error", pa.string()),
 ]
 OUT_SCHEMA = pa.schema(OUT_FIELDS)
@@ -151,7 +152,13 @@ def extract_one(
 
     html = payload.decode("utf-8", errors="replace")
     blocks = parse_blocks(html)
-    source_spans = {name: EXTRACTOR_FNS[name](blocks) for name in cfg.extractors}
+    # registry resolution: config-registered callables extend the built-in
+    # dict (the open-registry surface, SURVEY.md §2.10 / reference 4th
+    # engine runners.py:344-389)
+    source_spans = {
+        name: (cfg.custom_extractors.get(name) or EXTRACTOR_FNS[name])(blocks)
+        for name in cfg.extractors
+    }
     merged = merge_sources(
         source_spans,
         weights=cfg.weights,
@@ -193,8 +200,18 @@ class DocumentExtractor:
         self.cfg = cfg or ExtractionConfig()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ebook_ocr_ray.functions.textstats import is_low_quality
+
         urls = batch["url"].to_pylist()
         payloads = batch["html"].to_pylist()
+        # the crawl-supplied plain-text column is the chain's engine of
+        # last resort (the tesseract slot in ocr_with_fallback,
+        # src/layout_ocr.py:50-66) — absent when the caller stripped it
+        raw_texts = (
+            batch["text"].to_pylist()
+            if "text" in batch.column_names
+            else [None] * len(urls)
+        )
 
         texts: list[str] = []
         headings: list[list[str]] = []
@@ -202,24 +219,49 @@ class DocumentExtractor:
         gaps: list[int] = []
         contribs: list[str] = []
         agreements: list[int] = []
+        engines: list[str] = []
         errors: list[str | None] = []
-        for payload in payloads:
+
+        def fall_back(raw: str | None) -> None:
+            raw = raw or ""
+            texts.append(raw)
+            headings.append([])
+            n_lines.append(len(raw.split("\n")) if raw else 0)
+            gaps.append(0)
+            contribs.append(json.dumps({"raw_text": len(raw.split("\n")) if raw else 0}))
+            agreements.append(0)
+            engines.append("raw_text")
+
+        for payload, raw in zip(payloads, raw_texts):
             try:
                 t, h, n, g, c, a = extract_one(payload or b"", self.cfg)
-                texts.append(t)
-                headings.append(h)
-                n_lines.append(n)
-                gaps.append(g)
-                contribs.append(json.dumps(c, sort_keys=True))
-                agreements.append(int(round(a * 1000)))
+                low = self.cfg.fallback_enabled and is_low_quality(
+                    t, self.cfg.fallback_min_length, self.cfg.fallback_max_non_char
+                )
+                if low and raw and not is_low_quality(
+                    raw, self.cfg.fallback_min_length, self.cfg.fallback_max_non_char
+                ):
+                    fall_back(raw)
+                else:
+                    texts.append(t)
+                    headings.append(h)
+                    n_lines.append(n)
+                    gaps.append(g)
+                    contribs.append(json.dumps(c, sort_keys=True))
+                    agreements.append(int(round(a * 1000)))
+                    engines.append("ensemble")
                 errors.append(None)
             except Exception as exc:  # poison-document guard
-                texts.append("")
-                headings.append([])
-                n_lines.append(0)
-                gaps.append(0)
-                contribs.append("{}")
-                agreements.append(0)
+                if self.cfg.fallback_enabled and raw:
+                    fall_back(raw)                       # recovery, error kept
+                else:
+                    texts.append("")
+                    headings.append([])
+                    n_lines.append(0)
+                    gaps.append(0)
+                    contribs.append("{}")
+                    agreements.append(0)
+                    engines.append("none")
                 errors.append(f"{type(exc).__name__}: {exc}")
 
         has_meta = "content_sha" in batch.column_names
@@ -247,6 +289,7 @@ class DocumentExtractor:
             pa.array(gaps, pa.int32()),
             pa.array(agreements, pa.int32()),
             pa.array(contribs, pa.string()),
+            pa.array(engines, pa.string()),
             pa.array(errors, pa.string()),
         ]
         return pa.Table.from_arrays(arrays, schema=OUT_SCHEMA)

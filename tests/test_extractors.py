@@ -179,3 +179,114 @@ class TestHtmlRobustness:
         html, expected = self.CASES[name]
         got, *_ = extract_one(html.encode(), ExtractionConfig())
         assert got == expected
+
+
+class TestFallbackChain:
+    """E15 analog: ensemble -> raw text column fallback chain
+    (src/layout_ocr.py:50-66, quality floor src/layout_ocr_utils.py:49-66)."""
+
+    GOOD = b"<main><p>perfectly ordinary extracted body text here.</p></main>"
+    GARBAGE = b"\x00\x01###$$$%%%&&&***!!!<<<>>>///\\\\|||~~~^^^"
+
+    def _run(self, payload, raw_text, cfg=None):
+        import pyarrow as pa
+
+        from ebook_ocr_ray.config import ExtractionConfig
+        from ebook_ocr_ray.stages.extract import DocumentExtractor
+
+        import datetime as dt
+        batch = pa.Table.from_pylist(
+            [{"url": "https://x.example/f", "warc_ts": dt.datetime(2026, 1, 1),
+              "html": payload, "text": raw_text, "lang": "en"}]
+        )
+        out = DocumentExtractor(cfg or ExtractionConfig())(batch)
+        return out.to_pylist()[0]
+
+    def test_low_quality_falls_back_to_raw_text(self):
+        row = self._run(self.GARBAGE, "raw crawl text recovered intact")
+        assert row["engine"] == "raw_text"
+        assert row["extracted_text"] == "raw crawl text recovered intact"
+        assert row["error"] is None
+
+    def test_healthy_extraction_stays_ensemble(self):
+        row = self._run(self.GOOD, "raw crawl text")
+        assert row["engine"] == "ensemble"
+        assert "ordinary extracted body text" in row["extracted_text"]
+
+    def test_exception_recovers_via_fallback_but_keeps_error(self):
+        # %PDF magic without a parseable layout raises in the pdf path
+        row = self._run(b"%PDF-not really a pdf", "raw crawl text recovered intact")
+        assert row["engine"] == "raw_text"
+        assert row["extracted_text"] == "raw crawl text recovered intact"
+        assert row["error"] is not None
+
+    def test_low_quality_raw_does_not_replace_ensemble(self):
+        # raw side also fails the floor -> keep the ensemble result
+        row = self._run(self.GARBAGE, "###")
+        assert row["engine"] == "ensemble"
+
+    def test_fallback_disabled_preserves_old_behavior(self):
+        from ebook_ocr_ray.config import ExtractionConfig
+
+        row = self._run(
+            self.GARBAGE, "raw crawl text recovered intact",
+            ExtractionConfig(fallback_enabled=False),
+        )
+        assert row["engine"] == "ensemble"
+
+    def test_quality_floor_units(self):
+        from ebook_ocr_ray.functions.textstats import is_low_quality, non_char_ratio
+
+        assert is_low_quality("")
+        assert is_low_quality("   ")
+        assert is_low_quality("short")                    # < 10 chars
+        assert not is_low_quality("long enough ordinary text")
+        assert is_low_quality("#### $$$$ %%%% !!!!")       # ratio > 0.5
+        assert non_char_ratio("abcd") == 0.0
+        assert non_char_ratio("####") == 1.0
+
+
+class TestOpenExtractorRegistry:
+    """A7 analog: a user-registered 4th variant (weight 0.8 default,
+    runners.py:344-389) participates in the vote without package edits."""
+
+    def test_fourth_variant_end_to_end(self):
+        from ebook_ocr_ray.config import ExtractionConfig
+        from ebook_ocr_ray.functions.html_extract import extract_dom
+        from ebook_ocr_ray.stages.extract import extract_one
+
+        calls = []
+
+        def fourth(blocks):
+            calls.append(len(blocks))
+            return extract_dom(blocks)
+
+        cfg = ExtractionConfig(
+            extractors=("dom", "density", "readability", "tess"),
+            custom_extractors={"tess": fourth},
+        )
+        assert cfg.weights["tess"] == 0.8                 # default weight
+        text, _h, _n, _g, contributions, _a = extract_one(
+            b"<main><p>body text for the four way vote.</p></main>", cfg
+        )
+        assert calls, "custom extractor was never invoked"
+        assert "body text for the four way vote." in text
+        assert "tess" in contributions
+
+    def test_unknown_extractor_still_rejected(self):
+        import pytest
+
+        from ebook_ocr_ray.config import ExtractionConfig
+
+        with pytest.raises(ValueError, match="unknown extractor"):
+            ExtractionConfig(extractors=("dom", "nope"))
+
+    def test_non_callable_rejected(self):
+        import pytest
+
+        from ebook_ocr_ray.config import ExtractionConfig
+
+        with pytest.raises(ValueError, match="not callable"):
+            ExtractionConfig(
+                extractors=("dom", "bad"), custom_extractors={"bad": 42}
+            )
