@@ -44,6 +44,57 @@ _CHAPTER_HEAD, _SECTION_HEAD = build_head_patterns()
 _EMPHASIS_SPLIT = re.compile(r"\*\*(.+?)\*\*")
 
 
+# --- read-aloud exclusion table (G4) ---------------------------------------
+# Priority-ordered heading exclusion patterns, the static half of the
+# reference's DEFAULT_EXCLUSION_PATTERNS (src/book_converter/config.py:12-61)
+# + match_exclusion_pattern (analyzer.py:154-181). The dynamic half
+# (running-head detection) stays in detect_running_head. Config-driven per
+# SURVEY.md §2.10: pass a custom table to build_book_xml to extend it.
+
+
+class ExclusionPattern:
+    """One read-aloud exclusion rule: a heading matching ``pattern`` is
+    emitted with readAloud="false". ``pattern=None`` marks the dynamic
+    running-head slot (handled elsewhere; kept so custom tables can mirror
+    the reference's priority ordering)."""
+
+    __slots__ = ("id", "priority", "pattern", "description", "_compiled")
+
+    def __init__(self, id: str, priority: int, pattern: str | None,
+                 description: str = ""):
+        self.id = id
+        self.priority = priority
+        self.pattern = pattern
+        self.description = description
+        self._compiled = re.compile(pattern) if pattern else None
+
+    def matches(self, text: str) -> bool:
+        return bool(self._compiled and self._compiled.match(text))
+
+
+DEFAULT_EXCLUSION_PATTERNS: tuple[ExclusionPattern, ...] = (
+    ExclusionPattern("running-head", 100, None, "running head (dynamic)"),
+    ExclusionPattern("page-number", 90, r".*[―—]\s*\d+\s*/\s*\d+$", "page position"),
+    ExclusionPattern("decoration", 50, r"^[◆◇■□●○▲△]+$", "decoration-only"),
+    ExclusionPattern("section-label", 50, r"^Section\s+\d+\.\d+$", "bare section label"),
+    ExclusionPattern("reference", 30, r"^Webサイト$", "website reference"),
+    ExclusionPattern("footnote", 30, r"^注\d+\.\d+", "footnote number"),
+)
+
+
+def match_exclusion(
+    text: str, patterns: tuple[ExclusionPattern, ...] = DEFAULT_EXCLUSION_PATTERNS
+) -> ExclusionPattern | None:
+    """First matching static pattern in priority order (ties keep table
+    order), or None — reference analyzer.py:154-181 semantics."""
+    if not text:
+        return None
+    for p in sorted(patterns, key=lambda p: -p.priority):
+        if p.matches(text):
+            return p
+    return None
+
+
 def set_text_with_emphasis(node: ET.Element, text: str) -> None:
     """``**x**`` runs become <em> children (reference
     transformer_utils.py:80-116); plain text stays as node.text."""
@@ -98,18 +149,46 @@ def _is_duplicate_heading(heading_text: str, container_title: str) -> bool:
     return normalize_heading(bare) == normalize_heading(container_title) != ""
 
 
+def _apply_exclusions(
+    doc: ParsedDoc, patterns: tuple[ExclusionPattern, ...]
+) -> ParsedDoc:
+    """readAloud="false" on every heading matching the static exclusion
+    table (reference apply_read_aloud_rules, analyzer.py:213-271).
+    Returns the input unchanged when nothing matches."""
+    from dataclasses import replace
+
+    changed = False
+    new_pages = []
+    for page in doc.pages:
+        els = []
+        for el in page.elements:
+            if (
+                el.kind == "heading"
+                and el.read_aloud
+                and match_exclusion(el.text, patterns) is not None
+            ):
+                el = replace(el, read_aloud=False)
+                changed = True
+            els.append(el)
+        new_pages.append(replace(page, elements=els))
+    return replace(doc, pages=new_pages) if changed else doc
+
+
 def build_book_xml(
     doc: ParsedDoc,
     title: str = "",
     level_keywords: dict[int, tuple[str, ...]] | None = None,
+    exclusion_patterns: tuple[ExclusionPattern, ...] = DEFAULT_EXCLUSION_PATTERNS,
 ) -> str:
     """Serialize a parsed document to the book XML contract.
-    ``level_keywords`` overrides the structure-keyword config (§2.10)."""
+    ``level_keywords`` overrides the structure-keyword config (§2.10);
+    ``exclusion_patterns`` the read-aloud exclusion table (G4)."""
     chapter_head, section_head = (
         build_head_patterns(level_keywords)
         if level_keywords is not None
         else (_CHAPTER_HEAD, _SECTION_HEAD)
     )
+    doc = _apply_exclusions(doc, exclusion_patterns)
     running_head = detect_running_head(doc)
     toc = match_toc_to_headings(doc.toc, doc.headings)
 

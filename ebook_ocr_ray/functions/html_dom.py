@@ -62,6 +62,10 @@ class Block:
         return "head" in self.path
 
     @property
+    def in_figure(self) -> bool:
+        return "figure" in self.path
+
+    @property
     def is_heading(self) -> bool:
         return self.tag in HEADING_TAGS
 

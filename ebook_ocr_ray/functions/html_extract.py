@@ -44,11 +44,27 @@ def _content_blocks(blocks: list[Block]) -> list[Block]:
 def extract_dom(blocks: list[Block]) -> list[Span]:
     """Structural extraction: if the document declares a <main>/<article>
     landmark, its blocks are the content; otherwise everything in <body>
-    that is not inside chrome elements."""
+    that is not inside chrome elements. Figure innards (<figcaption> and
+    any text inside <figure>) are the primary's figure ZONES, not content
+    — excluded here and masked from the other variants downstream (analog
+    of yomitoku's figure detection, runners.py:392-448)."""
     body = _content_blocks(blocks)
     main = [b for b in body if b.in_main]
     chosen = main if main else [b for b in body if not b.in_chrome]
-    return [_block_span(b, DOM_CONF) for b in chosen]
+    return [_block_span(b, DOM_CONF) for b in chosen if not b.in_figure]
+
+
+def figure_zones(blocks: list[Block]) -> list[tuple[float, float, float, float]]:
+    """Bounding boxes of every figure-contained block, in the same
+    synthetic span geometry the extractors emit — the primary variant's
+    figure-zone report (analog of EngineResult.figures,
+    src/rover/engines/runners.py:392-448)."""
+    zones = []
+    for b in _content_blocks(blocks):
+        if b.in_figure and b.text:
+            y = b.offset * OFFSET_Y_SCALE
+            zones.append((0.0, y - 8.0, 8.0 * len(b.text), y + 8.0))
+    return zones
 
 
 def extract_density(blocks: list[Block]) -> list[Span]:

@@ -95,9 +95,14 @@ def md5_fingerprint(text: str) -> str:
 
 
 def word_shingles(text: str, k: int = 3) -> list[str]:
-    words = text.split(" ")
+    """Empty / whitespace-only text yields NO shingles (so the sketch
+    sentinels — minhash all-max, simhash 0 — actually fire and empty docs
+    never become LSH candidates of each other)."""
+    words = text.split(" ") if text and text.strip() else []
+    if not words:
+        return []
     if len(words) < k:
-        return [" ".join(words)] if words else []
+        return [" ".join(words)]
     return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
 
 

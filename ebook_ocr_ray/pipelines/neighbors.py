@@ -46,10 +46,32 @@ def _final_topk(k: int):
     return fn
 
 
-def _load_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    t = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    emb = np.asarray(t["embedding"].to_list(), dtype=np.float64)
-    return t["vec_id"].to_numpy(), emb, t["label"].to_numpy()
+def _load_training_sample(
+    sf_dir: str, cap: int = 4096
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bounded, deterministic training sample for centroid fitting: a
+    stride over vec_id computed from the table's metadata row count, so
+    at most ~``cap`` vectors ever reach the driver no matter the corpus
+    size (the at-scale replacement for loading the whole table). The
+    stride filter runs distributed inside map_batches."""
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    step = max(1, n_rows // cap)
+
+    def stride(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % step == 0))
+
+    t = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(stride, batch_format="pyarrow")
+        .to_pandas()
+    )
+    t = t.sort_values("vec_id")
+    return t["vec_id"].to_numpy(), np.asarray(t["embedding"].to_list(), dtype=np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -115,12 +137,13 @@ def knn_ivf(
     nprobe: int = 4,
     lloyd_iters: int = 2,
 ) -> ray.data.Dataset:
-    """IVF approximate top-k. Centroid training is deterministic: seeds are
-    the first ``n_cells`` vectors, refined with ``lloyd_iters`` Lloyd steps
-    driver-side (centroids are tiny); assignment + probing are distributed.
-    At real scale the train set is a bounded ``random_sample`` of the
-    table; cells become the shuffle/partition key."""
-    ids, emb, _ = _load_matrix(sf_dir)
+    """IVF approximate top-k. Centroid training is deterministic and
+    BOUNDED: a stride-sampled training set (<= ~4096 vectors regardless of
+    table size) seeds the first ``n_cells`` vectors and refines with
+    ``lloyd_iters`` Lloyd steps driver-side (centroids are tiny);
+    assignment + probing are distributed. Cells are the shuffle/partition
+    key at scale."""
+    ids, emb = _load_training_sample(sf_dir)
     u = _normalize(emb)
     centroids = u[:n_cells].copy()
     for _ in range(lloyd_iters):
@@ -132,8 +155,11 @@ def knn_ivf(
         centroids = _normalize(centroids)
     cent_ref = ray.put(centroids)
 
-    q_ids = ids[ids < n_queries]
-    q_mat = u[ids < n_queries]
+    qt = pd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "<", n_queries)]
+    ).sort_values("vec_id")
+    q_ids = qt.vec_id.to_numpy()
+    q_mat = _normalize(np.asarray(qt.embedding.to_list(), dtype=np.float64))
     q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
     probe_ref = ray.put((q_ids, q_mat, q_cells))
 

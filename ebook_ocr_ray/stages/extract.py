@@ -30,7 +30,7 @@ import pyarrow as pa
 from ebook_ocr_ray.config import DEFAULT_NUM_PARTITIONS, ExtractionConfig
 from ebook_ocr_ray.functions.ensemble import merge_sources
 from ebook_ocr_ray.functions.html_dom import parse_blocks
-from ebook_ocr_ray.functions.html_extract import EXTRACTOR_FNS
+from ebook_ocr_ray.functions.html_extract import EXTRACTOR_FNS, figure_zones
 from ebook_ocr_ray.functions.pdf_extract import extract_pdf_text, is_pdf_payload
 
 
@@ -159,6 +159,24 @@ def extract_one(
         name: (cfg.custom_extractors.get(name) or EXTRACTOR_FNS[name])(blocks)
         for name in cfg.extractors
     }
+    # figure-zone masking (A8, runners.py:392-448 + core.py:98-196): the
+    # primary variant reports figure zones; any OTHER variant's span whose
+    # center falls inside a zone is dropped before voting, so a variant
+    # that kept caption/figure text cannot out-vote the primary's
+    # content judgement
+    if cfg.primary == "dom" and "dom" not in cfg.custom_extractors:
+        zones = figure_zones(blocks)
+        if zones:
+            from ebook_ocr_ray.functions.geometry import center_in
+
+            for name, spans in source_spans.items():
+                if name == cfg.primary:
+                    continue
+                source_spans[name] = [
+                    s
+                    for s in spans
+                    if not any(center_in(z, (s.x1, s.y1, s.x2, s.y2)) for z in zones)
+                ]
     merged = merge_sources(
         source_spans,
         weights=cfg.weights,

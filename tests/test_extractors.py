@@ -290,3 +290,44 @@ class TestOpenExtractorRegistry:
             ExtractionConfig(
                 extractors=("dom", "bad"), custom_extractors={"bad": 42}
             )
+
+
+class TestFigureZoneMasking:
+    """A8 analog (runners.py:392-448): the primary's figure zones mask
+    other variants' spans before voting, so caption text a non-primary
+    variant kept cannot flip a vote."""
+
+    FIG_HTML = (
+        b"<main><p>real body content line one here.</p>"
+        b"<figure><figcaption>spurious caption text the vote must not keep."
+        b"</figcaption></figure>"
+        b"<p>real body content line two here.</p></main>"
+    )
+
+    def test_caption_text_masked_from_vote(self):
+        from ebook_ocr_ray.config import ExtractionConfig
+        from ebook_ocr_ray.stages.extract import extract_one
+
+        text, _h, _n, _g, _c, _a = extract_one(self.FIG_HTML, ExtractionConfig())
+        assert "real body content line one here." in text
+        assert "real body content line two here." in text
+        assert "spurious caption" not in text
+
+    def test_unmasked_variant_would_keep_caption(self):
+        """Control: without masking (density alone as primary), the
+        caption text IS kept — proving the mask is what removes it."""
+        from ebook_ocr_ray.config import ExtractionConfig
+        from ebook_ocr_ray.stages.extract import extract_one
+
+        cfg = ExtractionConfig(extractors=("density",), primary="density")
+        text, *_ = extract_one(self.FIG_HTML, cfg)
+        assert "spurious caption" in text
+
+    def test_zone_report_geometry(self):
+        from ebook_ocr_ray.functions.html_dom import parse_blocks
+        from ebook_ocr_ray.functions.html_extract import figure_zones
+
+        zones = figure_zones(parse_blocks(self.FIG_HTML.decode()))
+        assert len(zones) == 1
+        (x1, y1, x2, y2) = zones[0]
+        assert x1 == 0.0 and x2 > 0 and y2 > y1

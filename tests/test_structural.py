@@ -403,3 +403,72 @@ class TestConfigurableStructureKeywords:
         # custom: a real numbered chapter opens
         ch = croot.find("chapter")
         assert ch.get("number") == "2" and ch.get("title") == "Custom Structure"
+
+
+class TestReadAloudExclusionTable:
+    """G4 static half: priority-ordered heading exclusion regex table
+    (reference DEFAULT_EXCLUSION_PATTERNS, src/book_converter/config.py:
+    12-61; matcher analyzer.py:154-181)."""
+
+    def test_each_static_pattern(self):
+        from ebook_ocr_ray.functions.bookxml import match_exclusion
+
+        assert match_exclusion("Chapter title — 12 / 340").id == "page-number"
+        assert match_exclusion("◆◇◆◇").id == "decoration"
+        assert match_exclusion("Section 3.2").id == "section-label"
+        assert match_exclusion("Webサイト").id == "reference"
+        assert match_exclusion("注1.2 something").id == "footnote"
+        assert match_exclusion("Section 3.2 With a title") is None
+        assert match_exclusion("ordinary heading") is None
+        assert match_exclusion("") is None
+
+    def test_priority_order_wins(self):
+        from ebook_ocr_ray.functions.bookxml import ExclusionPattern, match_exclusion
+
+        table = (
+            ExclusionPattern("low", 10, r"^dup$"),
+            ExclusionPattern("high", 99, r"^dup$"),
+        )
+        assert match_exclusion("dup", table).id == "high"
+
+    def test_matched_heading_emits_read_aloud_false(self):
+        from ebook_ocr_ray.functions.bookparse import parse_document
+        from ebook_ocr_ray.functions.bookxml import build_book_xml
+
+        md = "\n".join(
+            [
+                "--- Page 1 (page_0001.png) ---",
+                "# Chapter 1 Opening",
+                "body words here.",
+                "### ◆◇◆◇",               # decoration-only heading -> excluded
+                "more body words.",
+            ]
+        )
+        xml = build_book_xml(parse_document(md))
+        assert 'readAloud="false">◆◇◆◇' in xml.replace("\n", "")
+        assert 'readAloud="true"' in xml            # ordinary content unaffected
+
+    def test_custom_table_extends_config_surface(self):
+        from ebook_ocr_ray.functions.bookparse import parse_document
+        from ebook_ocr_ray.functions.bookxml import (
+            DEFAULT_EXCLUSION_PATTERNS,
+            ExclusionPattern,
+            build_book_xml,
+        )
+
+        md = "\n".join(
+            [
+                "--- Page 1 (page_0001.png) ---",
+                "# Chapter 1 Opening",
+                "body words here.",
+                "## DRAFT",
+                "more body words.",
+            ]
+        )
+        table = DEFAULT_EXCLUSION_PATTERNS + (
+            ExclusionPattern("draft", 60, r"^DRAFT$"),
+        )
+        plain = build_book_xml(parse_document(md))
+        custom = build_book_xml(parse_document(md), exclusion_patterns=table)
+        assert 'readAloud="false"' not in plain
+        assert 'readAloud="false">DRAFT' in custom.replace("\n", "")

@@ -63,7 +63,7 @@ class TestShingles:
 
         assert word_shingles("a b c d", 3) == ["a b c", "b c d"]
         assert word_shingles("a b", 3) == ["a b"]       # fewer words than k
-        assert word_shingles("", 3) == [""]              # degenerate single
+        assert word_shingles("", 3) == []                # empty -> sentinel fires
 
     def test_shingle_hashes_stable_and_typed(self):
         import numpy as np
@@ -84,3 +84,25 @@ class TestRollingFingerprint:
         assert rolling_fingerprint("abc") == rolling_fingerprint("abc")
         assert rolling_fingerprint("") == 0
         assert rolling_fingerprint("a") == ord("a")
+
+
+class TestEmptyTextSketches:
+    def test_empty_text_yields_no_shingles(self):
+        from ebook_ocr_ray.functions.textstats import word_shingles
+
+        assert word_shingles("") == []
+        assert word_shingles("   ") == []
+        assert word_shingles("one two") == ["one two"]
+
+    def test_sketch_sentinels_fire_for_empty_docs(self):
+        """Empty docs must take the sentinel branches (minhash all-max,
+        simhash 0) instead of sharing one real signature and becoming LSH
+        candidates of each other (ADVICE round 1)."""
+        import numpy as np
+
+        from ebook_ocr_ray.functions.sketches import minhash_signature, simhash64
+
+        sig = minhash_signature("")
+        assert (sig == np.iinfo(np.uint64).max).all()
+        assert simhash64("") == 0
+        assert simhash64("   ") == 0
