@@ -150,6 +150,14 @@ def _media_frame_counts(sf_dir: str):
     )
 
 
+def _media_frame_index(sf_dir: str):
+    """Exact 1->N frame-sample layout: one row per sampled frame with its
+    source frame index (0, 5, 10, ... per video) — closed-form oracle."""
+    from ebook_ocr_ray.stages.multimodal import video_frames
+
+    return video_frames(sf_dir, every=5).select_columns(["media_id", "frame_idx"])
+
+
 def _heading_rules(sf_dir: str):
     """Every denormalized book carries exactly 2 repairable defects
     (chapter lost its number -> ADD_NUMBER; section number uses a dash
@@ -329,11 +337,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction metadata (rows-only: ensemble internals)
         "extract_metrics": _extract_metrics,             # rows-only
         # structural stage (book_converter analog)
-        "structural_xml": _structural_xml,               # rows-only (XML strings)
+        "structural_xml": _structural_xml,
         "structural_stats": _structural_stats,
         # multimodal columns (binary payload + typed metadata)
-        "media_image_features": _media_image_features,   # rows-only (stub codec)
+        "media_image_features": _media_image_features,
         "media_frame_counts": _media_frame_counts,
+        "media_frame_index": _media_frame_index,
         # heading normalization / self-repair rules
         "heading_rules": _heading_rules,
         # corpus-level boilerplate mining (groupby site)
@@ -530,6 +539,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    CAST(ceil((10 + doc_id % 20) / 5.0) AS BIGINT) AS n_frames
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "media_frame_index": """
+            SELECT doc_id AS media_id,
+                   CAST(unnest(generate_series(0, 10 + doc_id % 20 - 1, 5)) AS INT)
+                       AS frame_idx
+            FROM documents WHERE doc_id % 3 = 2
+        """,
+        "media_image_features": """
+            WITH imgs AS (
+              SELECT doc_id AS media_id,
+                     32 + (doc_id % 8) * 16 AS w,
+                     24 + (doc_id % 5) * 12 AS h
+              FROM documents WHERE doc_id % 3 = 0),
+            px AS (
+              SELECT i.media_id, ((x.x * 3 + y.y * 7 + i.media_id) % 256) AS b
+              FROM imgs i,
+                   LATERAL (SELECT unnest(generate_series(0, i.w - 1)) AS x) x,
+                   LATERAL (SELECT unnest(generate_series(0, i.h - 1)) AS y) y),
+            ch AS (
+              SELECT media_id, CAST(b AS DOUBLE) AS v FROM px
+              UNION ALL SELECT media_id, CAST((b * 2) % 256 AS DOUBLE) FROM px
+              UNION ALL SELECT media_id, CAST((b * 5) % 256 AS DOUBLE) FROM px)
+            SELECT media_id, avg(v) AS pix_mean, stddev_pop(v) AS pix_std
+            FROM ch GROUP BY media_id
+        """,
+        "structural_xml": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     greatest(1, CAST(floor(len(string_split(text, ' ')) / 3)
+                                      AS BIGINT)) AS third
+              FROM documents)
+            SELECT doc_id,
+              '<book><metadata><title /><pages>3</pages></metadata>'
+              || '<toc><entry level="1" number="1" page="2" match="exact">Opening</entry>'
+              || '<entry level="2" number="1.1" page="3" match="exact">Detail</entry></toc>'
+              || '<front-matter><pagebreak number="1" /></front-matter>'
+              || '<chapter number="1" title="Opening"><pagebreak number="2" />'
+              || '<paragraph readAloud="true">' || array_to_string(ws[1:third], ' ')
+              || '.</paragraph>'
+              || '<paragraph readAloud="false">boilerplate footer ' || doc_id
+              || '</paragraph>'
+              || '<section number="1.1" title="Detail"><pagebreak number="3" />'
+              || '<paragraph readAloud="true">' || array_to_string(ws[third+1:], ' ')
+              || '.</paragraph>'
+              || '<list type="unordered" readAloud="true"><item>first point</item>'
+              || '<item>second point</item></list>'
+              || '<figure src="fig_' || doc_id || '.png" />'
+              || '<heading level="3" readAloud="true">Deep note</heading>'
+              || '</section></chapter>'
+              || '<!-- ERROR: line 19: heading level 4 clamped to 3 --></book>'
+                  AS book_xml
+            FROM w
         """,
         "heading_rules": """
             SELECT doc_id, CAST(2 AS INT) AS n_rules, CAST(2 AS INT) AS n_applied,
