@@ -97,7 +97,7 @@ def run_bench() -> dict:
     timed("top_terms", lambda: analytics.top_terms(SF_DIR).to_pandas())
     timed("token_stats", lambda: analytics.token_table(SF_DIR).count())
     timed("knn_brute", lambda: neighbors.knn_brute(SF_DIR).to_pandas())
-    timed("minhash_clusters", lambda: neardup.minhash_clusters(SF_DIR))
+    timed("minhash_clusters", lambda: neardup.minhash_clusters(SF_DIR).count())
     timed("dedup_exact_docs", lambda: analytics.dedup_exact_docs(SF_DIR).count())
     timed("structural_xml", lambda: structural_pipeline(SF_DIR).count())
 
