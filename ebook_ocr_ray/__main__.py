@@ -66,15 +66,22 @@ def cmd_extract(args) -> int:
     # dedup survivor state is computed ONCE over the whole corpus (before
     # any wave-level part filtering) so checkpointed runs dedup globally,
     # identically to a non-checkpointed run — only the cheap broadcast
-    # keep-filter runs inside each wave
-    dedup_state = None if args.no_dedup else dedup_survivor_state(
-        base_pages().select_columns(["content_sha", "warc_ts", "url"])
-    )
+    # keep-filter runs inside each wave. Computed LAZILY on the first
+    # wave that actually needs it: a --resume over a finished manifest
+    # must cost zero corpus scans.
+    _state_cache: dict[str, tuple] = {}
+
+    def dedup_state():
+        if "s" not in _state_cache:
+            _state_cache["s"] = dedup_survivor_state(
+                base_pages().select_columns(["content_sha", "warc_ts", "url"])
+            )
+        return _state_cache["s"]
 
     def prepared_pages(parts: set[int] | None = None):
         prepared = base_pages(parts)
-        if dedup_state is not None:
-            prepared = dedup_apply(prepared, *dedup_state)
+        if not args.no_dedup:
+            prepared = dedup_apply(prepared, *dedup_state())
         return prepared
 
     def extracted_factory(parts: set[int]):

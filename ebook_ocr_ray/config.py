@@ -132,10 +132,15 @@ class ExtractionConfig:
         ]
         if not_callable:
             raise ValueError(f"custom extractor(s) not callable: {not_callable}")
-        # every custom extractor in play gets a weight (explicit or default)
+        # resolve the effective weight table WITHOUT mutating the caller's
+        # dict: built-ins missing from an explicit weights dict keep their
+        # canonical weights; only custom extractors default to 0.8
+        merged = dict(EXTRACTOR_WEIGHTS)
+        merged.update(self.weights)
         for name in self.extractors:
-            if name not in self.weights:
-                self.weights[name] = EXTRA_EXTRACTOR_WEIGHT
+            if name not in merged:
+                merged[name] = EXTRA_EXTRACTOR_WEIGHT
+        object.__setattr__(self, "weights", merged)
         if self.primary not in self.extractors:
             raise ValueError(
                 f"primary {self.primary!r} not among extractors {self.extractors}"

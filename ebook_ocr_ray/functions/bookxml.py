@@ -82,14 +82,25 @@ DEFAULT_EXCLUSION_PATTERNS: tuple[ExclusionPattern, ...] = (
 )
 
 
+_DEFAULT_SORTED = tuple(
+    sorted(DEFAULT_EXCLUSION_PATTERNS, key=lambda p: -p.priority)
+)
+
+
 def match_exclusion(
     text: str, patterns: tuple[ExclusionPattern, ...] = DEFAULT_EXCLUSION_PATTERNS
 ) -> ExclusionPattern | None:
     """First matching static pattern in priority order (ties keep table
-    order), or None — reference analyzer.py:154-181 semantics."""
+    order), or None — reference analyzer.py:154-181 semantics. The
+    default table's sort is precomputed: this runs once per heading in
+    the structural hot path."""
     if not text:
         return None
-    for p in sorted(patterns, key=lambda p: -p.priority):
+    if patterns is DEFAULT_EXCLUSION_PATTERNS:
+        ordered = _DEFAULT_SORTED
+    else:
+        ordered = sorted(patterns, key=lambda p: -p.priority)
+    for p in ordered:
         if p.matches(text):
             return p
     return None

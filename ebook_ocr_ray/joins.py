@@ -10,14 +10,15 @@ right tool; at small or sparse key scale (candidate pairs, label tables,
 tiny test corpora) empty partitions are routine.
 
 ``safe_join`` makes emptiness impossible by construction: it appends ONE
-sentinel row per partition per side, keyed by negative integers real
-data never uses, and filters sentinel rows from the output. Sentinel
-keys are found by replicating the shuffle's placement function — it
-hashes a tuple of pyarrow scalars modulo the partition count
-(ray/data/_internal/arrow_ops/transform_pyarrow.py:70-97) and CPython
-integer hashing is PYTHONHASHSEED-independent, so driver-side probing
-predicts worker-side placement exactly. Only int64 keys are supported
-(string hashing IS seed-dependent across processes).
+sentinel row per partition per side, keyed by integers below
+``SENTINEL_CEILING`` (-2^61 — far outside any realistic id space, so
+ordinary negative keys still work), and filters sentinel rows from the
+output. Sentinel keys are found by replicating the shuffle's placement
+function — it hashes a tuple of pyarrow scalars modulo the partition
+count (ray/data/_internal/arrow_ops/transform_pyarrow.py:70-97) and
+CPython integer hashing is PYTHONHASHSEED-independent, so driver-side
+probing predicts worker-side placement exactly. Only int64 keys are
+supported (string hashing IS seed-dependent across processes).
 """
 
 from __future__ import annotations
@@ -27,19 +28,24 @@ import ray.data
 
 _MAX_PROBE = 1_000_000
 
+# Sentinel keys live strictly below this; rows with keys >= it are real.
+# int64 spans +-9.2e18, so any id scheme using values above -2.3e18 — i.e.
+# every realistic one, including signed hashes of up to 61 bits — is safe.
+SENTINEL_CEILING = -(2**61)
+
 
 def sentinel_keys(num_partitions: int) -> list[int]:
-    """Negative int64 keys covering every hash partition id exactly once."""
+    """int64 keys below SENTINEL_CEILING covering every partition once."""
     need = set(range(num_partitions))
     out: list[int] = []
-    k = -1
+    k = SENTINEL_CEILING - 1
     while need:
         pid = hash((pa.scalar(k, pa.int64()),)) % num_partitions
         if pid in need:
             need.remove(pid)
             out.append(k)
         k -= 1
-        if k < -_MAX_PROBE:  # pragma: no cover - would imply a broken hash
+        if k < SENTINEL_CEILING - _MAX_PROBE:  # pragma: no cover
             raise RuntimeError(f"could not cover {len(need)} partitions")
     return out
 
@@ -87,6 +93,7 @@ def safe_join(
     lschema = left_schema if left_schema is not None else _arrow_schema(left)
     rschema = right_schema if right_schema is not None else _arrow_schema(right)
     assert lschema.field(on).type == pa.int64(), "safe_join needs int64 keys"
+    assert rschema.field(right_on).type == pa.int64(), "safe_join needs int64 keys"
     left_s = left.union(
         ray.data.from_arrow(_sentinel_table(lschema, on, keys))
     )
@@ -102,6 +109,6 @@ def safe_join(
     )
 
     def drop_sentinels(t: pa.Table) -> pa.Table:
-        return t.filter(pa.compute.greater_equal(t[on], 0))
+        return t.filter(pa.compute.greater_equal(t[on], SENTINEL_CEILING + 1))
 
     return joined.map_batches(drop_sentinels, batch_format="pyarrow")

@@ -19,6 +19,8 @@ everything after streams slim rows.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -524,17 +526,24 @@ def consolidate_books(extracted: ray.data.Dataset) -> ray.data.Dataset:
     parts; the fold is group-local and ordered, exactly like
     ``sequence_dedup`` — no global sort, no driver state."""
 
+    part_num = re.compile(r"^a(\d+)$")
+
     def add_base(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
-        bases, parts = [], []
+        bases, parts, ords = [], [], []
         for u in urls:
             base, _, frag = u.partition("#")
             bases.append(base)
             parts.append(frag or base)
+            # numeric part index: '#a10' must follow '#a2', so ordering
+            # cannot be the lexicographic url sort (10+-part documents)
+            m = part_num.match(frag)
+            ords.append(int(m.group(1)) if m else 0)
         return pa.table(
             {
                 "base_url": pa.array(bases, pa.string()),
                 "part": pa.array(parts, pa.string()),
+                "part_ord": pa.array(ords, pa.int64()),
                 "url": batch["url"],
                 "extracted_text": batch["extracted_text"],
                 "headings": batch["headings"],
@@ -542,7 +551,7 @@ def consolidate_books(extracted: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     def build(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("url", kind="mergesort")
+        g = group.sort_values(["part_ord", "url"], kind="mergesort")
         txt_parts: list[str] = []
         md_parts: list[str] = []
         for part, text, headings in zip(g["part"], g["extracted_text"], g["headings"]):

@@ -133,7 +133,7 @@ def candidate_pair_dataset(
 
 
 def label_propagation_clusters(
-    edges: ray.data.Dataset, max_iters: int = 10
+    edges: ray.data.Dataset, max_iters: int | None = None
 ) -> ray.data.Dataset:
     """Distributed connected components over an (id_a, id_b) edge dataset:
     iterative min-label propagation, the at-scale replacement for the
@@ -142,8 +142,9 @@ def label_propagation_clusters(
     Each round: explode edges to (node, neighbor_label) in both
     directions, take the min label per node (keyed aggregate), and join
     labels back onto edges by relabeling endpoints. Rounds needed =
-    graph diameter (near-dup clusters are shallow; 10 covers them).
-    Converged when no label changes; returns (doc_id, cluster_id).
+    graph diameter. Default ``max_iters=None`` iterates to the fixpoint
+    (hard cap 200; a warning is logged if the cap is ever hit — wrong
+    labels must never be silent); returns (node, label).
     """
     import ray.data as rd
     from ray.data.aggregate import Min
@@ -160,7 +161,9 @@ def label_propagation_clusters(
         Min("label", alias_name="label")
     ).materialize()
 
-    for _ in range(max_iters):
+    cap = 200 if max_iters is None else max_iters
+    converged = False
+    for _ in range(cap):
         ldf = labels.to_pandas()
         map_ref = ray.put(dict(zip(ldf["node"], ldf["label"])))
 
@@ -188,7 +191,14 @@ def label_propagation_clusters(
         old = ldf.sort_values("node").reset_index(drop=True)
         labels = new_labels
         if old.equals(new):
+            converged = True
             break
+    if not converged:
+        logger.warning(
+            "label_propagation_clusters hit the %d-iteration cap without "
+            "converging — labels for high-diameter components are WRONG; "
+            "raise max_iters", cap,
+        )
     # NOTE: the per-round broadcast of the full label map bounds this
     # variant by driver memory for labels (not edges); see
     # label_propagation_keyed for the join-based variant with no driver
@@ -197,7 +207,7 @@ def label_propagation_clusters(
 
 
 def label_propagation_keyed(
-    edges: ray.data.Dataset, max_iters: int = 10, num_partitions: int = 8
+    edges: ray.data.Dataset, max_iters: int | None = None, num_partitions: int = 8
 ) -> ray.data.Dataset:
     """Fully keyed min-label propagation: labels are attached to edge
     endpoints via hash-partitioned joins on the node key — NO driver-side
@@ -206,7 +216,9 @@ def label_propagation_keyed(
     label_b) to both endpoints, keyed Min aggregate. Convergence is
     detected by a scalar Sum aggregate (labels only ever decrease, so the
     total is a strictly-decreasing potential until the fixpoint) — no
-    label ever crosses the driver.
+    label ever crosses the driver. Default ``max_iters=None`` iterates to
+    the fixpoint (hard cap 200, logged warning if hit — unconverged
+    labels must never be silent).
 
     Costs two hash joins + one aggregate per round vs the broadcast
     variant's one aggregate — use it when the label set can't sit on the
@@ -233,7 +245,9 @@ def label_propagation_keyed(
     edge_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
     lab_schema = lambda name: pa.schema([("node", pa.int64()), (name, pa.int64())])  # noqa: E731
     prev_total = labels.aggregate(Sum("label", alias_name="total"))["total"]
-    for _ in range(max_iters):
+    cap = 200 if max_iters is None else max_iters
+    converged = False
+    for _ in range(cap):
         la = safe_join(
             edges,
             labels.map_batches(
@@ -282,8 +296,15 @@ def label_propagation_keyed(
         labels = new_labels
         total = labels.aggregate(Sum("label", alias_name="total"))["total"]
         if total == prev_total:                          # fixpoint: labels only decrease
+            converged = True
             break
         prev_total = total
+    if not converged:
+        logger.warning(
+            "label_propagation_keyed hit the %d-iteration cap without "
+            "converging — labels for high-diameter components are WRONG; "
+            "raise max_iters", cap,
+        )
     return labels
 
 
@@ -342,6 +363,9 @@ def minhash_clusters(
     def explode_bands(batch: pa.Table) -> pa.Table:
         out_doc, out_band, out_key = [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if not text or not text.strip():
+                continue        # sentinel signature: empty docs are not
+                #                 near-dup candidates of each other
             sig = minhash_signature(text, k_shingle)
             for band, key in lsh_band_keys(sig):
                 out_doc.append(doc_id)
@@ -431,6 +455,8 @@ def simhash_pairs(
     def explode(batch: pa.Table) -> pa.Table:
         out_doc, out_band, out_key, out_print = [], [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if not text or not text.strip():
+                continue        # sentinel print: empty docs never pair
             ph = simhash64(text)
             for band, key in simhash_band_keys(ph, tables=tables):
                 out_doc.append(doc_id)
@@ -474,7 +500,10 @@ def simhash_pairs(
 
     from ray.data.aggregate import Count
 
-    buckets = docs.map_batches(explode, batch_format="pyarrow")
+    # two consumers (hot-key count pass + pair pass) — materialize the
+    # slim bucket rows instead of recomputing every simhash (see the
+    # matching note in minhash_clusters)
+    buckets = docs.map_batches(explode, batch_format="pyarrow").materialize()
     # vectorized multi-member-bucket prefilter (see candidate_pair_dataset)
     counts = buckets.groupby(["band", "key"]).aggregate(Count(alias_name="n"))
     hot = counts.map_batches(

@@ -49,27 +49,39 @@ def _final_topk(k: int):
 def _load_training_sample(
     sf_dir: str, cap: int = 4096
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Bounded, deterministic training sample for centroid fitting: a
-    stride over vec_id computed from the table's metadata row count, so
-    at most ~``cap`` vectors ever reach the driver no matter the corpus
-    size (the at-scale replacement for loading the whole table). The
-    stride filter runs distributed inside map_batches."""
+    """Bounded, deterministic training sample for centroid fitting: keep
+    rows whose Knuth-multiplicative-hashed vec_id falls in a 1/step
+    window, sized from the table's metadata row count, so at most ~``cap``
+    vectors ever reach the driver no matter the corpus size (the at-scale
+    replacement for loading the whole table). Hashing (not ``id % step``)
+    keeps the sample unbiased and non-empty for ANY id space — sparse,
+    offset, or structured ids included. The filter runs distributed
+    inside map_batches."""
     import pyarrow.parquet as pq
 
     n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     step = max(1, n_rows // cap)
 
-    def stride(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(ids % step == 0))
+    def hash_stride(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return batch.filter(pa.array(h % np.uint64(step) == 0))
 
     t = (
         ray.data.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
-        .map_batches(stride, batch_format="pyarrow")
+        .map_batches(hash_stride, batch_format="pyarrow")
         .to_pandas()
     )
+    if t.empty:  # pathological id space: fall back to a bounded head read
+        t = (
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            )
+            .limit(cap)
+            .to_pandas()
+        )
     t = t.sort_values("vec_id")
     return t["vec_id"].to_numpy(), np.asarray(t["embedding"].to_list(), dtype=np.float64)
 

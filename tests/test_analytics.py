@@ -293,3 +293,72 @@ class TestHotBucketCap:
         finally:
             neardup.MAX_BUCKET = old
         assert (out.cluster_id == 0).all()
+
+
+class TestCodeReviewRound2:
+    def test_long_chain_converges_broadcast(self, ray_session):
+        """A 15-node chain (diameter 14) must fully converge — round-2
+        review found the old max_iters=10 default silently returned wrong
+        labels for components deeper than 10."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.neardup import label_propagation_clusters
+
+        n = 15
+        edges = rd.from_arrow(
+            pa.table({"id_a": pa.array(list(range(n - 1)), pa.int64()),
+                      "id_b": pa.array(list(range(1, n)), pa.int64())})
+        )
+        out = label_propagation_clusters(edges).to_pandas()
+        assert (out.label == 0).all()
+
+    def test_chain_converges_keyed(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.neardup import label_propagation_keyed
+
+        n = 8
+        edges = rd.from_arrow(
+            pa.table({"id_a": pa.array(list(range(n - 1)), pa.int64()),
+                      "id_b": pa.array(list(range(1, n)), pa.int64())})
+        )
+        out = label_propagation_keyed(edges, num_partitions=2).to_pandas()
+        assert (out.label == 0).all()
+
+    def test_empty_docs_never_near_dup_candidates(self, ray_session, tmp_path):
+        """Empty/whitespace docs share the sentinel sketch values but must
+        NOT cluster together (they are not duplicates of each other)."""
+        import pandas as pd
+
+        from ebook_ocr_ray.pipelines.neardup import minhash_clusters, simhash_pairs
+
+        rows = [
+            {"doc_id": 0, "text": ""},
+            {"doc_id": 1, "text": "   "},
+            {"doc_id": 2, "text": "genuinely real content with several words here"},
+        ]
+        pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+        clusters = minhash_clusters(str(tmp_path)).to_pandas()
+        assert dict(zip(clusters.doc_id, clusters.cluster_id)) == {0: 0, 1: 1, 2: 2}
+        assert len(simhash_pairs(str(tmp_path)).to_pandas()) == 0
+
+    def test_safe_join_keeps_negative_keys(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ebook_ocr_ray.joins import safe_join
+
+        left = rd.from_arrow(pa.table({"k": pa.array([-5, 3], pa.int64()),
+                                       "v": ["neg", "pos"]}))
+        right = rd.from_arrow(pa.table({"kk": pa.array([-5, 3], pa.int64()),
+                                        "w": ["NEG", "POS"]}))
+        out = (
+            safe_join(left, right, on="k", right_on="kk", num_partitions=4)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert list(out.k) == [-5, 3]
+        assert list(out.w) == ["NEG", "POS"]

@@ -31,3 +31,26 @@ def test_subset_with_matching_primary():
 def test_invalid_configs_fail_fast(kwargs):
     with pytest.raises(ValueError):
         ExtractionConfig(**kwargs)
+
+
+class TestWeightsMergeSemantics:
+    def test_partial_weights_keep_builtin_defaults(self):
+        """Round-2 review: an explicit weights dict naming only one
+        extractor must not demote the other built-ins to the 0.8 custom
+        default, and must never mutate the caller's dict."""
+        from ebook_ocr_ray.config import ExtractionConfig
+
+        mine = {"dom": 2.0}
+        cfg = ExtractionConfig(weights=mine)
+        assert cfg.weights["dom"] == 2.0
+        assert cfg.weights["density"] == 1.2
+        assert cfg.weights["readability"] == 1.0
+        assert mine == {"dom": 2.0}                      # caller dict untouched
+
+    def test_custom_extractor_defaults_to_extra_weight(self):
+        from ebook_ocr_ray.config import ExtractionConfig
+
+        cfg = ExtractionConfig(
+            extractors=("dom", "x"), custom_extractors={"x": lambda blocks: []}
+        )
+        assert cfg.weights["x"] == 0.8

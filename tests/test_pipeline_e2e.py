@@ -270,3 +270,24 @@ class TestConsolidateBooks:
         # part key falls back to the full url when there is no fragment
         assert solo.book_txt == "\n--- https://s.example/solo ---\n\nplain\nbody\n\n"
         assert solo.book_md == solo.book_txt
+
+
+class TestConsolidateManyParts:
+    def test_numeric_part_order_past_ten(self, ray_session):
+        """'#a10' must follow '#a2' (round-2 review: lexicographic url
+        sort scrambled books with 10+ articles)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.extraction import consolidate_books
+
+        rows = [
+            {"url": f"https://s.example/d#a{k}", "extracted_text": f"part {k}",
+             "headings": []}
+            for k in range(12)
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        out = consolidate_books(ds).to_pandas()
+        txt = out.book_txt.iloc[0]
+        order = [int(seg.split(" ---")[0]) for seg in txt.split("\n--- a")[1:]]
+        assert order == list(range(12))
