@@ -150,6 +150,17 @@ def _media_frame_counts(sf_dir: str):
     )
 
 
+def _media_audio_features(sf_dir: str):
+    """Actor-pool audio features (frame RMS, zero-crossing rate,
+    duration). The fake decoder's integer-sawtooth waveform makes all
+    three closed-form, so the whole stage is oracle-checked."""
+    from ebook_ocr_ray.stages.multimodal import audio_features
+
+    return audio_features(sf_dir).select_columns(
+        ["media_id", "rms", "zcr", "duration_s"]
+    )
+
+
 def _media_frame_index(sf_dir: str):
     """Exact 1->N frame-sample layout: one row per sampled frame with its
     source frame index (0, 5, 10, ... per video) — closed-form oracle."""
@@ -342,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal columns (binary payload + typed metadata)
         "media_image_features": _media_image_features,
         "media_frame_counts": _media_frame_counts,
+        "media_audio_features": _media_audio_features,
         "media_frame_index": _media_frame_index,
         # heading normalization / self-repair rules
         "heading_rules": _heading_rules,
@@ -539,6 +551,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    CAST(ceil((10 + doc_id % 20) / 5.0) AS BIGINT) AS n_frames
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "media_audio_features": """
+            WITH auds AS (
+              SELECT doc_id AS media_id, 4000 + (doc_id % 10) * 800 AS n
+              FROM documents WHERE doc_id % 3 = 1),
+            samp AS (
+              SELECT a.media_id, t.t,
+                     ((t.t * 7 + a.media_id) % 200 - 100) / 100.0 AS v, a.n
+              FROM auds a,
+                   LATERAL (SELECT unnest(generate_series(0, a.n - 1)) AS t) t),
+            frames AS (
+              SELECT media_id, CAST(floor(t / 400) AS INT) AS f,
+                     sqrt(avg(v * v)) AS frame_rms
+              FROM samp GROUP BY media_id, f),
+            rmst AS (SELECT media_id, avg(frame_rms) AS rms FROM frames
+                     GROUP BY media_id),
+            lagd AS (
+              SELECT media_id, sign(v) AS s,
+                     lag(sign(v)) OVER (PARTITION BY media_id ORDER BY t) AS ls
+              FROM samp),
+            zct AS (
+              SELECT media_id,
+                     CAST(SUM(CASE WHEN ls IS NOT NULL AND s <> ls
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                       / (COUNT(*) - 1) AS zcr
+              FROM lagd GROUP BY media_id)
+            SELECT a.media_id, r.rms, z.zcr, a.n / 16000.0 AS duration_s
+            FROM auds a
+            JOIN rmst r ON a.media_id = r.media_id
+            JOIN zct z ON a.media_id = z.media_id
         """,
         "media_frame_index": """
             SELECT doc_id AS media_id,

@@ -119,13 +119,17 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """(n_samples,) float32 in [-1, 1], sample rate."""
+    """(n_samples,) float32 in [-1, 1], sample rate. The fake waveform is
+    an integer sawtooth (exact two-decimal values): every downstream
+    feature (frame RMS, zero crossings) is then closed-form in integer
+    arithmetic, so the audio feature pipeline is fully oracle-checkable —
+    a float32 sine's argument rounding would drift past hash precision."""
     if not payload.startswith(AUD_MAGIC):
         return _decode_audio_real(payload)
     n, rate, seed = struct.unpack("<III", payload[8:20])
-    t = np.arange(n, dtype=np.float32)
-    freq = 110.0 * (1 + seed % 8)
-    return np.sin(2 * np.pi * freq * t / rate).astype(np.float32), rate
+    t = np.arange(n, dtype=np.int64)
+    wave = ((((t * 7 + seed) % 200) - 100) / 100.0).astype(np.float32)
+    return wave, rate
 
 
 def decode_video_frames(payload: bytes, sample_every: int) -> list[np.ndarray]:

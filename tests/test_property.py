@@ -98,3 +98,86 @@ class TestPureFunctionProperties:
         assert 0.0 <= j <= 1.0
         assert jaccard(b, a) == j
         assert jaccard(a, a) == 1.0
+
+
+class TestSurvivorAggregateProperties:
+    """The keyed dedup aggregate must be partition-invariant: however the
+    rows of one content_sha group are split into blocks, the folded
+    (global min key, count at that key) accumulator equals the brute
+    force over the whole multiset — this is the property that makes
+    cross-block byte-identical tie detection correct under ANY Ray block
+    layout."""
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        keys=st.lists(
+            st.text(alphabet="0123456789", min_size=3, max_size=3).map(
+                lambda d: f"{d}|https://x/{d}"
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        cuts=st.lists(st.integers(min_value=1, max_value=11), max_size=4),
+        data=st.data(),
+    )
+    def test_partition_invariant(self, keys, cuts, data):
+        import pyarrow as pa
+
+        from ebook_ocr_ray.pipelines.extraction import _make_survivor_agg
+
+        agg = _make_survivor_agg()
+
+        # brute force over the whole multiset
+        kmin = min(keys)
+        want = (sum(1 for k in keys if k == kmin), kmin)
+
+        # arbitrary partition into blocks (cut points), arbitrary fold order
+        points = sorted({c for c in cuts if c < len(keys)})
+        blocks, prev = [], 0
+        for p in points + [len(keys)]:
+            if p > prev:
+                blocks.append(keys[prev:p])
+                prev = p
+        order = data.draw(st.permutations(range(len(blocks))))
+
+        acc = "0:~"                                       # zero sentinel
+        for i in order:
+            block = blocks[i]
+            bmin = min(block)
+            partial = pa.table(
+                {
+                    "min_key": pa.array([bmin], pa.string()),
+                    "n_min": pa.array(
+                        [sum(1 for k in block if k == bmin)], pa.int64()
+                    ),
+                }
+            )
+            acc = agg.combine(acc, agg.aggregate_block(partial))
+        na, k = acc.split(":", 1)
+        assert (int(na), k) == want
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        parts=st.lists(
+            st.tuples(
+                st.text(alphabet="049", min_size=2, max_size=2).map(
+                    lambda d: f"{d}|u"
+                ),
+                st.integers(min_value=1, max_value=5),
+            ),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    def test_combine_associative_and_commutative(self, parts):
+        from ebook_ocr_ray.pipelines.extraction import _make_survivor_agg
+
+        agg = _make_survivor_agg()
+        encs = [f"{n}:{k}" for k, n in parts]
+        a, b = encs[0], encs[1]
+        assert agg.combine(a, b) == agg.combine(b, a)
+        if len(encs) >= 3:
+            c = encs[2]
+            assert agg.combine(agg.combine(a, b), c) == agg.combine(
+                a, agg.combine(b, c)
+            )
