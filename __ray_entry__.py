@@ -79,6 +79,23 @@ def _dedup_pages(sf_dir: str):
     return ds.select_columns(["url", "warc_ts"])
 
 
+def _dedup_pages_bloom(sf_dir: str):
+    """Bounded-memory dedup variant (Bloom membership broadcast + keyed
+    first-wins over the hit slice) — same survivors, same oracle."""
+    from ebook_ocr_ray.pipelines.extraction import (
+        dedup_exact_bloom,
+        pages_dataset,
+        prepare_pages,
+    )
+
+    def prepared():
+        return prepare_pages(pages_dataset(sf_dir, with_duplicates=True))
+
+    return dedup_exact_bloom(prepared(), slim=prepared()).select_columns(
+        ["url", "warc_ts"]
+    )
+
+
 def _sequence_dedup_pages(sf_dir: str):
     from ebook_ocr_ray.pipelines.extraction import pages_dataset, prepare_pages, sequence_dedup
 
@@ -311,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pdf": lambda sf: _extract_docs(sf, kind="pdf"),
         "extract_headings": _extract_headings,
         "dedup_pages": _dedup_pages,
+        "dedup_pages_bloom": _dedup_pages_bloom,
         "sequence_dedup_pages": _sequence_dedup_pages,
         "split_spreads": _split_spreads,
         "consolidate_books": _consolidate_books,
@@ -385,6 +403,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_pages": f"""
+            SELECT {_URL_SQL} AS url, {_TS_SQL} AS warc_ts
+            FROM documents
+        """,
+        "dedup_pages_bloom": f"""
             SELECT {_URL_SQL} AS url, {_TS_SQL} AS warc_ts
             FROM documents
         """,

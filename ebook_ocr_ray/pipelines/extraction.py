@@ -163,9 +163,9 @@ def dedup_survivor_state(slim: ray.data.Dataset) -> tuple[object, object]:
     survivor aggregate — so no per-unique-hash state ever reaches the
     driver. Groups are then filtered to actual duplicates (n > 1) BEFORE
     collection; only the multi-crawl shas (a small fraction of any real
-    corpus) are broadcast via ray.put. At extreme dup fractions the
-    broadcast dict becomes a Bloom filter + keyed side table; the
-    aggregate shape is unchanged.
+    corpus) are broadcast via ray.put. At extreme dup fractions use
+    ``dedup_exact_bloom`` — fixed-size Bloom membership broadcast plus a
+    keyed first-wins pass over the hit slice; same aggregate shape.
 
     Returns (survivors_ref, ties_ref): ObjectRefs to the {sha -> min
     survivor key} dict and the byte-identical tie-group sha set.
@@ -302,6 +302,73 @@ def dedup_exact(
         src.select_columns(["content_sha", "warc_ts", "url"])
     )
     return dedup_apply(prepared, survivors_ref, ties_ref)
+
+
+def dedup_exact_bloom(
+    prepared: ray.data.Dataset,
+    slim: ray.data.Dataset | None = None,
+    fp_rate: float = 0.01,
+) -> ray.data.Dataset:
+    """Exact dedup for EXTREME duplicate fractions (mirror-heavy crawls),
+    where even the duplicate-group dict is too large to broadcast: the
+    bounded-memory variant the broadcast path's docstrings promise.
+
+    Pass A runs the same keyed survivor aggregate, but the duplicate-
+    group stream is folded into a fixed-size Bloom filter on the driver
+    (memory = the bitset, regardless of how many duplicate groups exist)
+    instead of a dict. Pass B: rows failing the Bloom membership test —
+    the vast unique majority — stream through untouched; rows hitting it
+    (every duplicate plus ~fp_rate of uniques) shuffle through ONE keyed
+    first-wins groupby that restores exactness: false positives arrive
+    as singleton groups and survive unchanged, real duplicate groups
+    (byte-identical ties included) keep their earliest (warc_ts, url)
+    row. Semantics are identical to ``dedup_exact``; only the worker
+    memory / shuffle-volume trade moves.
+    """
+    from ebook_ocr_ray.functions.bloom import BloomFilter
+
+    src = slim if slim is not None else prepared
+
+    def sha_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"content_sha": batch["content_sha"].to_pylist()})
+        agg = df.groupby("content_sha", sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    dup_shas = (
+        src.select_columns(["content_sha"])
+        .map_batches(sha_counts, batch_format="pyarrow")
+        .groupby("content_sha")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pa.compute.greater(t["n"], 1)).select(["content_sha"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    bloom = BloomFilter.sized(max(1, dup_shas.count()), fp_rate)
+    for batch in dup_shas.iter_batches(batch_format="pyarrow"):
+        bloom.add_hex(batch["content_sha"].to_pylist())
+    bloom_ref = ray.put(bloom)
+
+    def split(keep_candidates: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            b = ray.get(bloom_ref)
+            hits = b.might_contain_hex(batch["content_sha"].to_pylist())
+            mask = hits if keep_candidates else ~hits
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        return fn
+
+    def first_row(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["warc_ts", "url"], kind="mergesort").head(1)
+
+    passthrough = prepared.map_batches(split(False), batch_format="pyarrow")
+    resolved = (
+        prepared.map_batches(split(True), batch_format="pyarrow")
+        .groupby("content_sha")
+        .map_groups(first_row, batch_format="pandas")
+    )
+    return passthrough.union(resolved)
 
 
 def verify_against_golden(

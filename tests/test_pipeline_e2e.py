@@ -291,3 +291,56 @@ class TestConsolidateManyParts:
         txt = out.book_txt.iloc[0]
         order = [int(seg.split(" ---")[0]) for seg in txt.split("\n--- a")[1:]]
         assert order == list(range(12))
+
+
+class TestBloomDedup:
+    def test_matches_broadcast_path_including_ties(self, ray_session):
+        """dedup_exact_bloom must select exactly the same survivors as the
+        broadcast path (earliest crawl per payload, byte-identical ties
+        kept once), differing only in memory/shuffle strategy."""
+        from ebook_ocr_ray.pipelines.extraction import (
+            dedup_exact,
+            dedup_exact_bloom,
+            pages_dataset,
+            prepare_pages,
+        )
+
+        prepared = prepare_pages(pages_dataset(SF, with_duplicates=True)).materialize()
+        a = dedup_exact(prepared, slim=prepared).to_pandas()
+        b = dedup_exact_bloom(prepared, slim=prepared).to_pandas()
+        ka = sorted(zip(a.url, a.warc_ts))
+        kb = sorted(zip(b.url, b.warc_ts))
+        assert ka == kb
+
+    def test_byte_identical_rows_keep_one(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.extraction import dedup_exact_bloom, prepare_pages
+
+        row = {
+            "url": "https://x.example/same",
+            "warc_ts": dt.datetime(2026, 1, 1),
+            "html": b"<main><p>identical record body, long enough text.</p></main>",
+            "text": "",
+            "lang": "en",
+        }
+        ds = rd.from_arrow(pa.Table.from_pylist([row, row, row]))
+        prepared = prepare_pages(ds).materialize()
+        out = dedup_exact_bloom(prepared, slim=prepared).to_pandas()
+        assert len(out) == 1
+
+    def test_bloom_filter_units(self):
+        from ebook_ocr_ray.functions.bloom import BloomFilter
+
+        import hashlib
+
+        items = [hashlib.md5(str(i).encode()).hexdigest() for i in range(500)]
+        others = [hashlib.md5(f"x{i}".encode()).hexdigest() for i in range(2000)]
+        bf = BloomFilter.sized(len(items), fp_rate=0.01)
+        bf.add_hex(items)
+        assert bf.might_contain_hex(items).all()          # no false negatives
+        fp = bf.might_contain_hex(others).mean()
+        assert fp < 0.05                                  # fp rate in the ballpark
