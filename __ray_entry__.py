@@ -23,6 +23,58 @@ _TEXT_SQL = "'Document ' || format('{:,}', doc_id) || chr(10) || text"
 _TS_SQL = "TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND"
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 
+# Shared byte-exact oracle for the compiled book XML; __FIGURE_SRC__ is a
+# SQL expression for the figure src attribute (file reference, or the
+# base64 data URI of the joined media payload for the embedded variant).
+_STRUCTURAL_XML_SQL = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             greatest(1, CAST(floor(len(string_split(text, ' ')) / 3)
+                              AS BIGINT)) AS third
+      FROM documents)
+    SELECT doc_id,
+      '<book><metadata><title /><pages>3</pages></metadata>'
+      || '<toc><entry level="1" number="1" page="2" match="exact">Opening</entry>'
+      || '<entry level="2" number="1.1" page="3" match="exact">Detail</entry></toc>'
+      || '<front-matter><pagebreak number="1" /></front-matter>'
+      || '<chapter number="1" title="Opening"><pagebreak number="2" />'
+      || '<paragraph readAloud="true">' || array_to_string(ws[1:third], ' ')
+      || '.</paragraph>'
+      || '<paragraph readAloud="false">boilerplate footer ' || doc_id
+      || '</paragraph>'
+      || '<section number="1.1" title="Detail"><pagebreak number="3" />'
+      || '<paragraph readAloud="true">' || array_to_string(ws[third+1:], ' ')
+      || '.</paragraph>'
+      || '<list type="unordered" readAloud="true"><item>first point</item>'
+      || '<item>second point</item></list>'
+      || '<figure src="' || __FIGURE_SRC__ || '" />'
+      || '<heading level="3" readAloud="true">Deep note</heading>'
+      || '</section></chapter>'
+      || '<!-- ERROR: line 19: heading level 4 clamped to 3 --></book>'
+          AS book_xml
+    FROM w
+"""
+
+
+def _le32(expr: str) -> str:
+    """Little-endian u32 hex of an integer SQL expression."""
+    return (
+        f"lpad(to_hex(({expr}) % 256), 2, '0')"
+        f" || lpad(to_hex((({expr}) // 256) % 256), 2, '0')"
+        f" || lpad(to_hex((({expr}) // 65536) % 256), 2, '0')"
+        f" || lpad(to_hex((({expr}) // 16777216) % 256), 2, '0')"
+    )
+
+
+# image docs (doc_id % 3 = 0): payload = b"FAKEIMG\x00" + pack("<III", w, h, seed)
+_EMBEDDED_FIGURE_SQL = f"""CASE WHEN doc_id % 3 = 0 THEN
+      'data:image/fake;base64,' || to_base64(from_hex('46414B45494D4700'
+        || {_le32('32 + (doc_id % 8) * 16')}
+        || {_le32('24 + (doc_id % 5) * 12')}
+        || {_le32('doc_id')}))
+    ELSE 'fig_' || doc_id || '.png' END"""
+
+
 
 def entry() -> Any:
     """Flagship pipeline on sf0.001: pages synthesis (with duplicate
@@ -184,6 +236,15 @@ def _media_frame_index(sf_dir: str):
     from ebook_ocr_ray.stages.multimodal import video_frames
 
     return video_frames(sf_dir, every=5).select_columns(["media_id", "frame_idx"])
+
+
+def _structural_xml_embedded(sf_dir: str):
+    """M34 analog: figure file references replaced by base64 data URIs of
+    the joined media payloads — the payload bytes are closed-form, so the
+    embedded XML is fully oracle-checked."""
+    from ebook_ocr_ray.stages.structural import embedded_figures_pipeline
+
+    return embedded_figures_pipeline(sf_dir)
 
 
 def _heading_rules(sf_dir: str):
@@ -367,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_metrics": _extract_metrics,             # rows-only
         # structural stage (book_converter analog)
         "structural_xml": _structural_xml,
+        "structural_xml_embedded": _structural_xml_embedded,
         "structural_stats": _structural_stats,
         # multimodal columns (binary payload + typed metadata)
         "media_image_features": _media_image_features,
@@ -628,34 +690,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, avg(v) AS pix_mean, stddev_pop(v) AS pix_std
             FROM ch GROUP BY media_id
         """,
-        "structural_xml": """
-            WITH w AS (
-              SELECT doc_id, string_split(text, ' ') AS ws,
-                     greatest(1, CAST(floor(len(string_split(text, ' ')) / 3)
-                                      AS BIGINT)) AS third
-              FROM documents)
-            SELECT doc_id,
-              '<book><metadata><title /><pages>3</pages></metadata>'
-              || '<toc><entry level="1" number="1" page="2" match="exact">Opening</entry>'
-              || '<entry level="2" number="1.1" page="3" match="exact">Detail</entry></toc>'
-              || '<front-matter><pagebreak number="1" /></front-matter>'
-              || '<chapter number="1" title="Opening"><pagebreak number="2" />'
-              || '<paragraph readAloud="true">' || array_to_string(ws[1:third], ' ')
-              || '.</paragraph>'
-              || '<paragraph readAloud="false">boilerplate footer ' || doc_id
-              || '</paragraph>'
-              || '<section number="1.1" title="Detail"><pagebreak number="3" />'
-              || '<paragraph readAloud="true">' || array_to_string(ws[third+1:], ' ')
-              || '.</paragraph>'
-              || '<list type="unordered" readAloud="true"><item>first point</item>'
-              || '<item>second point</item></list>'
-              || '<figure src="fig_' || doc_id || '.png" />'
-              || '<heading level="3" readAloud="true">Deep note</heading>'
-              || '</section></chapter>'
-              || '<!-- ERROR: line 19: heading level 4 clamped to 3 --></book>'
-                  AS book_xml
-            FROM w
-        """,
+        "structural_xml": _STRUCTURAL_XML_SQL.replace(
+            "__FIGURE_SRC__", "'fig_' || doc_id || '.png'"
+        ),
+        "structural_xml_embedded": _STRUCTURAL_XML_SQL.replace(
+            "__FIGURE_SRC__", _EMBEDDED_FIGURE_SQL
+        ),
         "heading_rules": """
             SELECT doc_id, CAST(2 AS INT) AS n_rules, CAST(2 AS INT) AS n_applied,
                    CAST(100 AS INT) AS match_rate_pct

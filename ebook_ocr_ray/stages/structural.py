@@ -127,3 +127,57 @@ def structural_pipeline(sf_dir: str):
     return docs.map_batches(synth_books_batch, batch_format="pyarrow").map_batches(
         compile_books, batch_format="pyarrow"
     )
+
+
+def embedded_figures_pipeline(sf_dir: str):
+    """M34 analog (reference b64 figure encode, src/utils.py:14-38 used by
+    the figure-marker flow, utils.py:41+): replace each compiled book's
+    figure file reference with a base64 data URI of the figure's media
+    payload, joined from the media table by doc id.
+
+    Shape: books (doc_id, book_xml) LEFT OUTER hash-join media images
+    (payloads move only for docs that have one — a third of the corpus),
+    then a vectorized per-batch splice. Books without an image keep their
+    file reference untouched.
+    """
+    import base64
+
+    import ray.data
+
+    from ebook_ocr_ray.joins import safe_join
+    from ebook_ocr_ray.stages.multimodal import media_dataset
+
+    books = structural_pipeline(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "book_xml"]), batch_format="pyarrow"
+    )
+    imgs = media_dataset(sf_dir, kind="image").map_batches(
+        lambda t: t.select(["media_id", "payload"]), batch_format="pyarrow"
+    )
+    joined = safe_join(
+        books, imgs,
+        on="doc_id", right_on="media_id",
+        num_partitions=8, join_type="left_outer",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("book_xml", pa.large_string())]
+        ),
+        right_schema=pa.schema([("media_id", pa.int64()), ("payload", pa.binary())]),
+    )
+
+    def embed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        xmls = batch["book_xml"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out = []
+        for i, xml, payload in zip(ids, xmls, payloads):
+            if payload is not None:
+                uri = "data:image/fake;base64," + base64.b64encode(payload).decode()
+                xml = xml.replace(f'src="fig_{i}.png"', f'src="{uri}"')
+            out.append(xml)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "book_xml": pa.array(out, pa.large_string()),
+            }
+        )
+
+    return joined.map_batches(embed, batch_format="pyarrow")
