@@ -422,8 +422,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": neighbors.knn_brute,
         "knn_ivf": neighbors.knn_ivf,                    # rows-only (approx)
         "embedding_dup_pairs": neighbors.embedding_dup_pairs,
-        "minhash_clusters": neardup.minhash_clusters,    # rows-only
-        "simhash_pairs": neardup.simhash_pairs,          # rows-only
+        "minhash_clusters": lambda sf: _sorted_frame(
+            neardup.minhash_clusters(sf), ["doc_id"]
+        ),
+        "simhash_pairs": lambda sf: _sorted_frame(
+            neardup.simhash_pairs(sf), ["id_a", "id_b"]
+        ),
         # extraction metadata (rows-only: ensemble internals)
         "extract_metrics": _extract_metrics,             # rows-only
         # structural stage (book_converter analog)
@@ -445,8 +449,154 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# Shared CTE fragments for the sketch oracles: exact re-expression of
+# functions/textstats.py shingle_hashes (md5 first-8-bytes little-endian ->
+# uint64) in DuckDB HUGEINT arithmetic. `mult` carries exact 256^i literals
+# because DuckDB's ** operator is double-precision pow and loses low bits.
+_MULT_CTE = """mult(i, m) AS (VALUES (0, 1::HUGEINT), (1, 256::HUGEINT),
+  (2, 65536::HUGEINT), (3, 16777216::HUGEINT), (4, 4294967296::HUGEINT),
+  (5, 1099511627776::HUGEINT), (6, 281474976710656::HUGEINT),
+  (7, 72057594037927936::HUGEINT))"""
+
+# word_shingles semantics (textstats.py:97-106): split on single spaces
+# (empties kept), len(words) < k collapses to ONE whole-text shingle,
+# empty/whitespace-only docs produce no shingles at all (sketch sentinels).
+def _shingle_ctes(k: int) -> str:
+    joined = " || ' ' || ".join(f"w[i+{d}]" if d else "w[i]" for d in range(k))
+    return f"""docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+shingled AS (
+  SELECT doc_id,
+    CASE WHEN len(w) < {k} THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - {k - 2}), i -> {joined})
+    END AS shingles
+  FROM docs
+)"""
+
+
+def _simhash_pairs_sql() -> str:
+    """Closed-form oracle for neardup.simhash_pairs (max_hamming=3):
+    pigeonhole band sizing (4 tables) guarantees every pair within hamming
+    3 shares a band, so the pipeline's output is EXACTLY the set of
+    non-empty-text doc pairs with hamming(simhash64) <= 3 — computable by
+    an all-pairs hamming filter with no banding at oracle scale."""
+    return f"""
+        WITH {_MULT_CTE},
+        {_shingle_ctes(2)},
+        sh AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
+        hashed AS (
+          SELECT doc_id, (
+            SELECT SUM(
+               ((strpos('0123456789abcdef', substr(md5(sh.s), 2*i+1, 1))-1) * 16
+              + (strpos('0123456789abcdef', substr(md5(sh.s), 2*i+2, 1))-1))::HUGEINT * m
+            ) FROM mult
+          ) AS h FROM sh
+        ),
+        bits AS (
+          SELECT doc_id, j.j AS j,
+            CASE WHEN SUM(CASE WHEN (h // (1::HUGEINT << j.j)) % 2 = 1
+                              THEN 1 ELSE -1 END) > 0
+                 THEN 1 ELSE 0 END AS bit
+          FROM hashed CROSS JOIN range(0, 64) j(j)
+          GROUP BY doc_id, j.j
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)::BIGINT AS hamming
+        FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
+        ORDER BY 1, 2
+    """
+
+
+def _minhash_clusters_sql() -> str:
+    """Closed-form oracle for neardup.minhash_clusters: 64-perm MinHash
+    (universal-hash constants from sketches.py embedded as literals), 16x4
+    banded LSH candidates, exact-Jaccard(3-word shingles) >= 0.7 verify,
+    connected components via recursive CTE, cluster label = component min
+    doc_id (singletons label themselves)."""
+    from ebook_ocr_ray.functions.sketches import _A, _B
+
+    perms = ", ".join(
+        f"({p}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+        for p, (a, b) in enumerate(zip(_A, _B))
+    )
+    return f"""
+        WITH RECURSIVE {_MULT_CTE},
+        perms(p, a, b) AS (VALUES {perms}),
+        {_shingle_ctes(3)},
+        sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shingled),
+        hashed AS (
+          SELECT doc_id, (
+            SELECT SUM(
+               ((strpos('0123456789abcdef', substr(md5(sh.s), 2*i+1, 1))-1) * 16
+              + (strpos('0123456789abcdef', substr(md5(sh.s), 2*i+2, 1))-1))::HUGEINT * m
+            ) % 2147483647 FROM mult
+          ) AS x FROM sh
+        ),
+        sigs AS (
+          SELECT doc_id, p, MIN((a * x + b) % 2147483647) AS sig
+          FROM hashed CROSS JOIN perms
+          GROUP BY doc_id, p
+        ),
+        bandsigs AS (
+          SELECT doc_id, p // 4 AS band,
+            MAX(CASE WHEN p % 4 = 0 THEN sig END) AS s0,
+            MAX(CASE WHEN p % 4 = 1 THEN sig END) AS s1,
+            MAX(CASE WHEN p % 4 = 2 THEN sig END) AS s2,
+            MAX(CASE WHEN p % 4 = 3 THEN sig END) AS s3
+          FROM sigs GROUP BY doc_id, p // 4
+        ),
+        bands AS (
+          SELECT doc_id, band,
+            ((((((s0 * 1000003 + s1) % 9223372036854775808) * 1000003 + s2)
+               % 9223372036854775808) * 1000003 + s3)
+               % 9223372036854775808)::BIGINT AS key
+          FROM bandsigs
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.key = b.key
+                      AND a.doc_id < b.doc_id
+        ),
+        shc AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS i
+          FROM cands c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b AND sa.s = sb.s
+          GROUP BY c.id_a, c.id_b
+        ),
+        edges AS (
+          SELECT c.id_a AS a, c.id_b AS b
+          FROM cands c
+          JOIN shc na ON na.doc_id = c.id_a
+          JOIN shc nb ON nb.doc_id = c.id_b
+          LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+          WHERE COALESCE(i.i, 0)::DOUBLE
+                  / (na.n + nb.n - COALESCE(i.i, 0)) >= 0.7
+        ),
+        sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+        reach AS (
+          SELECT a AS node, b AS r FROM sym
+          UNION
+          SELECT r.node, e.b AS r FROM reach r JOIN sym e ON r.r = e.a
+        ),
+        labels AS (SELECT node, LEAST(MIN(r), node) AS label
+                   FROM reach GROUP BY node)
+        SELECT d.doc_id, COALESCE(l.label, d.doc_id)::BIGINT AS cluster_id
+        FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+        ORDER BY d.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_clusters": _minhash_clusters_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
         "extract_docs": f"""
             SELECT {_URL_SQL} AS url, {_TEXT_SQL} AS extracted_text
             FROM documents
