@@ -54,6 +54,71 @@ def lsh_band_keys(signature: np.ndarray) -> list[tuple[int, int]]:
     return out
 
 
+def minhash_signatures_batch(texts: list, k: int = 3) -> np.ndarray:
+    """(n_docs, NUM_PERM) uint64 signatures, row-identical to
+    ``minhash_signature`` per text (empty/whitespace rows get the all-max
+    sentinel). One concatenated hash array + ``np.minimum.reduceat``
+    segment-min replaces the per-doc permutation matmul — the per-batch
+    vectorization the hot signature stage needs at corpus scale."""
+    from ebook_ocr_ray.functions.textstats import shingle_hashes
+
+    per_doc = [shingle_hashes(t, k) if t else np.empty(0, np.uint64) for t in texts]
+    lens = np.array([h.size for h in per_doc], dtype=np.int64)
+    out = np.full((len(texts), NUM_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nonzero = lens > 0
+    if not nonzero.any():
+        return out
+    allh = np.concatenate([h for h in per_doc if h.size])
+    x = allh % np.uint64(_MERSENNE)
+    prod = (_A[:, None] * x[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
+    nz = lens[nonzero]
+    offsets = np.concatenate([[0], np.cumsum(nz)[:-1]])
+    out[nonzero] = np.minimum.reduceat(prod, offsets, axis=1).T
+    return out
+
+
+_MOD63 = np.uint64((1 << 63) - 1)
+
+
+def lsh_band_keys_batch(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, LSH_BANDS) int64 band keys, value-identical to
+    ``lsh_band_keys`` per row. The fold runs in uint64 with a final
+    ``& (2^63 - 1)``: wraparound mod 2^64 then mod 2^63 equals plain
+    mod 2^63 because 2^63 divides 2^64 — so the vectorized arithmetic
+    reproduces the arbitrary-precision Python fold bit for bit."""
+    n = sigs.shape[0]
+    keys = np.empty((n, LSH_BANDS), dtype=np.uint64)
+    m = np.uint64(1000003)
+    for b in range(LSH_BANDS):
+        key = np.zeros(n, dtype=np.uint64)
+        for r in range(LSH_ROWS):
+            key = (key * m + sigs[:, b * LSH_ROWS + r]) & _MOD63
+        keys[:, b] = key
+    return keys.astype(np.int64)
+
+
+def simhash64_batch(texts: list) -> np.ndarray:
+    """(n_docs,) uint64 prints, value-identical to ``simhash64`` per text
+    (empty rows -> 0). Segment-sum (``np.add.reduceat``) over one
+    concatenated bit matrix instead of a per-doc tally."""
+    from ebook_ocr_ray.functions.textstats import shingle_hashes
+
+    per_doc = [shingle_hashes(t, 2) if t else np.empty(0, np.uint64) for t in texts]
+    lens = np.array([h.size for h in per_doc], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    nonzero = lens > 0
+    if not nonzero.any():
+        return out
+    allh = np.concatenate([h for h in per_doc if h.size])
+    bits = ((allh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    nz = lens[nonzero]
+    offsets = np.concatenate([[0], np.cumsum(nz)[:-1]])
+    tally = np.add.reduceat(2 * bits - 1, offsets, axis=0)          # (D, 64)
+    out[nonzero] = ((tally > 0).astype(np.uint64)
+                    << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+    return out
+
+
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     """Exact k-word-shingle Jaccard (the verify step after LSH blocking)."""
     sa, sb = set(word_shingles(text_a, k)), set(word_shingles(text_b, k))

@@ -32,10 +32,9 @@ from ebook_ocr_ray.functions.sketches import (
     LSH_BANDS,
     hamming64,
     jaccard,
-    lsh_band_keys,
-    minhash_signature,
-    simhash64,
-    simhash_band_keys,
+    lsh_band_keys_batch,
+    minhash_signatures_batch,
+    simhash64_batch,
 )
 
 logger = logging.getLogger(__name__)
@@ -50,6 +49,29 @@ logger = logging.getLogger(__name__)
 # buckets at graph diameter 2, so min-label propagation still converges
 # in a constant number of rounds (a chain would need O(B) rounds).
 MAX_BUCKET = 512
+
+
+def _hot_bucket_table(hot: pd.DataFrame) -> pa.Table:
+    """Broadcastable (band, key) Arrow table of multi-member buckets with
+    the exact dtypes of the bucket rows (int32 band, int64 key)."""
+    return pa.table(
+        {
+            "band": pa.array(hot["band"].to_numpy(), pa.int32()),
+            "key": pa.array(hot["key"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def _only_hot_fn(hot_ref):
+    """Vectorized semi-join filter: keep only bucket rows whose (band, key)
+    appears in the broadcast multi-member table — an Arrow hash join per
+    batch, not a per-row Python membership loop."""
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        wanted = ray.get(hot_ref)
+        return t.join(wanted, keys=["band", "key"], join_type="left semi")
+
+    return only_hot
 
 
 def _bucket_pairs_fn(max_bucket: int):
@@ -103,23 +125,14 @@ def candidate_pair_dataset(
         lambda t: t.filter(pa.compute.greater(t["n"], 1)).select(["band", "key"]),
         batch_format="pyarrow",
     ).to_pandas()
-    hot_keys = set(zip(hot["band"], hot["key"])) if "band" in hot.columns else set()
-    if not hot_keys:
+    if hot.empty or "band" not in hot.columns:
         return ray.data.from_arrow(
             pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
         )
-    hot_ref = ray.put(hot_keys)
-
-    def only_hot(t: pa.Table) -> pa.Table:
-        wanted = ray.get(hot_ref)
-        mask = [
-            (b, k) in wanted
-            for b, k in zip(t["band"].to_pylist(), t["key"].to_pylist())
-        ]
-        return t.filter(pa.array(mask, pa.bool_()))
+    hot_ref = ray.put(_hot_bucket_table(hot))
 
     pairs = (
-        buckets.map_batches(only_hot, batch_format="pyarrow")
+        buckets.map_batches(_only_hot_fn(hot_ref), batch_format="pyarrow")
         .groupby(["band", "key"])
         .map_groups(
             _bucket_pairs_fn(MAX_BUCKET if max_bucket is None else max_bucket),
@@ -129,6 +142,25 @@ def candidate_pair_dataset(
     distinct = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
     return distinct.map_batches(
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+
+
+def _seed_edge_min(batch: pa.Table) -> pa.Table:
+    """Seed labels with the per-edge minimum endpoint: emitting
+    (a, min(a,b)) and (b, min(a,b)) before the keyed Min aggregate is
+    exactly one propagation round from self-labels, computed directly on
+    the edge batch with NO label join — so every component of diameter <= 2
+    (pairs, stars, cliques: the overwhelming near-dup case) is already at
+    its fixpoint when the per-round join machinery starts, saving a full
+    join round at any scale."""
+    a = batch["id_a"].to_numpy(zero_copy_only=False)
+    b = batch["id_b"].to_numpy(zero_copy_only=False)
+    m = np.minimum(a, b)
+    return pa.table(
+        {
+            "node": pa.array(np.concatenate([a, b]), pa.int64()),
+            "label": pa.array(np.concatenate([m, m]), pa.int64()),
+        }
     )
 
 
@@ -149,17 +181,12 @@ def label_propagation_clusters(
     import ray.data as rd
     from ray.data.aggregate import Min
 
-    # initial labels: every node labels itself
-    def seed(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_numpy(zero_copy_only=False)
-        b = batch["id_b"].to_numpy(zero_copy_only=False)
-        nodes = np.concatenate([a, b])
-        return pa.table({"node": pa.array(nodes, pa.int64()),
-                         "label": pa.array(nodes, pa.int64())})
-
-    labels = edges.map_batches(seed, batch_format="pyarrow").groupby("node").aggregate(
-        Min("label", alias_name="label")
-    ).materialize()
+    labels = (
+        edges.map_batches(_seed_edge_min, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
 
     cap = 200 if max_iters is None else max_iters
     converged = False
@@ -228,15 +255,8 @@ def label_propagation_keyed(
 
     from ebook_ocr_ray.joins import safe_join
 
-    def seed(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_numpy(zero_copy_only=False)
-        b = batch["id_b"].to_numpy(zero_copy_only=False)
-        nodes = np.concatenate([a, b])
-        return pa.table({"node": pa.array(nodes, pa.int64()),
-                         "label": pa.array(nodes, pa.int64())})
-
     labels = (
-        edges.map_batches(seed, batch_format="pyarrow")
+        edges.map_batches(_seed_edge_min, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("label", alias_name="label"))
         .materialize()
@@ -361,21 +381,30 @@ def minhash_clusters(
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        out_doc, out_band, out_key = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if not text or not text.strip():
-                continue        # sentinel signature: empty docs are not
-                #                 near-dup candidates of each other
-            sig = minhash_signature(text, k_shingle)
-            for band, key in lsh_band_keys(sig):
-                out_doc.append(doc_id)
-                out_band.append(band)
-                out_key.append(key)
+        texts = batch["text"].to_pylist()
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # sentinel signature: empty docs are not near-dup candidates
+        valid = np.array([bool(t and t.strip()) for t in texts], dtype=bool)
+        if not valid.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "key": pa.array([], pa.int64()),
+                }
+            )
+        sigs = minhash_signatures_batch(
+            [t for t, v in zip(texts, valid) if v], k_shingle
+        )
+        keys = lsh_band_keys_batch(sigs)                  # (D, LSH_BANDS)
+        ids = doc_ids[valid]
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "key": pa.array(out_key, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, LSH_BANDS), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(LSH_BANDS, dtype=np.int32), len(ids)), pa.int32()
+                ),
+                "key": pa.array(keys.reshape(-1), pa.int64()),
             }
         )
 
@@ -453,22 +482,33 @@ def simhash_pairs(
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        out_doc, out_band, out_key, out_print = [], [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if not text or not text.strip():
-                continue        # sentinel print: empty docs never pair
-            ph = simhash64(text)
-            for band, key in simhash_band_keys(ph, tables=tables):
-                out_doc.append(doc_id)
-                out_band.append(band)
-                out_key.append(key)
-                out_print.append(ph)
+        texts = batch["text"].to_pylist()
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # sentinel print: empty docs never pair
+        valid = np.array([bool(t and t.strip()) for t in texts], dtype=bool)
+        if not valid.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "key": pa.array([], pa.int64()),
+                    "print": pa.array([], pa.uint64()),
+                }
+            )
+        prints = simhash64_batch([t for t, v in zip(texts, valid) if v])
+        ids = doc_ids[valid]
+        width = 64 // tables
+        mask = np.uint64((1 << width) - 1)
+        shifts = (np.arange(tables, dtype=np.uint64) * np.uint64(width))
+        keys = ((prints[:, None] >> shifts[None, :]) & mask).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "key": pa.array(out_key, pa.int64()),
-                "print": pa.array(out_print, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, tables), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(tables, dtype=np.int32), len(ids)), pa.int32()
+                ),
+                "key": pa.array(keys.reshape(-1), pa.int64()),
+                "print": pa.array(np.repeat(prints, tables), pa.uint64()),
             }
         )
 
@@ -510,25 +550,16 @@ def simhash_pairs(
         lambda t: t.filter(pa.compute.greater(t["n"], 1)).select(["band", "key"]),
         batch_format="pyarrow",
     ).to_pandas()
-    hot_keys = set(zip(hot["band"], hot["key"])) if "band" in hot.columns else set()
     empty = pa.table(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
          "hamming": pa.array([], pa.int64())}
     )
-    if not hot_keys:
+    if hot.empty or "band" not in hot.columns:
         return ray.data.from_arrow(empty)
-    hot_ref = ray.put(hot_keys)
-
-    def only_hot(t: pa.Table) -> pa.Table:
-        wanted = ray.get(hot_ref)
-        mask = [
-            (b, k) in wanted
-            for b, k in zip(t["band"].to_pylist(), t["key"].to_pylist())
-        ]
-        return t.filter(pa.array(mask, pa.bool_()))
+    hot_ref = ray.put(_hot_bucket_table(hot))
 
     return (
-        buckets.map_batches(only_hot, batch_format="pyarrow")
+        buckets.map_batches(_only_hot_fn(hot_ref), batch_format="pyarrow")
         .groupby(["band", "key"])
         .map_groups(pairs, batch_format="pandas")
         .groupby(["id_a", "id_b"])

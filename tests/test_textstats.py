@@ -106,3 +106,58 @@ class TestEmptyTextSketches:
         assert (sig == np.iinfo(np.uint64).max).all()
         assert simhash64("") == 0
         assert simhash64("   ") == 0
+
+
+class TestBatchSketchEquivalence:
+    """The vectorized batch sketch kernels (reduceat segment min/sum) must
+    be value-identical to the frozen per-doc functions — the SQL oracles
+    and the LSH banding analysis are written against the per-doc forms."""
+
+    TEXTS = [
+        "",
+        "   ",
+        "one",
+        "one two",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "a  b   c",          # consecutive spaces -> empty-string words
+        "word " * 50,
+        None,
+    ]
+
+    def _clean(self):
+        return [t if t is not None else "" for t in self.TEXTS]
+
+    def test_minhash_batch_matches_per_doc(self):
+        import numpy as np
+
+        from ebook_ocr_ray.functions.sketches import (
+            minhash_signature,
+            minhash_signatures_batch,
+        )
+
+        batch = minhash_signatures_batch(self.TEXTS, k=3)
+        for i, t in enumerate(self._clean()):
+            np.testing.assert_array_equal(batch[i], minhash_signature(t, k=3))
+
+    def test_band_keys_batch_matches_per_doc(self):
+        import numpy as np
+
+        from ebook_ocr_ray.functions.sketches import (
+            lsh_band_keys,
+            lsh_band_keys_batch,
+            minhash_signatures_batch,
+        )
+
+        sigs = minhash_signatures_batch(self.TEXTS, k=3)
+        keys = lsh_band_keys_batch(sigs)
+        for i in range(len(self.TEXTS)):
+            expect = [k for _, k in lsh_band_keys(sigs[i])]
+            assert keys[i].tolist() == expect
+
+    def test_simhash_batch_matches_per_doc(self):
+        from ebook_ocr_ray.functions.sketches import simhash64, simhash64_batch
+
+        batch = simhash64_batch(self.TEXTS)
+        for i, t in enumerate(self._clean()):
+            assert int(batch[i]) == simhash64(t)
