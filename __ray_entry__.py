@@ -412,6 +412,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "top_terms": analytics.top_terms,
         "source_stats": lambda sf: _sorted_frame(analytics.source_stats(sf), ["source"]),
+        "sessionize": lambda sf: _sorted_frame(
+            analytics.sessionize(sf), ["user_id", "session_idx"]
+        ),
+        "top_docs_per_source": lambda sf: _sorted_frame(
+            analytics.top_docs_per_source(sf), ["source", "rank"]
+        ),
+        "token_quantiles": lambda sf: _sorted_frame(
+            analytics.token_quantiles_per_source(sf), ["source"]
+        ),
+        "redact_pii": analytics.redact_pii,
+        "tfidf_top_terms": lambda sf: _sorted_frame(
+            analytics.tfidf_top_terms(sf), ["source", "term"]
+        ),
         # text analysis
         "train_val_split": analytics.train_val_split,
         "token_stats": analytics.token_table,
@@ -728,6 +741,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, COUNT(*) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
             GROUP BY term ORDER BY n DESC, term LIMIT 50
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) IS NULL
+                      OR datediff('microsecond',
+                                  lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id),
+                                  ts) > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                              AS session_idx
+                  FROM g)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_docs_per_source": """
+            SELECT source, doc_id, n_chars, CAST(rnk AS BIGINT) AS rank
+            FROM (SELECT source, doc_id, n_chars,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY n_chars DESC, doc_id)
+                             AS rnk
+                  FROM documents)
+            WHERE rnk <= 3 ORDER BY source, rank
+        """,
+        "token_quantiles": """
+            WITH tok AS (SELECT source, len(string_split(text, ' ')) AS n_tokens
+                         FROM documents)
+            SELECT source, COUNT(*) AS n_docs,
+                   quantile_disc(n_tokens, 0.5) AS p50_tokens,
+                   quantile_disc(n_tokens, 0.9) AS p90_tokens
+            FROM tok GROUP BY 1 ORDER BY 1
+        """,
+        "redact_pii": """
+            WITH s AS (
+              SELECT doc_id,
+                     text || ' Contact user' || doc_id
+                          || '@example.com or call 555-'
+                          || (1000 + doc_id % 9000) || '.' AS raw
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+',
+                                    '<EMAIL>', 'g'),
+                     '555-[0-9]+', '<PHONE>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(raw,
+                        '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(
+                        regexp_replace(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+',
+                                       '<EMAIL>', 'g'),
+                        '555-[0-9]+')) AS BIGINT) AS n_phones
+            FROM s
+        """,
+        "tfidf_top_terms": """
+            WITH tfc AS (
+              SELECT source, term, COUNT(*) AS tf FROM
+                (SELECT source, unnest(string_split(text, ' ')) AS term
+                 FROM documents)
+              GROUP BY 1, 2),
+            df AS (
+              SELECT term, COUNT(*) AS df FROM
+                (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents)
+              GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+              SELECT tfc.source, tfc.term, tfc.tf,
+                     tfc.tf * ln(n.n::DOUBLE / df.df) AS tfidf
+              FROM tfc JOIN df ON tfc.term = df.term CROSS JOIN n)
+            SELECT source, term, CAST(tf AS BIGINT) AS tf, tfidf
+            FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                               ORDER BY tfidf DESC, term) AS rnk
+                  FROM scored)
+            WHERE rnk <= 5 ORDER BY source, term
         """,
         "source_stats": """
             SELECT source, COUNT(*) AS n_docs,

@@ -525,3 +525,264 @@ def dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Sessionization (gap-based session windows over the event stream)
+# --------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000          # 30-minute inactivity boundary
+
+
+def sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US) -> ray.data.Dataset:
+    """Session-level aggregates per user: events are grouped into sessions
+    split wherever the gap to the previous event exceeds ``gap_us``.
+
+    Shape: ``groupby(user_id).map_groups`` co-locates each user's history
+    (bounded per-user volume — the same partitioning argument as
+    events_gaps); session assignment is a vectorized cumulative sum over
+    the sorted diffs, and the per-session rollup happens inside the group,
+    so one slim row per session leaves the shuffle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = g.ts.astype("datetime64[us]").astype("int64")
+        new_session = ts_us.diff().isna() | (ts_us.diff() > gap_us)
+        g = g.assign(session_idx=new_session.cumsum().astype("int64"),
+                     value_cents=_cents(g.value.to_numpy()))
+        out = g.groupby("session_idx", sort=True).agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+            value_cents=("value_cents", "sum"),
+        ).reset_index()
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_idx", "n_events", "start_ts", "end_ts",
+                    "value_cents"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Per-group top-k (partial top-k per batch, final top-k per group)
+# --------------------------------------------------------------------------
+
+
+def top_docs_per_source(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Top-``k`` documents per source by (n_chars DESC, doc_id ASC).
+
+    Each batch first reduces to at most ``k`` candidate rows per source it
+    contains (vectorized pandas head-per-group), so the shuffle moves
+    O(k x sources x batches) slim rows — never the corpus — before the
+    per-group final top-k."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                              kind="mergesort")
+            .groupby("source", sort=False).head(k)
+        )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                              kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["source", "doc_id", "n_chars", "rank"]]
+
+    return (
+        docs.map_batches(partial_topk, batch_format="pandas")
+        .groupby("source")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-group exact quantiles via value histogram (no per-group value list)
+# --------------------------------------------------------------------------
+
+
+def token_quantiles_per_source(sf_dir: str) -> ray.data.Dataset:
+    """Exact p50/p90 of per-document token counts per source, computed
+    from a (source, n_tokens) count histogram: the group's raw values
+    NEVER co-locate — batches ship partial counts, a keyed Sum merges
+    them, and the quantile is read off the sorted cumulative histogram
+    (bounded by the number of DISTINCT token counts, not document count).
+    Quantile rule mirrors DuckDB quantile_disc: sorted[ceil(q*n) - 1]."""
+    import math
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple, int] = {}
+        for src, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            key = (src, len(t.split(" ")) if t else 1)
+            counts[key] = counts.get(key, 0) + 1
+        return pa.table(
+            {
+                "source": pa.array([s for s, _ in counts], pa.string()),
+                "n_tokens": pa.array([v for _, v in counts], pa.int64()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    hist = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "n_tokens"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def quantiles(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("n_tokens", kind="mergesort")
+        vals = g.n_tokens.to_numpy()
+        cum = g.n.to_numpy().cumsum()
+        total = int(cum[-1])
+
+        def q(p: float) -> int:
+            rank = math.ceil(p * total)                  # quantile_disc rule
+            return int(vals[np.searchsorted(cum, rank)])
+
+        return pd.DataFrame(
+            {
+                "source": [g.source.iloc[0]],
+                "n_docs": pd.array([total], dtype="int64"),
+                "p50_tokens": pd.array([q(0.5)], dtype="int64"),
+                "p90_tokens": pd.array([q(0.9)], dtype="int64"),
+            }
+        )
+
+    return hist.groupby("source").map_groups(quantiles, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# PII redaction (regex scrub over a deterministically-contaminated corpus)
+# --------------------------------------------------------------------------
+
+import re as _re
+
+# RE2-compatible (the DuckDB oracle runs the same patterns) and anchored to
+# simple character classes so Python re and RE2 agree byte for byte.
+EMAIL_RE = _re.compile(r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+")
+PHONE_RE = _re.compile(r"555-[0-9]+")
+
+
+def pii_suffix(doc_id: int) -> str:
+    """Deterministic contamination appended to every document so the
+    redaction path is exercised (and closed-form checkable) even on a
+    clean synthetic corpus."""
+    return f" Contact user{doc_id}@example.com or call 555-{1000 + doc_id % 9000}."
+
+
+def redact_pii(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, clean_text, n_emails, n_phones): email/phone patterns are
+    replaced with typed placeholders; counts are per-document match
+    totals. Pure per-batch map — no shuffle; patterns are compiled once
+    at module import, not per batch."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        clean, n_em, n_ph = [], [], []
+        for doc_id, t in zip(ids, batch["text"].to_pylist()):
+            s = (t or "") + pii_suffix(doc_id)
+            n_em.append(len(EMAIL_RE.findall(s)))
+            s = EMAIL_RE.sub("<EMAIL>", s)
+            n_ph.append(len(PHONE_RE.findall(s)))
+            clean.append(PHONE_RE.sub("<PHONE>", s))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": pa.array(clean, pa.string()),
+                "n_emails": pa.array(n_em, pa.int64()),
+                "n_phones": pa.array(n_ph, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per source (two keyed aggregates + broadcast df lookup)
+# --------------------------------------------------------------------------
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Top-``k`` terms per source by tf-idf (tf x ln(N/df), ties broken by
+    term). Term frequencies and document frequencies ship as per-batch
+    partial counts into two keyed Sums; the df side (one row per DISTINCT
+    term — vocabulary-sized, not corpus-sized) is broadcast once via
+    ray.put for the scoring map. At an extreme vocabulary scale the
+    broadcast flips to a keyed join on term; the aggregate shapes are
+    unchanged."""
+    import math
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple, int] = {}
+        for src, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            for w in (t.split(" ") if t else [""]):
+                counts[(src, w)] = counts.get((src, w), 0) + 1
+        return pa.table(
+            {
+                "source": pa.array([s for s, _ in counts], pa.string()),
+                "term": pa.array([w for _, w in counts], pa.string()),
+                "tf": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for w in set(t.split(" ") if t else [""]):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "df": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    n_docs = docs.count()
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
+
+    tf_tbl = (
+        docs.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfs = ray.get(df_ref)
+        terms = batch["term"].to_pylist()
+        tfs = batch["tf"].to_numpy(zero_copy_only=False)
+        tfidf = np.array(
+            [tf * math.log(n_docs / dfs[w]) for w, tf in zip(terms, tfs)],
+            dtype=np.float64,
+        )
+        return batch.append_column("tfidf", pa.array(tfidf, pa.float64()))
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["tfidf", "term"], ascending=[False, True],
+                              kind="mergesort").head(k).reset_index(drop=True)
+        return g[["source", "term", "tf", "tfidf"]]
+
+    return (
+        tf_tbl.map_batches(score, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_topk, batch_format="pandas")
+    )

@@ -362,3 +362,74 @@ class TestCodeReviewRound2:
         )
         assert list(out.k) == [-5, 3]
         assert list(out.w) == ["NEG", "POS"]
+
+
+class TestTrainingDataOps:
+    """Round-2 additions: sessionization, per-group top-k, histogram
+    quantiles, PII redaction, tf-idf — each against its oracle SQL plus
+    one behavioral edge apiece."""
+
+    def test_sessionize_matches_oracle(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import sessionize
+        import __ray_entry__ as e
+
+        assert_matches_oracle(sessionize(SF), con, e.oracle_sql()["sessionize"])
+
+    def test_sessionize_splits_on_gap(self, ray_session):
+        """Two bursts 31 minutes apart must land in different sessions."""
+        import ray.data
+        from ebook_ocr_ray.pipelines.analytics import sessionize
+
+        base = pd.Timestamp("2026-01-01 00:00:00")
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "user_id": [7, 7, 7, 7],
+                "ts": [base, base + pd.Timedelta(minutes=1),
+                       base + pd.Timedelta(minutes=32),
+                       base + pd.Timedelta(minutes=33)],
+                "value": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+        import os, tempfile
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            out = sessionize(d).to_pandas().sort_values("session_idx")
+        assert out.session_idx.tolist() == [1, 2]
+        assert out.n_events.tolist() == [2, 2]
+        assert out.value_cents.tolist() == [300, 700]
+
+    def test_top_docs_per_source(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import top_docs_per_source
+        import __ray_entry__ as e
+
+        out = top_docs_per_source(SF)
+        assert_matches_oracle(out, con, e.oracle_sql()["top_docs_per_source"])
+
+    def test_token_quantiles(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import token_quantiles_per_source
+        import __ray_entry__ as e
+
+        assert_matches_oracle(
+            token_quantiles_per_source(SF), con, e.oracle_sql()["token_quantiles"]
+        )
+
+    def test_redact_pii(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import redact_pii
+        import __ray_entry__ as e
+
+        out = redact_pii(SF).to_pandas()
+        assert_matches_oracle(out, con, e.oracle_sql()["redact_pii"])
+        # every row was contaminated with exactly one email + one phone
+        assert (out.n_emails == 1).all() and (out.n_phones == 1).all()
+        assert out.clean_text.str.contains("<EMAIL>").all()
+        assert out.clean_text.str.contains("<PHONE>").all()
+        assert not out.clean_text.str.contains("@").any()
+
+    def test_tfidf_top_terms(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import tfidf_top_terms
+        import __ray_entry__ as e
+
+        out = tfidf_top_terms(SF).to_pandas()
+        assert_matches_oracle(out, con, e.oracle_sql()["tfidf_top_terms"])
+        assert (out.groupby("source").size() <= 5).all()
