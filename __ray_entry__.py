@@ -430,7 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": analytics.token_table,
         "doc_fingerprint": analytics.fingerprint_table,
         "dedup_exact_docs": analytics.dedup_exact_docs,
-        "text_profile": analytics.text_profile,          # rows-only
+        "text_profile": analytics.text_profile,
         # similarity / near-dup
         "knn_brute": neighbors.knn_brute,
         "knn_ivf": neighbors.knn_ivf,                    # rows-only (approx)
@@ -441,8 +441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": lambda sf: _sorted_frame(
             neardup.simhash_pairs(sf), ["id_a", "id_b"]
         ),
-        # extraction metadata (rows-only: ensemble internals)
-        "extract_metrics": _extract_metrics,             # rows-only
+        # extraction metadata (ensemble internals, closed-form oracle)
+        "extract_metrics": _extract_metrics,
         # structural stage (book_converter analog)
         "structural_xml": _structural_xml,
         "structural_xml_embedded": _structural_xml_embedded,
@@ -487,6 +487,80 @@ shingled AS (
     END AS shingles
   FROM docs
 )"""
+
+
+def _text_profile_sql() -> str:
+    """Closed-form oracle for analytics.text_profile. Each column mirrors
+    the Python heuristic exactly: trigram hits are counted with the
+    replace-length trick (non-overlapping left-to-right removal == Python
+    str.count), dict order of _LANG_PROFILES becomes the tie-break
+    priority, the (.)\\1{4} char-run penalty becomes a positional
+    self-join (RE2 has no backreferences), int(round(x)) maps to
+    CAST(x AS BIGINT) (both ties-to-even), and the Karp-Rabin fold runs
+    through list_reduce in HUGEINT."""
+    from ebook_ocr_ray.functions.textstats import _LANG_PROFILES
+
+    grams = ", ".join(
+        f"('{lang}', {prio}, '{g}')"
+        for prio, (lang, gs) in enumerate(_LANG_PROFILES.items())
+        for g in gs
+    )
+    return f"""
+        WITH langgrams(lang, prio, g) AS (VALUES {grams}),
+        samp AS (SELECT doc_id, lower(substr(text, 1, 512)) AS s FROM documents),
+        hits AS (
+          SELECT d.doc_id, lg.lang, lg.prio,
+                 SUM((length(d.s) - length(replace(d.s, lg.g, '')))
+                     // length(lg.g)) AS hits
+          FROM samp d CROSS JOIN langgrams lg
+          GROUP BY 1, 2, 3),
+        best AS (
+          SELECT doc_id, lang, hits,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY hits DESC, prio) AS rn
+          FROM hits),
+        lang_pred AS (
+          SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+          FROM best WHERE rn = 1),
+        runs AS (
+          SELECT DISTINCT d.doc_id
+          FROM documents d,
+               LATERAL (SELECT unnest(range(1, greatest(length(d.text) - 3, 1)))
+                        AS i) r
+          WHERE substr(d.text, r.i::INT, 1) <> chr(10)
+            AND substr(d.text, r.i::INT, 1) = substr(d.text, r.i::INT + 1, 1)
+            AND substr(d.text, r.i::INT, 1) = substr(d.text, r.i::INT + 2, 1)
+            AND substr(d.text, r.i::INT, 1) = substr(d.text, r.i::INT + 3, 1)
+            AND substr(d.text, r.i::INT, 1) = substr(d.text, r.i::INT + 4, 1)),
+        quality AS (
+          SELECT d.doc_id,
+            CASE WHEN length(d.text) = 0 THEN 0 ELSE
+              CAST(greatest(0.0, least(1.0,
+                0.4 * least(len(string_split(d.text, ' ')) / 50.0, 1.0)
+              + 0.3 * ((length(d.text)
+                        - length(regexp_replace(d.text, '[A-Za-z\\t\\n\\f\\r ]',
+                                                '', 'g')))::DOUBLE
+                       / length(d.text))
+              + 0.3 * least((len(list_filter(string_split(d.text, ' '),
+                             w -> w IN ({_STOPLIST_SQL})))::DOUBLE
+                             / len(string_split(d.text, ' '))) * 4, 1.0)
+              - CASE WHEN r.doc_id IS NOT NULL THEN 0.5 ELSE 0.0 END
+              )) * 1000 AS BIGINT) END AS quality_milli
+          FROM documents d LEFT JOIN runs r ON d.doc_id = r.doc_id),
+        roll AS (
+          SELECT doc_id,
+            CASE WHEN length(text) = 0 THEN 0 ELSE
+              list_reduce(
+                list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT),
+                (a, c) -> (a * 1000003 + c) % 2305843009213693951)
+            END::BIGINT AS fp_roll
+          FROM documents)
+        SELECT d.doc_id, l.lang_pred, q.quality_milli, r.fp_roll
+        FROM documents d
+        JOIN lang_pred l ON d.doc_id = l.doc_id
+        JOIN quality q ON d.doc_id = q.doc_id
+        JOIN roll r ON d.doc_id = r.doc_id
+    """
 
 
 def _simhash_pairs_sql() -> str:
@@ -610,6 +684,60 @@ def oracle_sql() -> dict[str, str]:
     return {
         "minhash_clusters": _minhash_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
+        "text_profile": _text_profile_sql(),
+        # Closed-form oracle for the ensemble metadata. The synthesized
+        # corpus makes every column deterministic: html pages always vote 2
+        # lines (title + body) with density/dom contributing both and
+        # readability contributing iff its raw container confidence
+        # score/(score+2) clears MIN_SPAN_CONF (score summed in the exact
+        # per-block float order of _candidate_score); pdf pages emit one
+        # title row plus the width-budgeted greedy wrap of pages.synth_pdf,
+        # reproduced by an integer list_reduce fold (state = lines*100000
+        # + x; all widths are multiples of 8 so float and int agree).
+        "extract_metrics": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     'Document ' || format('{{:,}}', doc_id) AS title
+              FROM documents),
+            pdffold AS (
+              SELECT doc_id AS pid,
+                1 + list_reduce(
+                      list_prepend(100000::BIGINT,
+                        list_transform(string_split(text, ' '),
+                                       w -> length(w)::BIGINT)),
+                      (acc, wl) -> CASE
+                        WHEN (acc % 100000) > 0
+                             AND (acc % 100000) + 8 * wl > 380
+                        THEN (acc // 100000 + 1) * 100000 + 8 * wl + 8
+                        ELSE acc + 8 * wl + 8 END
+                    ) // 100000 AS n_lines
+              FROM base WHERE doc_id % 7 = 3),
+            readab AS (
+              SELECT doc_id AS rid,
+                CASE WHEN least(s / (s + 2.0), 0.99) >= 0.5
+                     THEN 2 ELSE 0 END AS r
+              FROM (SELECT doc_id,
+                      0.0 + least(length(title) / 100.0, 3.0)
+                          + (length(title)
+                             - length(replace(title, ',', ''))) * 0.5
+                          + least(length(text) / 100.0, 3.0)
+                          + (length(text)
+                             - length(replace(text, ',', ''))) * 0.5 AS s
+                    FROM base))
+            SELECT {_URL_SQL} AS url,
+                   CASE WHEN doc_id % 7 = 3 THEN 'pdf' ELSE 'html' END
+                       AS doc_kind,
+                   CAST(CASE WHEN doc_id % 7 = 3 THEN p.n_lines ELSE 2 END
+                        AS INT) AS n_lines,
+                   CAST(0 AS INT) AS gaps_filled,
+                   CASE WHEN doc_id % 7 = 3
+                        THEN '{{"layout": ' || p.n_lines || '}}'
+                        ELSE '{{"density": 2, "dom": 2, "readability": '
+                             || r.r || '}}' END AS contributions
+            FROM documents d
+            LEFT JOIN pdffold p ON d.doc_id = p.pid
+            LEFT JOIN readab r ON d.doc_id = r.rid
+        """,
         "extract_docs": f"""
             SELECT {_URL_SQL} AS url, {_TEXT_SQL} AS extracted_text
             FROM documents

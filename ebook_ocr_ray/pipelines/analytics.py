@@ -414,8 +414,13 @@ def fingerprint_table(sf_dir: str) -> ray.data.Dataset:
 
 def text_profile(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, lang_pred, quality_milli, fp_roll) — language-ID heuristic,
-    quality score (integer millis), rolling-hash fingerprint. Deterministic
-    but not SQL-expressible -> rows-only correctness check."""
+    quality score (integer millis), rolling-hash fingerprint. Fully
+    mirrored in SQL (__ray_entry__._text_profile_sql): trigram hits via
+    replace-length arithmetic, the char-run penalty via a positional
+    self-join (RE2 has no backreferences), the rolling hash via
+    list_reduce in HUGEINT. fp_roll is int64 — the 2^61-1 modulus
+    guarantees the value fits, and the oracle's BIGINT must agree on
+    dtype."""
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def prof(batch: pa.Table) -> pa.Table:
@@ -431,7 +436,7 @@ def text_profile(sf_dir: str) -> ray.data.Dataset:
                 "doc_id": batch["doc_id"],
                 "lang_pred": pa.array(langs, pa.string()),
                 "quality_milli": pa.array(quals, pa.int64()),
-                "fp_roll": pa.array(rolls, pa.uint64()),
+                "fp_roll": pa.array(rolls, pa.int64()),
             }
         )
 
