@@ -194,6 +194,12 @@ def _media_image_features(sf_dir: str):
     return image_features(sf_dir).select_columns(["media_id", "pix_mean", "pix_std"])
 
 
+def _vlm_captions(sf_dir: str):
+    from ebook_ocr_ray.stages.vlm import vlm_captions
+
+    return vlm_captions(sf_dir)
+
+
 def _media_frame_counts(sf_dir: str):
     """Frames sampled per synthetic video (every 5th of 10 + id%20 frames)
     — closed-form oracle."""
@@ -450,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal columns (binary payload + typed metadata)
         "media_image_features": _media_image_features,
         "media_frame_counts": _media_frame_counts,
+        "vlm_captions": _vlm_captions,
         "media_audio_features": _media_audio_features,
         "media_frame_index": _media_frame_index,
         # heading normalization / self-repair rules
@@ -1044,6 +1051,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unnest(generate_series(0, 10 + doc_id % 20 - 1, 5)) AS INT)
                        AS frame_idx
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "vlm_captions": """
+            WITH imgs AS (
+              SELECT doc_id AS media_id,
+                     32 + (doc_id % 8) * 16 AS w,
+                     24 + (doc_id % 5) * 12 AS h
+              FROM documents WHERE doc_id % 3 = 0),
+            px AS (
+              SELECT i.media_id, ((x.x * 3 + y.y * 7 + i.media_id) % 256) AS b
+              FROM imgs i,
+                   LATERAL (SELECT unnest(generate_series(0, i.w - 1)) AS x) x,
+                   LATERAL (SELECT unnest(generate_series(0, i.h - 1)) AS y) y),
+            ch AS (
+              SELECT media_id, CAST(b AS DOUBLE) AS v FROM px
+              UNION ALL SELECT media_id, CAST((b * 2) % 256 AS DOUBLE) FROM px
+              UNION ALL SELECT media_id, CAST((b * 5) % 256 AS DOUBLE) FROM px),
+            m AS (SELECT media_id, avg(v) AS pix_mean FROM ch GROUP BY media_id)
+            SELECT i.media_id,
+                   'figure ' || i.w || 'x' || i.h || ': brightness '
+                     || CAST(floor(m.pix_mean) AS BIGINT) AS caption
+            FROM imgs i JOIN m ON i.media_id = m.media_id
         """,
         "media_image_features": """
             WITH imgs AS (

@@ -88,3 +88,95 @@ class TestPipeline:
         img2 = image_features(sf).to_pandas()
         assert img.sort_values("media_id").pix_mean.tolist() == \
             img2.sort_values("media_id").pix_mean.tolist()
+
+
+class TestVLMCaptioner:
+    """A11 analog: external VLM client as an actor-pool stage — stubbed
+    client seam, real batching/retry plumbing."""
+
+    def test_captions_are_closed_form(self, ray_session):
+        from ebook_ocr_ray.stages.vlm import vlm_captions
+        from ebook_ocr_ray.stages.multimodal import decode_image, synth_image
+        import numpy as np
+
+        out = vlm_captions("/root/testdata/sf0.001").to_pandas()
+        assert len(out) > 0
+        row = out.iloc[0]
+        mid = int(row.media_id)
+        w, h = 32 + (mid % 8) * 16, 24 + (mid % 5) * 12
+        img = decode_image(synth_image(mid, w, h))
+        assert row.caption == f"figure {w}x{h}: brightness {int(np.floor(img.mean()))}"
+
+    def test_retry_recovers_from_transient_failures(self):
+        import pyarrow as pa
+        from ebook_ocr_ray.stages.vlm import FlakyVLMClient, VLMCaptioner
+        from ebook_ocr_ray.stages.multimodal import synth_image
+
+        batch = pa.table(
+            {
+                "media_id": pa.array([1, 2], pa.int64()),
+                "kind": pa.array(["image", "image"], pa.string()),
+                "payload": pa.array([synth_image(1, 32, 24), synth_image(2, 48, 36)],
+                                    pa.binary()),
+            }
+        )
+        cap = VLMCaptioner(client_factory=lambda: FlakyVLMClient(fail_first=2),
+                           max_retries=3)
+        out = cap(batch)
+        assert out["caption"].to_pylist()[0].startswith("figure 32x24")
+
+    def test_retries_exhausted_raises(self):
+        import pyarrow as pa
+        import pytest
+        from ebook_ocr_ray.stages.vlm import (FlakyVLMClient, TransientVLMError,
+                                              VLMCaptioner)
+        from ebook_ocr_ray.stages.multimodal import synth_image
+
+        batch = pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "kind": pa.array(["image"], pa.string()),
+                "payload": pa.array([synth_image(1, 32, 24)], pa.binary()),
+            }
+        )
+        cap = VLMCaptioner(client_factory=lambda: FlakyVLMClient(fail_first=5),
+                           max_retries=3)
+        with pytest.raises(TransientVLMError):
+            cap(batch)
+
+    def test_request_chunking(self):
+        import pyarrow as pa
+        from ebook_ocr_ray.stages.vlm import StubVLMClient, VLMCaptioner
+        from ebook_ocr_ray.stages.multimodal import synth_image
+
+        class CountingClient(StubVLMClient):
+            calls = 0
+            sizes = []
+
+            def caption(self, images):
+                CountingClient.calls += 1
+                CountingClient.sizes.append(len(images))
+                return super().caption(images)
+
+        n = 10
+        batch = pa.table(
+            {
+                "media_id": pa.array(list(range(n)), pa.int64()),
+                "kind": pa.array(["image"] * n, pa.string()),
+                "payload": pa.array([synth_image(i, 32, 24) for i in range(n)],
+                                    pa.binary()),
+            }
+        )
+        cap = VLMCaptioner(client_factory=CountingClient, max_request=4)
+        out = cap(batch)
+        assert len(out) == n
+        assert CountingClient.calls == 3            # 4 + 4 + 2
+        assert CountingClient.sizes == [4, 4, 2]
+
+    def test_real_client_is_a_documented_seam(self):
+        import numpy as np
+        import pytest
+        from ebook_ocr_ray.stages.vlm import RealVLMClient
+
+        with pytest.raises(NotImplementedError):
+            RealVLMClient().caption([np.zeros((2, 2, 3))])
