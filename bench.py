@@ -58,6 +58,17 @@ def run_bench() -> dict:
 
     def timed(name, fn):
         nonlocal n_docs
+        # drain the previous query BEFORE timing starts: drop its Dataset
+        # refs (gc), then run a trivial no-op execution, which blocks until
+        # the executor has the cluster back — otherwise the predecessor's
+        # actor-pool teardown and block eviction land inside the NEXT
+        # query's measured wall (reproducibly +4-5s after extract_e2e)
+        import gc
+
+        import ray.data as _rd
+
+        gc.collect()
+        _rd.range(64, override_num_blocks=32).map_batches(lambda b: b).materialize()
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
