@@ -194,6 +194,43 @@ def _media_image_features(sf_dir: str):
     return image_features(sf_dir).select_columns(["media_id", "pix_mean", "pix_std"])
 
 
+def _preview_trim_grid(sf_dir: str):
+    from ebook_ocr_ray.stages.multimodal import preview_trim_grid
+
+    return preview_trim_grid(sf_dir)
+
+
+def _preview_trim_grid_sql() -> str:
+    """Closed-form oracle for the trim-grid preview: the ratio ladder's
+    exact accumulated doubles (and the labels formatted from them) are
+    computed by the same Python loop and embedded as literals; px mirrors
+    int() truncation as floor (dimensions and ratios are positive)."""
+    from ebook_ocr_ray.stages.multimodal import TRIM_DIRECTIONS, trim_ratios
+
+    rows = ", ".join(
+        f"('{direction}', '{prefix}:{r:.2f}', '{color}', {r!r}::DOUBLE)"
+        for direction, prefix, color in TRIM_DIRECTIONS
+        for r in trim_ratios()
+    )
+    return f"""
+        WITH imgs AS (
+          SELECT doc_id AS media_id,
+                 32 + (doc_id % 8) * 16 AS w,
+                 24 + (doc_id % 5) * 12 AS h
+          FROM documents WHERE doc_id % 3 = 0),
+        guides(direction, label, color, ratio) AS (VALUES {rows})
+        SELECT i.media_id, g.direction, g.ratio,
+               CAST(floor(CASE g.direction
+                 WHEN 'top' THEN i.h * g.ratio
+                 WHEN 'bottom' THEN i.h * (1 - g.ratio)
+                 WHEN 'left' THEN i.w * g.ratio
+                 ELSE i.w * (1 - g.ratio) END) AS BIGINT) AS px,
+               g.label, g.color
+        FROM imgs i CROSS JOIN guides g
+        ORDER BY i.media_id, g.direction, g.ratio
+    """
+
+
 def _vlm_captions(sf_dir: str):
     from ebook_ocr_ray.stages.vlm import vlm_captions
 
@@ -457,6 +494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_features": _media_image_features,
         "media_frame_counts": _media_frame_counts,
         "vlm_captions": _vlm_captions,
+        "preview_trim_grid": lambda sf: _sorted_frame(
+            _preview_trim_grid(sf), ["media_id", "direction", "ratio"]
+        ),
         "media_audio_features": _media_audio_features,
         "media_frame_index": _media_frame_index,
         # heading normalization / self-repair rules
@@ -1052,6 +1092,7 @@ def oracle_sql() -> dict[str, str]:
                        AS frame_idx
             FROM documents WHERE doc_id % 3 = 2
         """,
+        "preview_trim_grid": _preview_trim_grid_sql(),
         "vlm_captions": """
             WITH imgs AS (
               SELECT doc_id AS media_id,

@@ -294,3 +294,87 @@ def video_frames(sf_dir: str, every: int = 5):
         concurrency=_pool_size(),
         num_cpus=1,
     )
+
+
+# --- trim-grid preview (reference M35, src/cli/preview_trim_grid.py) -------
+
+TRIM_DIRECTIONS = (
+    # (direction, label prefix, color) — the reference's color coding
+    ("top", "T", "#FF0000"),
+    ("bottom", "B", "#0000FF"),
+    ("left", "L", "#00FF00"),
+    ("right", "R", "#FFA500"),
+)
+
+
+def trim_ratios(step: float = 0.05, max_ratio: float = 0.30) -> list[float]:
+    """The reference's ratio ladder (preview_trim_grid.py:136-141)
+    REPLICATED INCLUDING its float accumulation: `ratio += step` compounds
+    representation error, so with the defaults the ladder is
+    [0.05, 0.1, 0.15000000000000002, 0.2, 0.25, 0.3] — the third rung is
+    NOT the double nearest 0.15. The oracle embeds these exact doubles;
+    "fixing" the loop to `step * i` would break parity with what the
+    reference actually draws."""
+    if step <= 0:
+        raise ValueError("step must be greater than 0")
+    if step > max_ratio:
+        raise ValueError("step must be <= max")
+    if max_ratio >= 0.5:
+        raise ValueError("max must be < 0.5")
+    ratios = []
+    ratio = step
+    while ratio <= max_ratio:
+        ratios.append(ratio)
+        ratio += step
+    return ratios
+
+
+def preview_trim_grid(sf_dir: str, step: float = 0.05, max_ratio: float = 0.30):
+    """Data-engine analog of the reference trim-grid preview: instead of
+    rasterizing guide lines onto PNGs (no PIL in this container), emit one
+    row per (image, direction, ratio) carrying the exact geometry the
+    reference would draw — pixel coordinate via the same int() truncation
+    (preview_trim_grid.py:143-168), the "T:0.05"-style label, and the
+    direction's color code. A real deployment feeds these rows to any
+    renderer; the numbers, not the pixels, are the debug artifact."""
+    import ray.data
+
+    ratios = trim_ratios(step, max_ratio)
+
+    def grid(batch: pa.Table) -> pa.Table:
+        mask = [k == "image" for k in batch["kind"].to_pylist()]
+        sub = batch.filter(pa.array(mask, pa.bool_()))
+        ids, dirs, rs, pxs, labels, colors = [], [], [], [], [], []
+        for mid, w, h in zip(
+            sub["media_id"].to_pylist(),
+            sub["meta_width"].to_pylist(),
+            sub["meta_height"].to_pylist(),
+        ):
+            for direction, prefix, color in TRIM_DIRECTIONS:
+                for ratio in ratios:
+                    if direction == "top":
+                        px = int(h * ratio)
+                    elif direction == "bottom":
+                        px = int(h * (1 - ratio))
+                    elif direction == "left":
+                        px = int(w * ratio)
+                    else:
+                        px = int(w * (1 - ratio))
+                    ids.append(mid)
+                    dirs.append(direction)
+                    rs.append(ratio)
+                    pxs.append(px)
+                    labels.append(f"{prefix}:{ratio:.2f}")
+                    colors.append(color)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "direction": pa.array(dirs, pa.string()),
+                "ratio": pa.array(rs, pa.float64()),
+                "px": pa.array(pxs, pa.int64()),
+                "label": pa.array(labels, pa.string()),
+                "color": pa.array(colors, pa.string()),
+            }
+        )
+
+    return media_dataset(sf_dir, kind="image").map_batches(grid, batch_format="pyarrow")

@@ -180,3 +180,35 @@ class TestVLMCaptioner:
 
         with pytest.raises(NotImplementedError):
             RealVLMClient().caption([np.zeros((2, 2, 3))])
+
+
+class TestPreviewTrimGrid:
+    """M35 analog: the trim-grid debug artifact as geometry rows."""
+
+    def test_ratio_ladder_replicates_reference_float_loop(self):
+        from ebook_ocr_ray.stages.multimodal import trim_ratios
+
+        assert trim_ratios() == [0.05, 0.1, 0.15000000000000002, 0.2, 0.25, 0.3]
+
+    def test_validation_mirrors_reference(self):
+        import pytest
+        from ebook_ocr_ray.stages.multimodal import trim_ratios
+
+        with pytest.raises(ValueError):
+            trim_ratios(step=0.0)
+        with pytest.raises(ValueError):
+            trim_ratios(step=0.4, max_ratio=0.3)
+        with pytest.raises(ValueError):
+            trim_ratios(max_ratio=0.5)
+
+    def test_grid_rows(self, ray_session):
+        from ebook_ocr_ray.stages.multimodal import preview_trim_grid
+
+        out = preview_trim_grid("/root/testdata/sf0.001").to_pandas()
+        one = out[out.media_id == out.media_id.iloc[0]]
+        assert len(one) == 4 * 6                      # directions x ratios
+        top = one[(one.direction == "top") & (one.ratio == 0.05)].iloc[0]
+        mid = int(top.media_id)
+        h = 24 + (mid % 5) * 12
+        assert top.px == int(h * 0.05)
+        assert top.label == "T:0.05" and top.color == "#FF0000"
