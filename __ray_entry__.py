@@ -465,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.token_quantiles_per_source(sf), ["source"]
         ),
         "redact_pii": analytics.redact_pii,
+        "stratified_sample": analytics.stratified_sample,
         "tfidf_top_terms": lambda sf: _sorted_frame(
             analytics.tfidf_top_terms(sf), ["source", "term"]
         ),
@@ -976,6 +977,16 @@ def oracle_sql() -> dict[str, str]:
                                        '<EMAIL>', 'g'),
                         '555-[0-9]+')) AS BIGINT) AS n_phones
             FROM s
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE (strpos('0123456789abcdef',
+                     substr(md5('sample-v1:' || {_URL_SQL}), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                     substr(md5('sample-v1:' || {_URL_SQL}), 2, 1)) - 1)
+                < CASE source WHEN 'src0' THEN 256 WHEN 'src1' THEN 128
+                              WHEN 'src2' THEN 64 WHEN 'src3' THEN 32
+                              ELSE 16 END
         """,
         "tfidf_top_terms": """
             WITH tfc AS (

@@ -791,3 +791,41 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> ray.data.Dataset:
         .groupby("source")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified deterministic sampling (per-group hash-threshold membership)
+# --------------------------------------------------------------------------
+
+# Per-source sampling rates in 1/256ths of the corpus (a hash-byte
+# threshold): the up/down-sampling mix a training-data curation pass
+# applies per domain/quality tier. Deterministic (md5 of the url with a
+# salt, never RNG) so the sample is stable under re-sharding and resume,
+# and independent of the train/val hash (different salt).
+SAMPLE_SALT = "sample-v1:"
+SAMPLE_RATES_256: dict[str, int] = {"src0": 256, "src1": 128, "src2": 64, "src3": 32}
+SAMPLE_DEFAULT_256 = 16
+
+
+def stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Keep a document iff the first byte of md5(salt + url) falls under
+    its source's threshold — an exact per-group Bernoulli(rate) sample
+    with zero coordination: pure per-batch map, no shuffle, no RNG state,
+    reproducible at any parallelism. Rates ride along as a broadcast
+    constant (the per-source table is config-sized)."""
+    from ebook_ocr_ray.sources.pages import page_url
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        mask = []
+        for d, s in zip(ids, srcs):
+            b = hashlib.md5((SAMPLE_SALT + page_url(d)).encode()).digest()[0]
+            mask.append(b < SAMPLE_RATES_256.get(s, SAMPLE_DEFAULT_256))
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return docs.map_batches(keep, batch_format="pyarrow")

@@ -433,3 +433,29 @@ class TestTrainingDataOps:
         out = tfidf_top_terms(SF).to_pandas()
         assert_matches_oracle(out, con, e.oracle_sql()["tfidf_top_terms"])
         assert (out.groupby("source").size() <= 5).all()
+
+
+class TestStratifiedSample:
+    def test_matches_oracle(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import stratified_sample
+        import __ray_entry__ as e
+
+        assert_matches_oracle(
+            stratified_sample(SF), con, e.oracle_sql()["stratified_sample"]
+        )
+
+    def test_rates_and_determinism(self, ray_session):
+        from ebook_ocr_ray.pipelines.analytics import stratified_sample
+
+        a = stratified_sample(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = stratified_sample(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)          # rerun-stable, no RNG
+        kept = a.groupby("source").size()
+        # src0 keeps everything (threshold 256 >= any byte)
+        import pyarrow.parquet as pq
+
+        total = pq.read_table(f"{SF}/documents.parquet", columns=["source"])
+        totals = total.to_pandas().groupby("source").size()
+        assert kept.get("src0", 0) == totals["src0"]
+        # lower-tier sources keep strictly less
+        assert kept.get("src3", 0) < totals["src3"]
