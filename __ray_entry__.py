@@ -524,9 +524,14 @@ _MULT_CTE = """mult(i, m) AS (VALUES (0, 1::HUGEINT), (1, 256::HUGEINT),
 # empty/whitespace-only docs produce no shingles at all (sketch sentinels).
 def _shingle_ctes(k: int) -> str:
     joined = " || ' ' || ".join(f"w[i+{d}]" if d else "w[i]" for d in range(k))
+    # trim's second argument lists every char Python str.strip() removes
+    # for ASCII input (bare trim() strips ONLY spaces, which would keep a
+    # '\\n'-only doc alive in the oracle while the pipeline sentinels it)
     return f"""docs AS (
   SELECT doc_id, string_split(text, ' ') AS w
-  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+  FROM documents
+  WHERE text IS NOT NULL
+    AND trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> ''
 ),
 shingled AS (
   SELECT doc_id,
@@ -544,8 +549,12 @@ def _text_profile_sql() -> str:
     str.count), dict order of _LANG_PROFILES becomes the tie-break
     priority, the (.)\\1{4} char-run penalty becomes a positional
     self-join (RE2 has no backreferences), int(round(x)) maps to
-    CAST(x AS BIGINT) (both ties-to-even), and the Karp-Rabin fold runs
-    through list_reduce in HUGEINT."""
+    CAST(x AS BIGINT) — ties-to-even for DOUBLE inputs, which this
+    expression is (typeof-verified; DECIMAL casts round half AWAY and
+    would diverge) — and the Karp-Rabin fold runs through list_reduce in
+    HUGEINT. The alpha class \\p{L} + explicit ASCII whitespace mirrors
+    Python isalpha()/isspace() up to exotic Unicode spaces (U+00A0 etc.),
+    which the corpus schema excludes."""
     from ebook_ocr_ray.functions.textstats import _LANG_PROFILES
 
     grams = ", ".join(
@@ -586,7 +595,8 @@ def _text_profile_sql() -> str:
               CAST(greatest(0.0, least(1.0,
                 0.4 * least(len(string_split(d.text, ' ')) / 50.0, 1.0)
               + 0.3 * ((length(d.text)
-                        - length(regexp_replace(d.text, '[A-Za-z\\t\\n\\f\\r ]',
+                        - length(regexp_replace(d.text,
+                                                '[\\p{{L}}\\t\\n\\x0b\\f\\r ]',
                                                 '', 'g')))::DOUBLE
                        / length(d.text))
               + 0.3 * least((len(list_filter(string_split(d.text, ' '),
@@ -616,7 +626,10 @@ def _simhash_pairs_sql() -> str:
     pigeonhole band sizing (4 tables) guarantees every pair within hamming
     3 shares a band, so the pipeline's output is EXACTLY the set of
     non-empty-text doc pairs with hamming(simhash64) <= 3 — computable by
-    an all-pairs hamming filter with no banding at oracle scale."""
+    an all-pairs hamming filter with no banding at oracle scale.
+    Precondition: no bucket exceeds MAX_BUCKET (holds by construction
+    here: bucket size <= corpus 500 < 512; the pipeline logs loudly when
+    its bounded-recall star fallback ever engages)."""
     return f"""
         WITH {_MULT_CTE},
         {_shingle_ctes(2)},
@@ -651,7 +664,9 @@ def _minhash_clusters_sql() -> str:
     (universal-hash constants from sketches.py embedded as literals), 16x4
     banded LSH candidates, exact-Jaccard(3-word shingles) >= 0.7 verify,
     connected components via recursive CTE, cluster label = component min
-    doc_id (singletons label themselves)."""
+    doc_id (singletons label themselves). Precondition: no LSH bucket
+    exceeds MAX_BUCKET (holds here — corpus 500 < 512; overflow engages
+    the pipeline's logged bounded-recall star fallback)."""
     from ebook_ocr_ray.functions.sketches import _A, _B
 
     perms = ", ".join(

@@ -110,10 +110,13 @@ def simhash64_batch(texts: list) -> np.ndarray:
     if not nonzero.any():
         return out
     allh = np.concatenate([h for h in per_doc if h.size])
-    bits = ((allh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    # int32 bit matrix (segment sums stay well under 2^31) and the
+    # identity sum(2b-1) == 2*sum(b) - n avoid materializing a second
+    # full-size +-1 array — halves peak memory on payload-heavy batches
+    bits = ((allh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
     nz = lens[nonzero]
     offsets = np.concatenate([[0], np.cumsum(nz)[:-1]])
-    tally = np.add.reduceat(2 * bits - 1, offsets, axis=0)          # (D, 64)
+    tally = 2 * np.add.reduceat(bits, offsets, axis=0) - nz[:, None]   # (D, 64)
     out[nonzero] = ((tally > 0).astype(np.uint64)
                     << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
     return out

@@ -44,10 +44,15 @@ logger = logging.getLogger(__name__)
 # key (boilerplate-only shingles, all-zero band) can otherwise pull the
 # whole corpus into one group. Beyond the cap the bucket degrades to a
 # STAR (each overflow id pairs with the bucket's min id only): pair count
-# becomes cap^2/2 + (B - cap) instead of B^2/2, while connectivity — all
-# downstream clustering needs — is preserved for genuinely-duplicate
-# buckets at graph diameter 2, so min-label propagation still converges
-# in a constant number of rounds (a chain would need O(B) rounds).
+# becomes cap^2/2 + (B - cap) instead of B^2/2. This is an EXPLICIT
+# bounded-recall trade, logged loudly when taken: tail-tail pairs whose
+# only shared bucket overflowed are not generated (for simhash at
+# hamming == max_hamming the pigeonhole guarantee is exactly one shared
+# band, so such pairs ARE lost, not recovered elsewhere), and a star
+# edge that fails the downstream verify can split a component a direct
+# tail-tail edge would have joined. The SQL oracles assume no bucket
+# overflows — true by construction at oracle scale (corpus 500 < cap) —
+# so an overflow in production is observable in the logs, never silent.
 MAX_BUCKET = 512
 
 
@@ -91,8 +96,8 @@ def _bucket_pairs_fn(max_bucket: int):
         if len(ids) > max_bucket:
             logger.warning(
                 "near-dup bucket over cap: band=%s key=%s size=%d > %d — "
-                "star fallback (connectivity kept at diameter 2; dropped "
-                "overflow pairs fall back to the pair's other bands)",
+                "star fallback — bounded recall: tail-tail pairs whose only "
+                "shared bucket is this one are NOT generated (see MAX_BUCKET)",
                 g.band.iloc[0], g.key.iloc[0], len(ids), max_bucket,
             )
             tail = ids[max_bucket:]

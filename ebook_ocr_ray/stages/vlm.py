@@ -84,14 +84,21 @@ class VLMCaptioner:
     serialization into a worker."""
 
     def __init__(self, client_factory=StubVLMClient, max_request: int = 16,
-                 max_retries: int = 3):
+                 max_retries: int = 3, backoff_s: float = 0.05):
         self.client = client_factory()
         self.max_request = max_request
-        self.max_retries = max_retries
+        self.max_retries = max(1, max_retries)   # always attempt at least once
+        self.backoff_s = backoff_s
 
     def _caption_chunk(self, images: list[np.ndarray]) -> list[str]:
+        import time
+
         last: Exception | None = None
-        for _ in range(self.max_retries):
+        for attempt in range(self.max_retries):
+            if attempt:                          # deterministic exponential
+                time.sleep(self.backoff_s * (2 ** (attempt - 1)))   # backoff:
+                #                                  hammering a rate-limited
+                #                                  endpoint amplifies the 429s
             try:
                 return self.client.caption(images)
             except TransientVLMError as ex:     # bounded retry, then raise:
