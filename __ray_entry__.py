@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.priority_revenue(sf), ["priority"]
         ),
         "purchase_attribution": analytics.purchase_attribution,
+        "clicks_before_purchase": analytics.clicks_before_purchase,
         "events_hourly": lambda sf: _sorted_frame(
             analytics.events_hourly(sf), ["user_id", "window_start"]
         ),
@@ -910,6 +911,15 @@ def oracle_sql() -> dict[str, str]:
                       WHERE c.user_id = p.user_id AND c.event_type = 'click'
                         AND c.ts <= p.ts
                       ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), -1) AS click_id
+            FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "clicks_before_purchase": """
+            SELECT p.event_id,
+                   CAST((SELECT COUNT(*) FROM events c
+                         WHERE c.user_id = p.user_id
+                           AND c.event_type = 'click'
+                           AND c.ts >= p.ts - INTERVAL 1 HOUR
+                           AND c.ts < p.ts) AS BIGINT) AS n_clicks
             FROM events p WHERE p.event_type = 'purchase'
         """,
         "events_hourly": """

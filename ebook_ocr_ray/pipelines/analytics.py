@@ -829,3 +829,48 @@ def stratified_sample(sf_dir: str) -> ray.data.Dataset:
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Range join within the event stream (bounded-window count per probe row)
+# --------------------------------------------------------------------------
+
+RANGE_WINDOW_US = 60 * 60 * 1_000_000            # 1-hour lookback
+
+
+def clicks_before_purchase(sf_dir: str, window_us: int = RANGE_WINDOW_US) -> ray.data.Dataset:
+    """Range join: for every purchase, the number of the same user's
+    clicks in the half-open window [ts - window, ts).
+
+    The equality key (user_id) co-locates each user's history via ONE
+    groupby — the range predicate then resolves inside the group as two
+    vectorized searchsorted probes on the sorted click timeline, O((P+C)
+    log C) per user with no per-pair materialization. This is the
+    canonical distributed range-join decomposition: hash-partition on the
+    equality key, sort-probe on the range key; at extreme per-user volume
+    the group fn swaps to time-bucketed sub-joins without changing the
+    dataflow."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def count_in_window(group: pd.DataFrame) -> pd.DataFrame:
+        purchases = group[group.event_type == "purchase"]
+        if purchases.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "n_clicks": pd.Series(dtype="int64")}
+            )
+        click_us = np.sort(
+            group[group.event_type == "click"].ts
+            .astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        p_us = purchases.ts.astype("datetime64[us]").astype("int64").to_numpy()
+        lo = np.searchsorted(click_us, p_us - window_us, side="left")
+        hi = np.searchsorted(click_us, p_us, side="left")     # exclusive end
+        return pd.DataFrame(
+            {"event_id": purchases.event_id.to_numpy(),
+             "n_clicks": (hi - lo).astype("int64")}
+        )
+
+    return ds.groupby("user_id").map_groups(count_in_window, batch_format="pandas")

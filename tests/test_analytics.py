@@ -459,3 +459,35 @@ class TestStratifiedSample:
         assert kept.get("src0", 0) == totals["src0"]
         # lower-tier sources keep strictly less
         assert kept.get("src3", 0) < totals["src3"]
+
+
+class TestRangeJoin:
+    def test_clicks_before_purchase_matches_oracle(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import clicks_before_purchase
+        import __ray_entry__ as e
+
+        assert_matches_oracle(
+            clicks_before_purchase(SF), con, e.oracle_sql()["clicks_before_purchase"]
+        )
+
+    def test_window_is_half_open(self, ray_session):
+        """A click exactly AT the purchase timestamp is outside [t-w, t);
+        one exactly w before is inside."""
+        import os, tempfile
+        from ebook_ocr_ray.pipelines.analytics import clicks_before_purchase
+
+        t = pd.Timestamp("2026-01-01 12:00:00")
+        w = pd.Timedelta(hours=1)
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "user_id": [9, 9, 9, 9],
+                "ts": [t - w, t - pd.Timedelta(minutes=5), t, t],
+                "event_type": ["click", "click", "click", "purchase"],
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            out = clicks_before_purchase(d).to_pandas()
+        assert out.event_id.tolist() == [4]
+        assert out.n_clicks.tolist() == [2]       # at-boundary in, at-ts out
