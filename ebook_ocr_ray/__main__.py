@@ -122,6 +122,46 @@ def cmd_lineage(args) -> int:
     return 0
 
 
+def cmd_consolidate(args) -> int:
+    """Reference Makefile `consolidate` target (step 5): per-url book
+    artifacts written as partitioned parquet."""
+    ray = _ray_session(args.num_cpus)
+    from ebook_ocr_ray.pipelines.extraction import consolidate_books, extraction_pipeline
+
+    ds = consolidate_books(extraction_pipeline(args.sf_dir, dedup=not args.no_dedup))
+    if args.limit:
+        ds = ds.limit(args.limit)
+    ds.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_neardup(args) -> int:
+    """MinHash+LSH near-dup clusters over the documents table."""
+    ray = _ray_session(args.num_cpus)
+    from ebook_ocr_ray.pipelines.neardup import minhash_clusters
+
+    ds = minhash_clusters(args.sf_dir, jaccard_threshold=args.threshold)
+    ds.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_preview_trim_grid(args) -> int:
+    """Reference Makefile `preview-trim-grid` target: guide-line geometry
+    rows (see stages.multimodal.preview_trim_grid)."""
+    ray = _ray_session(args.num_cpus)
+    from ebook_ocr_ray.stages.multimodal import preview_trim_grid
+
+    ds = preview_trim_grid(args.sf_dir, step=args.step, max_ratio=args.max)
+    ds.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="ebook_ocr_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -150,6 +190,29 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_lineage)
+
+    p = sub.add_parser("consolidate", help="per-url book artifacts (step 5)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--out", required=True)
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_consolidate)
+
+    p = sub.add_parser("neardup", help="MinHash+LSH near-dup clusters")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--out", required=True)
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_neardup)
+
+    p = sub.add_parser("preview-trim-grid", help="trim guide-line geometry")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--out", required=True)
+    p.add_argument("--step", type=float, default=0.05)
+    p.add_argument("--max", type=float, default=0.30)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_preview_trim_grid)
 
     args = parser.parse_args(argv)
     return args.fn(args)
