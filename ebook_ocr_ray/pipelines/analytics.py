@@ -763,6 +763,17 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> ray.data.Dataset:
         .aggregate(Sum("df", alias_name="df"))
         .to_pandas()
     )
+    if "term" not in df_tbl.columns:              # empty corpus: the empty
+        return ray.data.from_arrow(               # aggregate frame loses its
+            pa.table(                             # columns entirely
+                {
+                    "source": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "tfidf": pa.array([], pa.float64()),
+                }
+            )
+        )
     df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
 
     tf_tbl = (

@@ -491,3 +491,45 @@ class TestRangeJoin:
             out = clicks_before_purchase(d).to_pandas()
         assert out.event_id.tolist() == [4]
         assert out.n_clicks.tolist() == [2]       # at-boundary in, at-ts out
+
+
+class TestEmptyInputs:
+    """Empty tables must yield empty results, not KeyErrors — Ray's empty
+    aggregate frames drop their columns, which is easy to trip over."""
+
+    @pytest.fixture()
+    def empty_dir(self, tmp_path):
+        pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "ts": pd.Series(dtype="datetime64[us]"),
+                "value": pd.Series(dtype="float64"),
+                "event_type": pd.Series(dtype="object"),
+            }
+        ).to_parquet(tmp_path / "events.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "source": pd.Series(dtype="object"),
+                "text": pd.Series(dtype="object"),
+                "n_chars": pd.Series(dtype="int64"),
+            }
+        ).to_parquet(tmp_path / "documents.parquet")
+        return str(tmp_path)
+
+    def test_all_new_operators_handle_empty(self, ray_session, empty_dir):
+        from ebook_ocr_ray.pipelines.analytics import (
+            clicks_before_purchase,
+            redact_pii,
+            sessionize,
+            stratified_sample,
+            tfidf_top_terms,
+            token_quantiles_per_source,
+            top_docs_per_source,
+        )
+
+        for fn in (sessionize, clicks_before_purchase, top_docs_per_source,
+                   token_quantiles_per_source, tfidf_top_terms, redact_pii,
+                   stratified_sample):
+            assert len(fn(empty_dir).to_pandas()) == 0, fn.__name__
