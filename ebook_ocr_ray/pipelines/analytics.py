@@ -717,14 +717,39 @@ def redact_pii(sf_dir: str) -> ray.data.Dataset:
 # --------------------------------------------------------------------------
 
 
-def tfidf_top_terms(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+# Above this many distinct terms the df side stops being broadcast and
+# joins by term-hash key instead (a web-scale vocabulary outgrows any
+# single worker's heap long before the corpus does).
+TFIDF_BROADCAST_MAX_TERMS = 1_000_000
+
+
+def _term_hash64(terms: list[str]) -> np.ndarray:
+    """Deterministic 63-bit int key for string terms (md5 prefix masked
+    positive): Ray's hash join needs an integer key whose placement is
+    process-stable, which Python string hashing is not. Collisions are
+    handled by the caller (post-join term-equality filter), not assumed
+    away."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
+            & ((1 << 63) - 1)
+            for w in terms
+        ],
+        dtype=np.int64,
+    )
+
+
+def tfidf_top_terms(
+    sf_dir: str, k: int = 5, df_strategy: str = "auto"
+) -> ray.data.Dataset:
     """Top-``k`` terms per source by tf-idf (tf x ln(N/df), ties broken by
     term). Term frequencies and document frequencies ship as per-batch
-    partial counts into two keyed Sums; the df side (one row per DISTINCT
-    term — vocabulary-sized, not corpus-sized) is broadcast once via
-    ray.put for the scoring map. At an extreme vocabulary scale the
-    broadcast flips to a keyed join on term; the aggregate shapes are
-    unchanged."""
+    partial counts into two keyed Sums. The df side (one row per DISTINCT
+    term) is broadcast via ray.put while the vocabulary is small, and
+    flips to a hash-partitioned join on a 63-bit term hash (with a
+    post-join term-equality filter so hash collisions cannot mis-score)
+    beyond TFIDF_BROADCAST_MAX_TERMS — ``df_strategy`` forces
+    'broadcast' or 'join' explicitly; both paths are tested equal."""
     import math
 
     docs = ray.data.read_parquet(
@@ -757,13 +782,14 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> ray.data.Dataset:
         )
 
     n_docs = docs.count()
-    df_tbl = (
+    df_ds = (
         docs.map_batches(df_partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()
+        .materialize()
     )
-    if "term" not in df_tbl.columns:              # empty corpus: the empty
+    n_terms = df_ds.count()
+    if n_terms == 0:                              # empty corpus: the empty
         return ray.data.from_arrow(               # aggregate frame loses its
             pa.table(                             # columns entirely
                 {
@@ -774,7 +800,6 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> ray.data.Dataset:
                 }
             )
         )
-    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
 
     tf_tbl = (
         docs.map_batches(tf_partial, batch_format="pyarrow")
@@ -782,26 +807,82 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> ray.data.Dataset:
         .aggregate(Sum("tf", alias_name="tf"))
     )
 
-    def score(batch: pa.Table) -> pa.Table:
-        dfs = ray.get(df_ref)
-        terms = batch["term"].to_pylist()
-        tfs = batch["tf"].to_numpy(zero_copy_only=False)
-        tfidf = np.array(
-            [tf * math.log(n_docs / dfs[w]) for w, tf in zip(terms, tfs)],
-            dtype=np.float64,
+    use_join = df_strategy == "join" or (
+        df_strategy == "auto" and n_terms > TFIDF_BROADCAST_MAX_TERMS
+    )
+    if use_join:
+        from ebook_ocr_ray.joins import safe_join
+
+        def add_key(col: str):
+            def fn(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "term_key", pa.array(_term_hash64(t[col].to_pylist()), pa.int64())
+                )
+            return fn
+
+        str_t = pa.string()
+        joined = safe_join(
+            tf_tbl.map_batches(add_key("term"), batch_format="pyarrow"),
+            df_ds.map_batches(add_key("term"), batch_format="pyarrow").map_batches(
+                lambda t: t.rename_columns(["term_df", "df", "term_key"]),
+                batch_format="pyarrow",
+            ),
+            on="term_key",
+            right_on="term_key",
+            num_partitions=8,
+            left_schema=pa.schema(
+                [("source", str_t), ("term", str_t), ("tf", pa.int64()),
+                 ("term_key", pa.int64())]
+            ),
+            right_schema=pa.schema(
+                [("term_df", str_t), ("df", pa.int64()), ("term_key", pa.int64())]
+            ),
         )
-        return batch.append_column("tfidf", pa.array(tfidf, pa.float64()))
+
+        def score_joined(batch: pa.Table) -> pa.Table:
+            # a 63-bit hash collision joins a tf row to a FOREIGN term's
+            # df row too; keeping only the term-equal row restores
+            # exactness (the true term's df row is always present)
+            eq = pa.compute.equal(batch["term"], batch["term_df"])
+            t = batch.filter(eq)
+            tfs = t["tf"].to_numpy(zero_copy_only=False)
+            dfs = t["df"].to_numpy(zero_copy_only=False)
+            tfidf = np.array(
+                [tf * math.log(n_docs / d) for tf, d in zip(tfs, dfs)],
+                dtype=np.float64,
+            )
+            return pa.table(
+                {
+                    "source": t["source"],
+                    "term": t["term"],
+                    "tf": t["tf"],
+                    "tfidf": pa.array(tfidf, pa.float64()),
+                }
+            )
+
+        scored = joined.map_batches(score_joined, batch_format="pyarrow")
+    else:
+        df_tbl = df_ds.to_pandas()
+        df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
+
+        def score(batch: pa.Table) -> pa.Table:
+            dfs = ray.get(df_ref)
+            terms = batch["term"].to_pylist()
+            tfs = batch["tf"].to_numpy(zero_copy_only=False)
+            tfidf = np.array(
+                [tf * math.log(n_docs / dfs[w]) for w, tf in zip(terms, tfs)],
+                dtype=np.float64,
+            )
+            return batch.append_column("tfidf", pa.array(tfidf, pa.float64()))
+
+        scored = tf_tbl.map_batches(score, batch_format="pyarrow")
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["tfidf", "term"], ascending=[False, True],
                               kind="mergesort").head(k).reset_index(drop=True)
         return g[["source", "term", "tf", "tfidf"]]
 
-    return (
-        tf_tbl.map_batches(score, batch_format="pyarrow")
-        .groupby("source")
-        .map_groups(final_topk, batch_format="pandas")
-    )
+    return scored.groupby("source").map_groups(final_topk, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------

@@ -533,3 +533,15 @@ class TestEmptyInputs:
                    token_quantiles_per_source, tfidf_top_terms, redact_pii,
                    stratified_sample):
             assert len(fn(empty_dir).to_pandas()) == 0, fn.__name__
+
+
+class TestTfidfJoinStrategy:
+    def test_join_path_equals_broadcast_path(self, ray_session):
+        """The at-scale keyed-join df path must produce exactly the
+        broadcast path's output (hash collisions filtered by the
+        post-join term-equality check)."""
+        from ebook_ocr_ray.pipelines.analytics import tfidf_top_terms
+
+        a = canon(tfidf_top_terms(SF, df_strategy="broadcast").to_pandas())
+        b = canon(tfidf_top_terms(SF, df_strategy="join").to_pandas())
+        pd.testing.assert_frame_equal(a, b)
