@@ -79,6 +79,92 @@ def _only_hot_fn(hot_ref):
     return only_hot
 
 
+# Above this many multi-member buckets the hot set stops being broadcast
+# and the filter becomes a hash-partitioned semi-join: the hot set is
+# bounded by near-dup volume, which at corpus scale can itself outgrow a
+# worker's heap.
+HOT_BROADCAST_MAX = 1_000_000
+_MIX64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_join_key(band: np.ndarray, key: np.ndarray) -> np.ndarray:
+    """63-bit mix of (band, key) for the single-int64-key hash join.
+    Collisions are tolerated — callers re-check band/key equality after
+    the join."""
+    h = key.astype(np.uint64) * _MIX64 + band.astype(np.uint64)
+    return (h & np.uint64((1 << 63) - 1)).astype(np.int64)
+
+
+def hot_filtered_buckets(
+    buckets: ray.data.Dataset,
+    bucket_schema: pa.Schema,
+    hot_strategy: str = "auto",
+) -> ray.data.Dataset | None:
+    """Reduce bucket rows to those in multi-member buckets (the only rows
+    that can generate candidate pairs). Returns None when every bucket is
+    a singleton. The hot (band, key) set is broadcast while it fits
+    (``ray.put`` + per-batch Arrow semi-join) and flips to a keyed
+    semi-join on a mixed 63-bit key — with post-join exact (band, key)
+    re-check — beyond HOT_BROADCAST_MAX; ``hot_strategy`` forces
+    'broadcast' or 'join'."""
+    from ray.data.aggregate import Count
+
+    counts = buckets.groupby(["band", "key"]).aggregate(Count(alias_name="n"))
+    hot_ds = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n"], 1)).select(["band", "key"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_hot = hot_ds.count()
+    if n_hot == 0:
+        return None
+
+    use_join = hot_strategy == "join" or (
+        hot_strategy == "auto" and n_hot > HOT_BROADCAST_MAX
+    )
+    if not use_join:
+        hot_ref = ray.put(_hot_bucket_table(hot_ds.to_pandas()))
+        return buckets.map_batches(_only_hot_fn(hot_ref), batch_format="pyarrow")
+
+    from ebook_ocr_ray.joins import safe_join
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bkey",
+            pa.array(
+                _bucket_join_key(
+                    t["band"].to_numpy(zero_copy_only=False),
+                    t["key"].to_numpy(zero_copy_only=False),
+                ),
+                pa.int64(),
+            ),
+        )
+
+    def hot_renamed(t: pa.Table) -> pa.Table:
+        t = add_key(t)
+        return t.rename_columns(["band_h", "key_h", "bkey"])
+
+    joined = safe_join(
+        buckets.map_batches(add_key, batch_format="pyarrow"),
+        hot_ds.map_batches(hot_renamed, batch_format="pyarrow"),
+        on="bkey",
+        right_on="bkey",
+        num_partitions=8,
+        left_schema=pa.schema(list(bucket_schema) + [pa.field("bkey", pa.int64())]),
+        right_schema=pa.schema(
+            [("band_h", pa.int32()), ("key_h", pa.int64()), ("bkey", pa.int64())]
+        ),
+    )
+
+    def exact(t: pa.Table) -> pa.Table:
+        keep = pa.compute.and_(
+            pa.compute.equal(t["band"], t["band_h"]),
+            pa.compute.equal(t["key"], t["key_h"]),
+        )
+        return t.filter(keep).select(bucket_schema.names)
+
+    return joined.map_batches(exact, batch_format="pyarrow")
+
+
 def _bucket_pairs_fn(max_bucket: int):
     """Per-(band,key) group fn: unordered candidate pairs (id_a < id_b);
     all-pairs up to ``max_bucket``, logged star fallback beyond it."""
@@ -109,7 +195,9 @@ def _bucket_pairs_fn(max_bucket: int):
 
 
 def candidate_pair_dataset(
-    buckets: ray.data.Dataset, max_bucket: int | None = None
+    buckets: ray.data.Dataset,
+    max_bucket: int | None = None,
+    hot_strategy: str = "auto",
 ) -> ray.data.Dataset:
     """groupby (band, key) -> DISTINCT unordered candidate pairs as a
     Dataset.
@@ -125,19 +213,17 @@ def candidate_pair_dataset(
     co-occur in several bands — slim int pairs, never a driver collect."""
     from ray.data.aggregate import Count
 
-    counts = buckets.groupby(["band", "key"]).aggregate(Count(alias_name="n"))
-    hot = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater(t["n"], 1)).select(["band", "key"]),
-        batch_format="pyarrow",
-    ).to_pandas()
-    if hot.empty or "band" not in hot.columns:
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("band", pa.int32()), ("key", pa.int64())]
+    )
+    filtered = hot_filtered_buckets(buckets, schema, hot_strategy)
+    if filtered is None:
         return ray.data.from_arrow(
             pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
         )
-    hot_ref = ray.put(_hot_bucket_table(hot))
 
     pairs = (
-        buckets.map_batches(_only_hot_fn(hot_ref), batch_format="pyarrow")
+        filtered
         .groupby(["band", "key"])
         .map_groups(
             _bucket_pairs_fn(MAX_BUCKET if max_bucket is None else max_bucket),
@@ -374,6 +460,7 @@ def minhash_clusters(
     k_shingle: int = 3,
     jaccard_threshold: float = 0.7,
     num_partitions: int = 8,
+    hot_strategy: str = "auto",
 ) -> ray.data.Dataset:
     """(doc_id, cluster_id) for every document; cluster_id = min doc_id of
     the near-dup component (singletons map to themselves).
@@ -419,7 +506,9 @@ def minhash_clusters(
     # permutations twice. At extreme corpus scale flip to a scratch
     # parquet or accept the recompute — the pipeline shape is unchanged.
     buckets = docs.map_batches(explode_bands, batch_format="pyarrow").materialize()
-    candidates = candidate_pair_dataset(buckets).materialize()   # slim int pairs
+    candidates = candidate_pair_dataset(
+        buckets, hot_strategy=hot_strategy
+    ).materialize()                                              # slim int pairs
 
     def _adaptive(n_rows: int) -> int:
         # a hash-shuffle op costs ~1 aggregator actor per partition;
@@ -469,7 +558,10 @@ def minhash_clusters(
 
 
 def simhash_pairs(
-    sf_dir: str, max_hamming: int = 3, max_bucket: int | None = None
+    sf_dir: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    hot_strategy: str = "auto",
 ) -> ray.data.Dataset:
     """(id_a, id_b, hamming) near-dup pairs: band blocking over the 64-bit
     simhash sized so recall is GUARANTEED up to ``max_hamming`` (pigeonhole
@@ -543,28 +635,26 @@ def simhash_pairs(
         df = pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
         return df[df.hamming <= max_hamming]
 
-    from ray.data.aggregate import Count
-
     # two consumers (hot-key count pass + pair pass) — materialize the
     # slim bucket rows instead of recomputing every simhash (see the
     # matching note in minhash_clusters)
     buckets = docs.map_batches(explode, batch_format="pyarrow").materialize()
-    # vectorized multi-member-bucket prefilter (see candidate_pair_dataset)
-    counts = buckets.groupby(["band", "key"]).aggregate(Count(alias_name="n"))
-    hot = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater(t["n"], 1)).select(["band", "key"]),
-        batch_format="pyarrow",
-    ).to_pandas()
-    empty = pa.table(
-        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-         "hamming": pa.array([], pa.int64())}
+    # vectorized multi-member-bucket prefilter (see hot_filtered_buckets)
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("band", pa.int32()), ("key", pa.int64()),
+         ("print", pa.uint64())]
     )
-    if hot.empty or "band" not in hot.columns:
-        return ray.data.from_arrow(empty)
-    hot_ref = ray.put(_hot_bucket_table(hot))
+    filtered = hot_filtered_buckets(buckets, schema, hot_strategy)
+    if filtered is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        )
 
     return (
-        buckets.map_batches(_only_hot_fn(hot_ref), batch_format="pyarrow")
+        filtered
         .groupby(["band", "key"])
         .map_groups(pairs, batch_format="pandas")
         .groupby(["id_a", "id_b"])

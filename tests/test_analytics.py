@@ -545,3 +545,19 @@ class TestTfidfJoinStrategy:
         a = canon(tfidf_top_terms(SF, df_strategy="broadcast").to_pandas())
         b = canon(tfidf_top_terms(SF, df_strategy="join").to_pandas())
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestHotBucketJoinStrategy:
+    def test_join_path_equals_broadcast_for_both_sketches(self, ray_session):
+        """The at-scale keyed-semi-join hot-bucket filter must reproduce
+        the broadcast filter's results exactly (mixed-key collisions are
+        re-checked on (band, key) after the join)."""
+        from ebook_ocr_ray.pipelines.neardup import minhash_clusters, simhash_pairs
+
+        a = canon(minhash_clusters(SF, hot_strategy="broadcast").to_pandas())
+        b = canon(minhash_clusters(SF, hot_strategy="join").to_pandas())
+        pd.testing.assert_frame_equal(a, b)
+
+        a = canon(simhash_pairs(SF, hot_strategy="broadcast").to_pandas())
+        b = canon(simhash_pairs(SF, hot_strategy="join").to_pandas())
+        pd.testing.assert_frame_equal(a, b)
