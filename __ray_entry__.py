@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "redact_pii": analytics.redact_pii,
         "stratified_sample": analytics.stratified_sample,
+        "chunk_documents": analytics.chunk_documents,
         "tfidf_top_terms": lambda sf: _sorted_frame(
             analytics.tfidf_top_terms(sf), ["source", "term"]
         ),
@@ -1002,6 +1003,29 @@ def oracle_sql() -> dict[str, str]:
                                        '<EMAIL>', 'g'),
                         '555-[0-9]+')) AS BIGINT) AS n_phones
             FROM s
+        """,
+        # chunk windows: stride = 64-16 = 48 words;
+        # n_chunks = max(1, ceil((n-overlap)/48)) — a window starting inside
+        # the previous overlap adds no new tokens and is not emitted;
+        # list_slice is 1-based and end-inclusive, mirroring
+        # words[i*stride : i*stride+chunk] for i in range(n_chunks)
+        "chunk_documents": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                       FROM documents),
+            idx AS (
+              SELECT doc_id, words, i.i AS chunk_idx
+              FROM w, LATERAL (
+                SELECT unnest(range(0, greatest(1, (len(w.words) - 16 + 47) // 48)))
+                AS i) i),
+            sliced AS (
+              SELECT doc_id, chunk_idx,
+                     list_slice(words, chunk_idx * 48 + 1,
+                                least(chunk_idx * 48 + 64, len(words))) AS piece
+              FROM idx)
+            SELECT doc_id, chunk_idx,
+                   array_to_string(piece, ' ') AS chunk_text,
+                   len(piece) AS n_tokens
+            FROM sliced
         """,
         "stratified_sample": f"""
             SELECT doc_id, source FROM documents

@@ -966,3 +966,51 @@ def clicks_before_purchase(sf_dir: str, window_us: int = RANGE_WINDOW_US) -> ray
         )
 
     return ds.groupby("user_id").map_groups(count_in_window, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Document chunking (fixed-token windows with overlap, 1->N flat map)
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents(
+    sf_dir: str, chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+) -> ray.data.Dataset:
+    """(doc_id, chunk_idx, chunk_text, n_tokens): sliding token windows of
+    ``chunk_tokens`` words advancing by ``chunk_tokens - overlap`` — the
+    context-window chunking step of an LLM training-data pipeline. Pure
+    per-batch 1->N flat map (chunk boundaries depend only on the row), so
+    it streams at any parallelism with no shuffle; chunk_idx is stable
+    because it derives from word offsets, not arrival order."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids, idxs, texts, ntoks = [], [], [], []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (t or "").split(" ")
+            n = len(words)
+            # a window starting inside the previous window's overlap adds
+            # no new tokens — stop before emitting fully-redundant tails
+            n_chunks = max(1, (n - overlap + stride - 1) // stride)
+            for i in range(n_chunks):
+                piece = words[i * stride: i * stride + chunk_tokens]
+                ids.append(doc_id)
+                idxs.append(i)
+                texts.append(" ".join(piece))
+                ntoks.append(len(piece))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "chunk_text": pa.array(texts, pa.string()),
+                "n_tokens": pa.array(ntoks, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(chunks, batch_format="pyarrow")

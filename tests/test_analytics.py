@@ -561,3 +561,43 @@ class TestHotBucketJoinStrategy:
         a = canon(simhash_pairs(SF, hot_strategy="broadcast").to_pandas())
         b = canon(simhash_pairs(SF, hot_strategy="join").to_pandas())
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestChunking:
+    def test_matches_oracle(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import chunk_documents
+        import __ray_entry__ as e
+
+        assert_matches_oracle(
+            chunk_documents(SF), con, e.oracle_sql()["chunk_documents"]
+        )
+
+    def test_window_geometry(self, ray_session):
+        """Consecutive chunks overlap by exactly `overlap` words and
+        reassemble to the original text."""
+        from ebook_ocr_ray.pipelines.analytics import chunk_documents
+
+        out = chunk_documents(SF, chunk_tokens=10, overlap=3).to_pandas()
+        one = out[out.doc_id == out.doc_id.iloc[0]].sort_values("chunk_idx")
+        words = []
+        for i, r in enumerate(one.itertuples()):
+            piece = r.chunk_text.split(" ")
+            assert r.n_tokens == len(piece) <= 10
+            if i == 0:
+                words = piece
+            else:
+                assert words[-3:] == piece[:3]        # overlap region agrees
+                words.extend(piece[3:])
+        # stride of 7: every word is covered exactly once after overlap strip
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        original = docs[docs.doc_id == one.doc_id.iloc[0]].text.iloc[0]
+        assert " ".join(words) == original
+
+    def test_overlap_must_be_smaller(self):
+        import pytest
+        from ebook_ocr_ray.pipelines.analytics import chunk_documents
+
+        with pytest.raises(ValueError):
+            chunk_documents("/tmp", chunk_tokens=8, overlap=8)
