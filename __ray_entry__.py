@@ -468,6 +468,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": analytics.redact_pii,
         "stratified_sample": analytics.stratified_sample,
         "chunk_documents": analytics.chunk_documents,
+        "pack_sequences": lambda sf: _sorted_frame(
+            analytics.pack_sequences(sf), ["bucket", "seq_idx", "doc_id", "chunk_idx"]
+        ),
         "tfidf_top_terms": lambda sf: _sorted_frame(
             analytics.tfidf_top_terms(sf), ["source", "term"]
         ),
@@ -1026,6 +1029,38 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(piece, ' ') AS chunk_text,
                    len(piece) AS n_tokens
             FROM sliced
+        """,
+        # greedy first-fit packing replayed as a recursive CTE: one step
+        # per row rank within a bucket, state = (seq_idx, filled), exactly
+        # the fold in analytics.pack_sequences
+        "pack_sequences": """
+            WITH RECURSIVE
+            w AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+                  FROM documents),
+            ch AS (
+              SELECT doc_id, i.i AS chunk_idx,
+                     least(64, n - i.i * 48) AS n_tokens
+              FROM w, LATERAL (
+                SELECT unnest(range(0, greatest(1, (n - 16 + 47) // 48))) AS i) i),
+            rows_r AS (
+              SELECT doc_id % 16 AS bucket, doc_id, chunk_idx, n_tokens,
+                     row_number() OVER (PARTITION BY doc_id % 16
+                                        ORDER BY doc_id, chunk_idx) AS rn
+              FROM ch),
+            packed AS (
+              SELECT bucket, rn, doc_id, chunk_idx, n_tokens,
+                     CAST(0 AS BIGINT) AS seq_idx, n_tokens AS filled
+              FROM rows_r WHERE rn = 1
+              UNION ALL
+              SELECT r.bucket, r.rn, r.doc_id, r.chunk_idx, r.n_tokens,
+                     CASE WHEN p.filled > 0 AND p.filled + r.n_tokens > 128
+                          THEN p.seq_idx + 1 ELSE p.seq_idx END,
+                     CASE WHEN p.filled > 0 AND p.filled + r.n_tokens > 128
+                          THEN r.n_tokens ELSE p.filled + r.n_tokens END
+              FROM packed p
+              JOIN rows_r r ON r.bucket = p.bucket AND r.rn = p.rn + 1)
+            SELECT bucket, seq_idx, doc_id, chunk_idx, n_tokens
+            FROM packed ORDER BY bucket, seq_idx, doc_id, chunk_idx
         """,
         "stratified_sample": f"""
             SELECT doc_id, source FROM documents

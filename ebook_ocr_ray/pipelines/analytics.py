@@ -1014,3 +1014,63 @@ def chunk_documents(
         )
 
     return docs.map_batches(chunks, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (greedy bin-fill of chunks into fixed token budgets)
+# --------------------------------------------------------------------------
+
+PACK_BUDGET_TOKENS = 128
+PACK_BUCKETS = 16
+
+
+def pack_sequences(
+    sf_dir: str,
+    budget_tokens: int = PACK_BUDGET_TOKENS,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> ray.data.Dataset:
+    """Assign every chunk to a fixed-token training sequence: greedy
+    first-fit in (doc_id, chunk_idx) order within a stable hash bucket
+    (doc_id % PACK_BUCKETS). Output (bucket, seq_idx, doc_id, chunk_idx,
+    n_tokens) — the packing plan a writer would consume.
+
+    Packing is inherently sequential, so the parallel unit is the bucket:
+    ONE groupby co-locates each bucket's slim (ids + token count) rows,
+    the greedy fold runs inside the group, and determinism follows from
+    the stable bucket key + total order — independent of arrival order
+    or partitioning. Chunks larger than the budget get a sequence of
+    their own (first-fit never splits a chunk)."""
+    chunks = chunk_documents(sf_dir, chunk_tokens, overlap)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        b = pa.array(ids % PACK_BUCKETS, pa.int64())
+        return t.drop_columns(["chunk_text"]).append_column("bucket", b)
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["doc_id", "chunk_idx"], kind="mergesort")
+        toks = g.n_tokens.to_numpy()
+        seq = np.empty(len(g), dtype=np.int64)
+        cur, filled = 0, 0
+        for i, t in enumerate(toks):
+            if filled and filled + t > budget_tokens:
+                cur += 1
+                filled = 0
+            seq[i] = cur
+            filled += t
+        return pd.DataFrame(
+            {
+                "bucket": g.bucket.to_numpy(),
+                "seq_idx": seq,
+                "doc_id": g.doc_id.to_numpy(),
+                "chunk_idx": g.chunk_idx.to_numpy(),
+                "n_tokens": toks,
+            }
+        )
+
+    return (
+        chunks.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pack, batch_format="pandas")
+    )

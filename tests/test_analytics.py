@@ -601,3 +601,29 @@ class TestChunking:
 
         with pytest.raises(ValueError):
             chunk_documents("/tmp", chunk_tokens=8, overlap=8)
+
+
+class TestSequencePacking:
+    def test_matches_oracle(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import pack_sequences
+        import __ray_entry__ as e
+
+        assert_matches_oracle(
+            pack_sequences(SF), con, e.oracle_sql()["pack_sequences"]
+        )
+
+    def test_budget_respected_and_dense(self, ray_session):
+        from ebook_ocr_ray.pipelines.analytics import pack_sequences
+
+        out = pack_sequences(SF).to_pandas()
+        per_seq = out.groupby(["bucket", "seq_idx"]).n_tokens.sum()
+        # a sequence exceeds the budget only when a single chunk does
+        multi = out.groupby(["bucket", "seq_idx"]).size()
+        assert (per_seq[multi > 1] <= 128).all()
+        # greedy density: consecutive sequences could not be merged
+        for (b, s), tok in per_seq.items():
+            nxt = per_seq.get((b, s + 1))
+            if nxt is not None:
+                first_next = out[(out.bucket == b) & (out.seq_idx == s + 1)]\
+                    .sort_values(["doc_id", "chunk_idx"]).n_tokens.iloc[0]
+                assert tok + first_next > 128
