@@ -144,3 +144,35 @@ class TestInterludePreservation:
         assert b"interlude" not in blobs[0]
         assert b"interlude" in blobs[1]          # exactly once, with part 2
         assert b"first article" in blobs[0] and b"second article" in blobs[1]
+
+
+class TestConsolidationSkew:
+    def test_hot_url_with_thousands_of_parts(self, ray_session):
+        """One url carrying 3,000 article parts (the worst spread-split
+        skew) must consolidate in order without blowing group memory —
+        the group fold is ordered and group-local."""
+        import pyarrow as pa
+        import ray.data
+        from ebook_ocr_ray.pipelines.extraction import consolidate_books
+
+        n = 3000
+        rows = pa.table(
+            {
+                "url": pa.array(
+                    [f"https://hot.example/doc/1#a{k}" for k in range(n)], pa.string()
+                ),
+                "extracted_text": pa.array(
+                    [f"part text {k}" for k in range(n)], pa.string()
+                ),
+                "headings": pa.array([[] for _ in range(n)],
+                                     pa.list_(pa.string())),
+            }
+        )
+        out = consolidate_books(ray.data.from_arrow(rows)).to_pandas()
+        assert len(out) == 1
+        book = out.book_txt.iloc[0]
+        # every part present exactly once, in numeric (not lexical) order
+        pos = [book.find(f"--- a{k} ---") for k in range(n)]
+        assert all(p >= 0 for p in pos)
+        assert pos == sorted(pos)
+        assert out.n_pages.iloc[0] == n
