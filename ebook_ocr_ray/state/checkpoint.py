@@ -114,15 +114,36 @@ def run_checkpointed_extraction(
         ds = extracted_factory(group_set)
         tmp_dir = os.path.join(out_dir, f"_tmp_wave_{wave_idx}")
         shutil.rmtree(tmp_dir, ignore_errors=True)
-        ds = ds.materialize()
+        # the wave STREAMS into the partitioned sink — materializing here
+        # would pin the whole wave's payload in the object store, which at
+        # corpus scale defeats the point of waves
         ds.write_parquet(tmp_dir, partition_cols=["part_id"])
 
         # per-partition stats via the same partial-aggregation combiner as
         # the lineage table (one row per (part, batch) reaches the driver,
-        # not one per document); an all-empty wave yields an empty frame
+        # not one per document); computed from the just-written files with
+        # only the three needed columns read back — the second consumer
+        # re-reads pruned parquet instead of forcing the first into a
+        # materialize. An all-empty wave has no files and yields an empty
+        # frame.
+        import glob as _glob
+
+        import ray.data as _rd
+
         from ebook_ocr_ray.pipelines.extraction import lineage
 
-        stats_df = lineage(ds, key="part_id").to_pandas()
+        wave_files = _glob.glob(os.path.join(tmp_dir, "**", "*.parquet"), recursive=True)
+        if wave_files:
+            written = _rd.read_parquet(
+                tmp_dir, columns=["part_id", "payload_bytes", "extracted_text"]
+            )
+            stats_df = lineage(written, key="part_id").to_pandas()
+            # the hive partition column reads back as STRING — without the
+            # cast every int `part in stats.index` probe below misses and
+            # the manifest records doc_count=0 for every partition
+            stats_df["part_id"] = stats_df["part_id"].astype("int64")
+        else:
+            stats_df = pd.DataFrame()
         if "part_id" in stats_df.columns:
             stats = stats_df.set_index("part_id")
         else:

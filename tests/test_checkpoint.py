@@ -93,3 +93,18 @@ class TestManifestEdges:
 
         assert version_hash() == version_hash()
         assert version_hash("a") != version_hash("b")
+
+
+class TestManifestStats:
+    def test_manifest_doc_counts_total_the_input(self, ray_session, tmp_path):
+        """The per-partition manifest stats must add up to the corpus —
+        regression for the hive partition column reading back as STRING
+        and every int index probe silently recording doc_count=0."""
+        from ebook_ocr_ray.state.checkpoint import run_checkpointed_extraction
+
+        out = str(tmp_path / "out")
+        run_checkpointed_extraction(factory, out, num_partitions=64, waves=2)
+        mf = pd.read_parquet(f"{out}/manifest.parquet")
+        assert int(mf.doc_count.sum()) == 500
+        assert int(mf.byte_count.sum()) > 0
+        assert int(mf.char_count.sum()) > 0
