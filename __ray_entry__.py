@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": analytics.redact_pii,
         "stratified_sample": analytics.stratified_sample,
         "chunk_documents": analytics.chunk_documents,
+        "repetition_profile": analytics.repetition_profile,
         "pack_sequences": lambda sf: _sorted_frame(
             analytics.pack_sequences(sf), ["bucket", "seq_idx", "doc_id", "chunk_idx"]
         ),
@@ -1029,6 +1030,29 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(piece, ' ') AS chunk_text,
                    len(piece) AS n_tokens
             FROM sliced
+        """,
+        # 4-gram repetition: grams of docs shorter than 4 words collapse to
+        # one whole-text gram, mirroring word_shingles-style semantics
+        "repetition_profile": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                       FROM documents),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(words) < 4 THEN [array_to_string(words, ' ')]
+                     ELSE list_transform(range(1, len(words) - 2),
+                            i -> words[i] || ' ' || words[i+1] || ' '
+                                 || words[i+2] || ' ' || words[i+3])
+                END AS gs
+              FROM w),
+            g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+            counts AS (SELECT doc_id, gram, COUNT(*) AS c
+                       FROM g GROUP BY doc_id, gram)
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_grams,
+                   CAST(MAX(c) AS BIGINT) AS max_gram_count,
+                   CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000
+                        // SUM(c) AS BIGINT) AS rep_milli
+            FROM counts GROUP BY doc_id
         """,
         # greedy first-fit packing replayed as a recursive CTE: one step
         # per row rank within a bucket, state = (seq_idx, filled), exactly

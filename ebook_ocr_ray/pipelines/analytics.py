@@ -1074,3 +1074,48 @@ def pack_sequences(
         .groupby("bucket")
         .map_groups(pack, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition profile (repeated n-gram detection, the C4-style rep filter)
+# --------------------------------------------------------------------------
+
+REP_NGRAM = 4
+
+
+def repetition_profile(sf_dir: str, n: int = REP_NGRAM) -> ray.data.Dataset:
+    """(doc_id, n_grams, max_gram_count, rep_milli): how repetitive is each
+    document at the word ``n``-gram level. ``rep_milli`` is the fraction
+    of n-gram occurrences belonging to duplicated n-grams, in integer
+    thousandths (floor) — the standard boilerplate/repetition quality
+    signal a curation pass thresholds on. Pure per-batch map; the n-gram
+    multiset never leaves the worker."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def profile(batch: pa.Table) -> pa.Table:
+        ids, totals, maxes, reps = [], [], [], []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (t or "").split(" ")
+            grams = (
+                [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+                if len(words) >= n else [" ".join(words)]
+            )
+            counts: dict[str, int] = {}
+            for g in grams:
+                counts[g] = counts.get(g, 0) + 1
+            total = len(grams)
+            dup_occurrences = sum(c for c in counts.values() if c > 1)
+            ids.append(doc_id)
+            totals.append(total)
+            maxes.append(max(counts.values()))
+            reps.append(dup_occurrences * 1000 // total)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": pa.array(totals, pa.int64()),
+                "max_gram_count": pa.array(maxes, pa.int64()),
+                "rep_milli": pa.array(reps, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(profile, batch_format="pyarrow")

@@ -627,3 +627,28 @@ class TestSequencePacking:
                 first_next = out[(out.bucket == b) & (out.seq_idx == s + 1)]\
                     .sort_values(["doc_id", "chunk_idx"]).n_tokens.iloc[0]
                 assert tok + first_next > 128
+
+
+class TestRepetitionProfile:
+    def test_matches_oracle(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import repetition_profile
+        import __ray_entry__ as e
+
+        assert_matches_oracle(
+            repetition_profile(SF), con, e.oracle_sql()["repetition_profile"]
+        )
+
+    def test_fully_repetitive_doc_scores_high(self, ray_session, tmp_path):
+        from ebook_ocr_ray.pipelines.analytics import repetition_profile
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["spam " * 50 + "spam", "all distinct words here now ok"],
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        out = repetition_profile(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert out.loc[1].rep_milli == 1000      # every 4-gram duplicated
+        assert out.loc[2].rep_milli == 0
+        assert out.loc[2].max_gram_count == 1
