@@ -111,6 +111,8 @@ def run_bench() -> dict:
     timed("minhash_clusters", lambda: neardup.minhash_clusters(SF_DIR).count())
     timed("dedup_exact_docs", lambda: analytics.dedup_exact_docs(SF_DIR).count())
     timed("structural_xml", lambda: structural_pipeline(SF_DIR).count())
+    timed("sessionize", lambda: analytics.sessionize(SF_DIR).count())
+    timed("pack_sequences", lambda: analytics.pack_sequences(SF_DIR).count())
 
     total = round(sum(timings.values()), 3)
     result = {
