@@ -740,7 +740,7 @@ def _term_hash64(terms: list[str]) -> np.ndarray:
 
 
 def tfidf_top_terms(
-    sf_dir: str, k: int = 5, df_strategy: str = "auto"
+    sf_dir: str, k: int = 5, df_strategy: str = "auto", num_partitions: int = 8
 ) -> ray.data.Dataset:
     """Top-``k`` terms per source by tf-idf (tf x ln(N/df), ties broken by
     term). Term frequencies and document frequencies ship as per-batch
@@ -752,6 +752,8 @@ def tfidf_top_terms(
     'broadcast' or 'join' explicitly; both paths are tested equal."""
     import math
 
+    if df_strategy not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown df_strategy {df_strategy!r}")
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
     )
@@ -829,7 +831,7 @@ def tfidf_top_terms(
             ),
             on="term_key",
             right_on="term_key",
-            num_partitions=8,
+            num_partitions=num_partitions,
             left_schema=pa.schema(
                 [("source", str_t), ("term", str_t), ("tf", pa.int64()),
                  ("term_key", pa.int64())]
@@ -1041,12 +1043,33 @@ def pack_sequences(
     the stable bucket key + total order — independent of arrival order
     or partitioning. Chunks larger than the budget get a sequence of
     their own (first-fit never splits a chunk)."""
-    chunks = chunk_documents(sf_dir, chunk_tokens, overlap)
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        b = pa.array(ids % PACK_BUCKETS, pa.int64())
-        return t.drop_columns(["chunk_text"]).append_column("bucket", b)
+    def chunk_counts(batch: pa.Table) -> pa.Table:
+        # the packing plan needs only token COUNTS per window —
+        # len(words[i*stride : i*stride+chunk]) == min(chunk, n - i*stride)
+        # — so the chunk text is never built (chunk_documents would
+        # re-materialize ~1.33x the corpus as strings just to drop them)
+        ids, idxs, toks, buckets = [], [], [], []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            n = len((t or "").split(" "))
+            n_chunks = max(1, (n - overlap + stride - 1) // stride)
+            for i in range(n_chunks):
+                ids.append(doc_id)
+                idxs.append(i)
+                toks.append(min(chunk_tokens, n - i * stride))
+                buckets.append(doc_id % PACK_BUCKETS)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "n_tokens": pa.array(toks, pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
+            }
+        )
 
     def pack(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["doc_id", "chunk_idx"], kind="mergesort")
@@ -1070,7 +1093,7 @@ def pack_sequences(
         )
 
     return (
-        chunks.map_batches(add_bucket, batch_format="pyarrow")
+        docs.map_batches(chunk_counts, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pack, batch_format="pandas")
     )

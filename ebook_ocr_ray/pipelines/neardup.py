@@ -99,6 +99,7 @@ def hot_filtered_buckets(
     buckets: ray.data.Dataset,
     bucket_schema: pa.Schema,
     hot_strategy: str = "auto",
+    num_partitions: int = 8,
 ) -> ray.data.Dataset | None:
     """Reduce bucket rows to those in multi-member buckets (the only rows
     that can generate candidate pairs). Returns None when every bucket is
@@ -109,6 +110,8 @@ def hot_filtered_buckets(
     'broadcast' or 'join'."""
     from ray.data.aggregate import Count
 
+    if hot_strategy not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown hot_strategy {hot_strategy!r}")
     counts = buckets.groupby(["band", "key"]).aggregate(Count(alias_name="n"))
     hot_ds = counts.map_batches(
         lambda t: t.filter(pa.compute.greater(t["n"], 1)).select(["band", "key"]),
@@ -148,10 +151,15 @@ def hot_filtered_buckets(
         hot_ds.map_batches(hot_renamed, batch_format="pyarrow"),
         on="bkey",
         right_on="bkey",
-        num_partitions=8,
+        num_partitions=num_partitions,
         left_schema=pa.schema(list(bucket_schema) + [pa.field("bkey", pa.int64())]),
+        # hot-side types derive from the authoritative bucket schema
         right_schema=pa.schema(
-            [("band_h", pa.int32()), ("key_h", pa.int64()), ("bkey", pa.int64())]
+            [
+                ("band_h", bucket_schema.field("band").type),
+                ("key_h", bucket_schema.field("key").type),
+                ("bkey", pa.int64()),
+            ]
         ),
     )
 
@@ -198,6 +206,7 @@ def candidate_pair_dataset(
     buckets: ray.data.Dataset,
     max_bucket: int | None = None,
     hot_strategy: str = "auto",
+    num_partitions: int = 8,
 ) -> ray.data.Dataset:
     """groupby (band, key) -> DISTINCT unordered candidate pairs as a
     Dataset.
@@ -216,7 +225,9 @@ def candidate_pair_dataset(
     schema = pa.schema(
         [("doc_id", pa.int64()), ("band", pa.int32()), ("key", pa.int64())]
     )
-    filtered = hot_filtered_buckets(buckets, schema, hot_strategy)
+    filtered = hot_filtered_buckets(
+        buckets, schema, hot_strategy, num_partitions=num_partitions
+    )
     if filtered is None:
         return ray.data.from_arrow(
             pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
@@ -507,7 +518,7 @@ def minhash_clusters(
     # parquet or accept the recompute — the pipeline shape is unchanged.
     buckets = docs.map_batches(explode_bands, batch_format="pyarrow").materialize()
     candidates = candidate_pair_dataset(
-        buckets, hot_strategy=hot_strategy
+        buckets, hot_strategy=hot_strategy, num_partitions=num_partitions
     ).materialize()                                              # slim int pairs
 
     def _adaptive(n_rows: int) -> int:
@@ -562,6 +573,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     max_bucket: int | None = None,
     hot_strategy: str = "auto",
+    num_partitions: int = 8,
 ) -> ray.data.Dataset:
     """(id_a, id_b, hamming) near-dup pairs: band blocking over the 64-bit
     simhash sized so recall is GUARANTEED up to ``max_hamming`` (pigeonhole
@@ -644,7 +656,9 @@ def simhash_pairs(
         [("doc_id", pa.int64()), ("band", pa.int32()), ("key", pa.int64()),
          ("print", pa.uint64())]
     )
-    filtered = hot_filtered_buckets(buckets, schema, hot_strategy)
+    filtered = hot_filtered_buckets(
+        buckets, schema, hot_strategy, num_partitions=num_partitions
+    )
     if filtered is None:
         return ray.data.from_arrow(
             pa.table(

@@ -529,9 +529,16 @@ class TestEmptyInputs:
             top_docs_per_source,
         )
 
+        from ebook_ocr_ray.pipelines.analytics import (
+            chunk_documents,
+            pack_sequences,
+            repetition_profile,
+        )
+
         for fn in (sessionize, clicks_before_purchase, top_docs_per_source,
                    token_quantiles_per_source, tfidf_top_terms, redact_pii,
-                   stratified_sample):
+                   stratified_sample, chunk_documents, pack_sequences,
+                   repetition_profile):
             assert len(fn(empty_dir).to_pandas()) == 0, fn.__name__
 
 
