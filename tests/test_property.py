@@ -181,3 +181,41 @@ class TestSurvivorAggregateProperties:
             assert agg.combine(agg.combine(a, b), c) == agg.combine(
                 a, agg.combine(b, c)
             )
+
+
+class TestBatchSketchProperties:
+    """Property check: the vectorized batch sketch kernels agree with the
+    frozen per-doc functions on ARBITRARY text (the fixed-example
+    equivalence test can't cover unicode, long runs of spaces, huge
+    words, or mixed empty/non-empty batches)."""
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",)),
+                max_size=120,
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_minhash_and_simhash_batch_equivalence(self, texts):
+        import numpy as np
+
+        from ebook_ocr_ray.functions.sketches import (
+            lsh_band_keys,
+            lsh_band_keys_batch,
+            minhash_signature,
+            minhash_signatures_batch,
+            simhash64,
+            simhash64_batch,
+        )
+
+        sigs = minhash_signatures_batch(texts, k=3)
+        keys = lsh_band_keys_batch(sigs)
+        prints = simhash64_batch(texts)
+        for i, t in enumerate(texts):
+            np.testing.assert_array_equal(sigs[i], minhash_signature(t, k=3))
+            assert keys[i].tolist() == [k for _, k in lsh_band_keys(sigs[i])]
+            assert int(prints[i]) == simhash64(t)
