@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": analytics.stratified_sample,
         "chunk_documents": analytics.chunk_documents,
         "repetition_profile": analytics.repetition_profile,
+        "distinct_terms_hll": analytics.distinct_terms_hll,
         "pack_sequences": lambda sf: _sorted_frame(
             analytics.pack_sequences(sf), ["bucket", "seq_idx", "doc_id", "chunk_idx"]
         ),
@@ -627,6 +628,58 @@ def _text_profile_sql() -> str:
     """
 
 
+def _distinct_terms_hll_sql() -> str:
+    """Closed-form oracle for analytics.distinct_terms_hll: the HLL
+    registers, the EXACT-integer harmonic sum (every addend is a power of
+    two from an embedded table, so no float summation order exists), and
+    the single-division estimate with the linear-counting branch are all
+    reproduced with the identical double literals and operation order —
+    the sketch estimate is bit-deterministic, so even the approximate
+    column byte-matches."""
+    from ebook_ocr_ray.functions.sketches import HLL_ALPHA
+
+    bitlen = ", ".join(f"({k}, {1 << (k - 1)}::HUGEINT)" for k in range(1, 53))
+    pow2 = ", ".join(f"({e}, {1 << e}::HUGEINT)" for e in range(11, 65))
+    return f"""
+        WITH {_MULT_CTE},
+        bl(k, p) AS (VALUES {bitlen}),
+        pow2(e, v) AS (VALUES {pow2}),
+        t AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+              FROM documents),
+        h AS (
+          SELECT (
+            SELECT SUM(
+               ((strpos('0123456789abcdef', substr(md5(t.term), 2*i+1, 1))-1) * 16
+              + (strpos('0123456789abcdef', substr(md5(t.term), 2*i+2, 1))-1))::HUGEINT * m
+            ) FROM mult
+          ) AS h FROM t
+        ),
+        hb AS (SELECT h // 4503599627370496 AS bucket,
+                      h % 4503599627370496 AS rest FROM h),
+        rk AS (SELECT bucket,
+                      53 - (SELECT COALESCE(MAX(k), 0) FROM bl
+                            WHERE hb.rest >= bl.p) AS rank
+               FROM hb),
+        regs0 AS (SELECT bucket, MAX(rank) AS reg FROM rk GROUP BY bucket),
+        allregs AS (
+          SELECT gs.b AS bucket, COALESCE(r.reg, 0) AS reg
+          FROM (SELECT unnest(range(0, 4096)) AS b) gs
+          LEFT JOIN regs0 r ON gs.b = r.bucket),
+        s AS (SELECT SUM(p2.v) AS s_int,
+                     CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+              FROM allregs JOIN pow2 p2 ON p2.e = 64 - reg),
+        raw AS (SELECT {HLL_ALPHA!r}::DOUBLE * 4096 * 4096
+                         * 18446744073709551616.0
+                         / CAST(s_int AS DOUBLE) AS e, v FROM s),
+        est AS (SELECT CASE WHEN e <= 10240.0 AND v > 0
+                            THEN 4096 * ln(4096.0 / v) ELSE e END AS e
+                FROM raw)
+        SELECT (SELECT COUNT(*) FROM t) AS n_exact,
+               CAST(floor(e) AS BIGINT) AS hll_estimate
+        FROM est
+    """
+
+
 def _simhash_pairs_sql() -> str:
     """Closed-form oracle for neardup.simhash_pairs (max_hamming=3):
     pigeonhole band sizing (4 tables) guarantees every pair within hamming
@@ -754,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_clusters": _minhash_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "text_profile": _text_profile_sql(),
+        "distinct_terms_hll": _distinct_terms_hll_sql(),
         # Closed-form oracle for the ensemble metadata. The synthesized
         # corpus makes every column deterministic: html pages always vote 2
         # lines (title + body) with density/dom contributing both and

@@ -154,3 +154,53 @@ def simhash_band_keys(print64: int, tables: int = 4) -> list[tuple[int, int]]:
     width = 64 // tables
     mask = (1 << width) - 1
     return [(t, (print64 >> (width * t)) & mask) for t in range(tables)]
+
+
+# --- HyperLogLog distinct-count sketch (mergeable; exact-oracle form) -----
+
+HLL_P = 12
+HLL_M = 1 << HLL_P                    # 4096 registers
+_HLL_REST_BITS = 64 - HLL_P           # 52 rank bits
+_HLL_REST_MASK = (1 << _HLL_REST_BITS) - 1
+# Flajolet et al.'s bias constant for m >= 128, precomputed so the SQL
+# oracle can embed the identical double literal
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_partial(values: list[str]) -> np.ndarray:
+    """(HLL_M,) uint8 register array over a batch of string values —
+    md5-prefix hash (same stable 64-bit hash as the other sketches),
+    top HLL_P bits pick the register, rank = leading-zero count of the
+    remaining bits + 1. Registers from different batches merge with
+    elementwise max, so the sketch composes with a keyed Max aggregate."""
+    import hashlib
+
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    for v in values:
+        h = int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[:8], "little")
+        bucket = h >> _HLL_REST_BITS
+        rank = _HLL_REST_BITS - (h & _HLL_REST_MASK).bit_length() + 1
+        if rank > regs[bucket]:
+            regs[bucket] = rank
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Deterministic integer estimate. The harmonic sum is computed as an
+    EXACT integer (sum of 2^(64-reg), each a power of two) so no float
+    summation order exists to drift; the single final division and the
+    small-range linear-counting branch use the same double ops the SQL
+    oracle performs. Large-range correction is omitted (irrelevant below
+    ~2^57 distinct values)."""
+    import math
+
+    s_int = sum(1 << (64 - int(r)) for r in regs)
+    e = HLL_ALPHA * HLL_M * HLL_M * 18446744073709551616.0 / float(s_int)
+    v = int((regs == 0).sum())
+    if e <= 2.5 * HLL_M and v > 0:
+        e = HLL_M * math.log(HLL_M / v)
+    return int(math.floor(e))

@@ -1142,3 +1142,67 @@ def repetition_profile(sf_dir: str, n: int = REP_NGRAM) -> ray.data.Dataset:
         )
 
     return docs.map_batches(profile, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Distinct-count sketch (HyperLogLog, mergeable by keyed Max)
+# --------------------------------------------------------------------------
+
+
+def distinct_terms_hll(sf_dir: str) -> pd.DataFrame:
+    """One-row (n_exact, hll_estimate) over the corpus vocabulary.
+
+    The canonical mergeable-sketch shape: every batch reduces to at most
+    HLL_M slim (bucket, rank) rows, a keyed Max merges them (register
+    merge == elementwise max, so partial sketches compose exactly), and
+    the driver touches only the fixed 4,096-row register table —
+    NEVER the vocabulary. The exact count runs alongside as a keyed
+    distinct so the estimate's error is measurable in the same result.
+    The estimate is bit-deterministic (integer harmonic sum, single
+    float division) and mirrored exactly by the SQL oracle."""
+    from ebook_ocr_ray.functions.sketches import HLL_M, hll_estimate, hll_partial
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def reg_partial(batch: pa.Table) -> pa.Table:
+        terms: set[str] = set()
+        for t in batch["text"].to_pylist():
+            terms.update(t.split(" ") if t else [""])
+        regs = hll_partial(list(terms))
+        nz = np.nonzero(regs)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64), pa.int64()),
+                "rank": pa.array(regs[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    merged = (
+        docs.map_batches(reg_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("rank", alias_name="rank"))
+        .to_pandas()                              # bounded: <= HLL_M rows
+    )
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    if "bucket" in merged.columns:
+        regs[merged["bucket"].to_numpy()] = merged["rank"].to_numpy()
+    est = hll_estimate(regs)
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        terms: set[str] = set()
+        for t in batch["text"].to_pylist():
+            terms.update(t.split(" ") if t else [""])
+        return pa.table({"term": pa.array(sorted(terms), pa.string())})
+
+    n_exact = (
+        docs.map_batches(term_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="n"))
+        .count()
+    )
+    return pd.DataFrame(
+        {
+            "n_exact": pd.array([n_exact], dtype="int64"),
+            "hll_estimate": pd.array([est], dtype="int64"),
+        }
+    )

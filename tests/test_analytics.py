@@ -659,3 +659,38 @@ class TestRepetitionProfile:
         assert out.loc[1].rep_milli == 1000      # every 4-gram duplicated
         assert out.loc[2].rep_milli == 0
         assert out.loc[2].max_gram_count == 1
+
+
+class TestHyperLogLog:
+    def test_matches_oracle(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.analytics import distinct_terms_hll
+        import __ray_entry__ as e
+
+        assert_matches_oracle(
+            distinct_terms_hll(SF), con, e.oracle_sql()["distinct_terms_hll"]
+        )
+
+    def test_estimate_accuracy_and_merge(self):
+        """m=4096 gives ~1.6% standard error; assert a generous 5% bound
+        at several cardinalities, and that merging split sketches equals
+        sketching the union (the property the keyed Max relies on)."""
+        import numpy as np
+        from ebook_ocr_ray.functions.sketches import (
+            hll_estimate,
+            hll_merge,
+            hll_partial,
+        )
+
+        for n in (1000, 20000, 100000):
+            vals = [f"v{i}" for i in range(n)]
+            est = hll_estimate(hll_partial(vals))
+            assert abs(est - n) / n < 0.05, (n, est)
+            half = n // 2
+            merged = hll_merge(hll_partial(vals[:half]), hll_partial(vals[half:]))
+            np.testing.assert_array_equal(merged, hll_partial(vals))
+
+    def test_small_range_linear_counting(self):
+        from ebook_ocr_ray.functions.sketches import hll_estimate, hll_partial
+
+        est = hll_estimate(hll_partial([f"x{i}" for i in range(50)]))
+        assert abs(est - 50) <= 2                # linear counting is near-exact
