@@ -155,6 +155,12 @@ def _sequence_dedup_pages(sf_dir: str):
     return ds.select_columns(["url", "warc_ts"])
 
 
+def _outlinks(sf_dir: str):
+    from ebook_ocr_ray.pipelines.extraction import outlinks
+
+    return outlinks(sf_dir)
+
+
 def _lineage_sites(sf_dir: str):
     from ebook_ocr_ray.pipelines.extraction import extraction_pipeline, lineage
 
@@ -438,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consolidate_books": _consolidate_books,
         "extract_fallback": _extract_fallback,
         "lineage_sites": _lineage_sites,
+        "outlinks": _outlinks,
         # relational / windowed (aggregates returned as total-ordered frames)
         "q1_pricing": lambda sf: _sorted_frame(
             analytics.q1_pricing(sf), ["l_returnflag", "l_linestatus"]
@@ -939,6 +946,24 @@ def oracle_sql() -> dict[str, str]:
         # as float64 — the engine emits int64, and a dtype-sensitive value
         # hash would flag identical values as different (round-1 failure
         # mode on exactly the six uncast-SUM oracles).
+        # the synthesized boilerplate frame carries exactly 12 anchors per
+        # html page in a fixed order (sources/pages.py synth_html): 4 nav,
+        # 6 aside tag links, 2 footer links
+        "outlinks": f"""
+            WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 3),
+            idx AS (SELECT doc_id, unnest(range(0, 12)) AS link_idx FROM docs)
+            SELECT {_URL_SQL} AS url, link_idx,
+                   CASE link_idx WHEN 0 THEN '/' WHEN 1 THEN '/about'
+                        WHEN 2 THEN '/news' WHEN 3 THEN '/contact'
+                        WHEN 10 THEN '/privacy' WHEN 11 THEN '/terms'
+                        ELSE '/t/' || (link_idx - 4) END AS href,
+                   CASE link_idx WHEN 0 THEN 'Home' WHEN 1 THEN 'About'
+                        WHEN 2 THEN 'News' WHEN 3 THEN 'Contact'
+                        WHEN 10 THEN 'privacy' WHEN 11 THEN 'terms'
+                        ELSE 'tag-' || ((doc_id + link_idx - 4) % 50) END
+                       AS anchor_text
+            FROM idx
+        """,
         "lineage_sites": f"""
             SELECT 'site-' || (doc_id % 20) AS site,
                    COUNT(*) AS doc_count,

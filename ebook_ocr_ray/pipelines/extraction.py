@@ -677,3 +677,35 @@ def extraction_pipeline(
     if dedup:
         prepared = dedup_exact(prepared, slim=prepared_factory())
     return extract(prepared, cfg)
+
+
+def outlinks(sf_dir: str) -> ray.data.Dataset:
+    """(url, link_idx, href, anchor_text) for every html page — the
+    link-graph extraction step of a web corpus pipeline (outlink tables
+    feed template dedup, site graphs, and frontier logic). 1->N per-batch
+    flat map over the synthesized pages; the ``kind`` filter prunes PDF
+    rows before their payloads are even synthesized."""
+    pages = pages_dataset(sf_dir, kind="html")
+
+    def links_batch(batch: pa.Table) -> pa.Table:
+        from ebook_ocr_ray.functions.links import extract_links
+
+        urls, idxs, hrefs, texts = [], [], [], []
+        for url, payload in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            for i, (href, text) in enumerate(
+                extract_links(payload.decode("utf-8", errors="replace"))
+            ):
+                urls.append(url)
+                idxs.append(i)
+                hrefs.append(href)
+                texts.append(text)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "link_idx": pa.array(idxs, pa.int64()),
+                "href": pa.array(hrefs, pa.string()),
+                "anchor_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return pages.map_batches(links_batch, batch_format="pyarrow")

@@ -331,3 +331,40 @@ class TestFigureZoneMasking:
         assert len(zones) == 1
         (x1, y1, x2, y2) = zones[0]
         assert x1 == 0.0 and x2 > 0 and y2 > y1
+
+
+class TestOutlinks:
+    def test_link_parser_order_and_nesting(self):
+        from ebook_ocr_ray.functions.links import extract_links
+
+        html = """<html><body>
+        <a href="/x">first <b>bold</b></a>
+        <script><a href="/skip">no</a></script>
+        <a>no href</a>
+        <a href="/y">second<a href="/z">recovered</a>
+        </body></html>"""
+        links = extract_links(html)
+        assert links[0] == ("/x", "first bold")
+        assert links[1] == ("", "no href")
+        assert links[2][0] == "/y"                 # nested <a> closes previous
+        assert links[3][0] == "/z"
+        assert all(h != "/skip" for h, _ in links)
+
+    def test_pipeline_matches_oracle(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import __ray_entry__ as e
+        from ebook_ocr_ray.pipelines.extraction import outlinks
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        ours = outlinks("/root/testdata/sf0.001").to_pandas()
+        oracle = con.execute(e.oracle_sql()["outlinks"]).df()
+        key = ["url", "link_idx"]
+        a = ours.sort_values(key).reset_index(drop=True)
+        b = oracle.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)],
+                                      check_dtype=False)
