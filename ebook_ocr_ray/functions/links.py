@@ -31,14 +31,17 @@ class _LinkParser(HTMLParser):
             # previous anchor, matching browser recovery
             if self._href is not None:
                 self._emit()
-            self._href = dict(attrs).get("href", "")
+            # a bare `href` attribute parses as ('href', None) — browsers
+            # treat it as href=""
+            self._href = dict(attrs).get("href") or ""
             self._text_parts = []
 
     def handle_endtag(self, tag: str) -> None:
         if tag in SKIP_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
-        if tag == "a" and self._href is not None:
+        # </a> inside a skipped subtree must not close an outer anchor
+        if tag == "a" and self._skip_depth == 0 and self._href is not None:
             self._emit()
 
     def handle_data(self, data: str) -> None:
@@ -57,4 +60,6 @@ def extract_links(html: str) -> list[tuple[str, str]]:
     p = _LinkParser()
     p.feed(html)
     p.close()
+    if p._href is not None:        # truncated page: keep the pending anchor
+        p._emit()                  # (browsers render it; crawls truncate often)
     return p.links

@@ -173,11 +173,11 @@ def hll_partial(values: list[str]) -> np.ndarray:
     top HLL_P bits pick the register, rank = leading-zero count of the
     remaining bits + 1. Registers from different batches merge with
     elementwise max, so the sketch composes with a keyed Max aggregate."""
-    import hashlib
+    from ebook_ocr_ray.functions.textstats import stable_hash64
 
     regs = np.zeros(HLL_M, dtype=np.uint8)
     for v in values:
-        h = int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[:8], "little")
+        h = stable_hash64(v)
         bucket = h >> _HLL_REST_BITS
         rank = _HLL_REST_BITS - (h & _HLL_REST_MASK).bit_length() + 1
         if rank > regs[bucket]:

@@ -106,13 +106,18 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
     return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
 
 
+def stable_hash64(s: str) -> int:
+    """THE canonical stable 64-bit string hash of this codebase: md5
+    first-8-bytes little-endian (never Python's salted hash). Every SQL
+    oracle's md5 CTE mirrors exactly this expression — all sketches
+    (minhash shingles, simhash, HLL) must route through it so the
+    Python/SQL pair can never drift."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Stable 64-bit hashes of k-word shingles (md5 prefix, never Python's
-    salted hash)."""
-    hs = [
-        int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
-        for s in word_shingles(text, k)
-    ]
+    """Stable 64-bit hashes of k-word shingles."""
+    hs = [stable_hash64(s) for s in word_shingles(text, k)]
     return np.array(hs, dtype=np.uint64) if hs else np.empty(0, dtype=np.uint64)
 
 

@@ -1164,11 +1164,14 @@ def distinct_terms_hll(sf_dir: str) -> pd.DataFrame:
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
-    def reg_partial(batch: pa.Table) -> pa.Table:
+    def batch_terms(batch: pa.Table) -> set[str]:
         terms: set[str] = set()
         for t in batch["text"].to_pylist():
             terms.update(t.split(" ") if t else [""])
-        regs = hll_partial(list(terms))
+        return terms
+
+    def reg_partial(batch: pa.Table) -> pa.Table:
+        regs = hll_partial(list(batch_terms(batch)))
         nz = np.nonzero(regs)[0]
         return pa.table(
             {
@@ -1189,10 +1192,8 @@ def distinct_terms_hll(sf_dir: str) -> pd.DataFrame:
     est = hll_estimate(regs)
 
     def term_partial(batch: pa.Table) -> pa.Table:
-        terms: set[str] = set()
-        for t in batch["text"].to_pylist():
-            terms.update(t.split(" ") if t else [""])
-        return pa.table({"term": pa.array(sorted(terms), pa.string())})
+        # no sort: the keyed groupby hashes rows regardless of order
+        return pa.table({"term": pa.array(list(batch_terms(batch)), pa.string())})
 
     n_exact = (
         docs.map_batches(term_partial, batch_format="pyarrow")

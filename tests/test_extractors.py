@@ -334,6 +334,20 @@ class TestFigureZoneMasking:
 
 
 class TestOutlinks:
+    def test_link_parser_edge_recovery(self):
+        """Review-found edges: skipped-subtree </a> must not close an
+        outer anchor, a bare href attribute means href="", and a
+        truncated page keeps its pending anchor."""
+        from ebook_ocr_ray.functions.links import extract_links
+
+        assert extract_links(
+            '<a href="/x">text<svg><a href="/i">i</a></svg>more</a>'
+        ) == [("/x", "textmore")]
+        assert extract_links("<a href>valueless</a>") == [("", "valueless")]
+        assert extract_links('<a href="/x">trailing text') == [
+            ("/x", "trailing text")
+        ]
+
     def test_link_parser_order_and_nesting(self):
         from ebook_ocr_ray.functions.links import extract_links
 
@@ -356,12 +370,13 @@ class TestOutlinks:
         import __ray_entry__ as e
         from ebook_ocr_ray.pipelines.extraction import outlinks
 
+        sf = "/root/testdata/sf0.001"
         con = duckdb.connect()
         con.execute(
             "CREATE VIEW documents AS SELECT * FROM "
-            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+            f"read_parquet('{sf}/documents.parquet')"
         )
-        ours = outlinks("/root/testdata/sf0.001").to_pandas()
+        ours = outlinks(sf).to_pandas()
         oracle = con.execute(e.oracle_sql()["outlinks"]).df()
         key = ["url", "link_idx"]
         a = ours.sort_values(key).reset_index(drop=True)
