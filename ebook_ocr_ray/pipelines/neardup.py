@@ -30,7 +30,6 @@ import ray.data
 
 from ebook_ocr_ray.functions.sketches import (
     LSH_BANDS,
-    hamming64,
     jaccard,
     lsh_band_keys_batch,
     minhash_signatures_batch,
@@ -173,33 +172,51 @@ def hot_filtered_buckets(
     return joined.map_batches(exact, batch_format="pyarrow")
 
 
-def _bucket_pairs_fn(max_bucket: int):
-    """Per-(band,key) group fn: unordered candidate pairs (id_a < id_b);
-    all-pairs up to ``max_bucket``, logged star fallback beyond it."""
+# byte-wise popcount table: vectorized hamming over uint64 prints on
+# numpy 1.x (no bitwise_count ufunc) — view each word as 8 bytes, table
+# lookup, row sum
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(
+    np.uint8
+)
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort")
-        ids = g.doc_id.to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
-            )
-        head = ids[:max_bucket]
-        ai, bi = np.triu_indices(len(head), 1)
-        id_a, id_b = head[ai], head[bi]
-        if len(ids) > max_bucket:
-            logger.warning(
-                "near-dup bucket over cap: band=%s key=%s size=%d > %d — "
-                "star fallback — bounded recall: tail-tail pairs whose only "
-                "shared bucket is this one are NOT generated (see MAX_BUCKET)",
-                g.band.iloc[0], g.key.iloc[0], len(ids), max_bucket,
-            )
-            tail = ids[max_bucket:]
-            id_a = np.concatenate([id_a, np.full(len(tail), ids[0], dtype=ids.dtype)])
-            id_b = np.concatenate([id_b, tail])
-        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
 
-    return pairs
+def _hamming64_vec(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    z = np.bitwise_xor(x, y)
+    if len(z) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return _POP8[z.view(np.uint8).reshape(len(z), 8)].sum(axis=1).astype(np.int64)
+
+
+def _make_collect_records_agg(cols: list[str], alias: str = "recs"):
+    """Keyed aggregate collecting each bucket's rows as concatenated
+    little-endian int64 records (one fixed-width record per row, fields
+    in ``cols`` order). Accumulators are plain bytes, so partials store
+    in Arrow blocks between the map-side combine and the reduce, and the
+    per-group Python cost is one ndarray.tobytes — this replaces
+    ``groupby().map_groups`` for pair generation, whose per-group pandas
+    materialization dominated wall time on dup-heavy corpora (measured:
+    80k docs at 100% dup fraction did not finish in 10 min via
+    map_groups; seconds via this aggregate + batched expansion).
+    uint64 fields (simhash prints) travel bit-cast as int64."""
+    from ray.data.aggregate import AggregateFnV2
+
+    class CollectRecords(AggregateFnV2):
+        def __init__(self) -> None:
+            super().__init__(alias, on=None, ignore_nulls=True,
+                             zero_factory=lambda: b"")
+
+        def aggregate_block(self, block) -> bytes:
+            t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            arrs = [
+                t[c].to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+                for c in cols
+            ]
+            return np.column_stack(arrs).astype("<u8").tobytes()
+
+        def combine(self, a: bytes, b: bytes) -> bytes:
+            return a + b
+
+    return CollectRecords()
 
 
 def candidate_pair_dataset(
@@ -212,16 +229,18 @@ def candidate_pair_dataset(
     Dataset.
 
     Almost every bucket is a singleton (a document sharing no band key
-    with anyone) and yields no pairs, so running a per-group UDF over all
-    of them is pure overhead — measured 13s vs 4s at sf0.1. Instead a
-    vectorized keyed Count finds the multi-member buckets first; only
-    those keys (bounded by the actual near-dup volume — the same argument
-    as the dedup survivor broadcast; a Bloom filter at extreme dup
-    fractions) are broadcast, and the per-group pair UDF runs on the
-    filtered bucket rows alone. A final keyed Count dedupes pairs that
-    co-occur in several bands — slim int pairs, never a driver collect."""
+    with anyone) and yields no pairs, so a vectorized keyed Count finds
+    the multi-member buckets first (bounded by the actual near-dup
+    volume; broadcast or keyed semi-join per ``hot_strategy``). The
+    surviving rows collapse to ONE record-blob row per bucket via a
+    custom keyed aggregate, and pair expansion runs vectorized over
+    BATCHES of buckets — no per-group UDF anywhere, so a corpus where
+    every bucket is hot (100% dup fraction) costs seconds, not minutes.
+    A final keyed Count dedupes pairs that co-occur in several bands —
+    slim int pairs, never a driver collect."""
     from ray.data.aggregate import Count
 
+    cap = MAX_BUCKET if max_bucket is None else max_bucket
     schema = pa.schema(
         [("doc_id", pa.int64()), ("band", pa.int32()), ("key", pa.int64())]
     )
@@ -233,14 +252,45 @@ def candidate_pair_dataset(
             pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
         )
 
-    pairs = (
-        filtered
-        .groupby(["band", "key"])
-        .map_groups(
-            _bucket_pairs_fn(MAX_BUCKET if max_bucket is None else max_bucket),
-            batch_format="pandas",
-        )
+    collected = filtered.groupby(["band", "key"]).aggregate(
+        _make_collect_records_agg(["doc_id"])
     )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for band, key, rec in zip(
+            batch["band"].to_pylist(), batch["key"].to_pylist(),
+            batch["recs"].to_pylist(),
+        ):
+            ids = np.sort(np.frombuffer(rec, dtype="<u8").astype(np.int64))
+            if len(ids) < 2:
+                continue
+            head = ids[:cap]
+            ai, bi = np.triu_indices(len(head), 1)
+            out_a.append(head[ai])
+            out_b.append(head[bi])
+            if len(ids) > cap:
+                logger.warning(
+                    "near-dup bucket over cap: band=%s key=%s size=%d > %d — "
+                    "star fallback — bounded recall: tail-tail pairs whose "
+                    "only shared bucket is this one are NOT generated "
+                    "(see MAX_BUCKET)", band, key, len(ids), cap,
+                )
+                tail = ids[cap:]
+                out_a.append(np.full(len(tail), ids[0], dtype=np.int64))
+                out_b.append(tail)
+        if not out_a:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    pairs = collected.map_batches(expand, batch_format="pyarrow")
     distinct = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
     return distinct.map_batches(
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
@@ -621,31 +671,48 @@ def simhash_pairs(
             }
         )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id", kind="mergesort")
-        ids = g.doc_id.to_numpy()
-        prints = g["print"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "hamming": pd.Series(dtype="int64")}
+    def expand(batch: pa.Table) -> pa.Table:
+        """Vectorized pair expansion over a BATCH of collected buckets
+        (same shape as candidate_pair_dataset's expand, plus the hamming
+        filter on bit-cast prints)."""
+        out_a, out_b, out_h = [], [], []
+        for band, key, rec in zip(
+            batch["band"].to_pylist(), batch["key"].to_pylist(),
+            batch["recs"].to_pylist(),
+        ):
+            r = np.frombuffer(rec, dtype="<u8").reshape(-1, 2)
+            if len(r) < 2:
+                continue
+            order = np.argsort(r[:, 0], kind="stable")
+            ids = r[order, 0].astype(np.int64)
+            prints = r[order, 1]                       # uint64 simhash prints
+            ai, bi = np.triu_indices(min(len(ids), max_bucket), 1)
+            if len(ids) > max_bucket:
+                # star fallback beyond the all-pairs cap (see MAX_BUCKET)
+                logger.warning(
+                    "simhash bucket over cap: band=%s key=%s size=%d > %d — "
+                    "star fallback", band, key, len(ids), max_bucket,
+                )
+                tail = np.arange(max_bucket, len(ids))
+                ai = np.concatenate([ai, np.zeros(len(tail), dtype=np.int64)])
+                bi = np.concatenate([bi, tail])
+            ham = _hamming64_vec(prints[ai], prints[bi])
+            keep = ham <= max_hamming
+            out_a.append(ids[ai][keep])
+            out_b.append(ids[bi][keep])
+            out_h.append(ham[keep])
+        if not out_a:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
             )
-        ai, bi = np.triu_indices(min(len(ids), max_bucket), 1)
-        if len(ids) > max_bucket:
-            # star fallback beyond the all-pairs cap (see MAX_BUCKET)
-            logger.warning(
-                "simhash bucket over cap: band=%s key=%s size=%d > %d — star fallback",
-                g.band.iloc[0], g.key.iloc[0], len(ids), max_bucket,
-            )
-            tail = np.arange(max_bucket, len(ids))
-            ai = np.concatenate([ai, np.zeros(len(tail), dtype=np.int64)])
-            bi = np.concatenate([bi, tail])
-        rows = [
-            (int(ids[x]), int(ids[y]), hamming64(int(prints[x]), int(prints[y])))
-            for x, y in zip(ai, bi)
-        ]
-        df = pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
-        return df[df.hamming <= max_hamming]
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h), pa.int64()),
+            }
+        )
 
     # two consumers (hot-key count pass + pair pass) — materialize the
     # slim bucket rows instead of recomputing every simhash (see the
@@ -667,10 +734,11 @@ def simhash_pairs(
             )
         )
 
+    collected = filtered.groupby(["band", "key"]).aggregate(
+        _make_collect_records_agg(["doc_id", "print"])
+    )
     return (
-        filtered
-        .groupby(["band", "key"])
-        .map_groups(pairs, batch_format="pandas")
+        collected.map_batches(expand, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
