@@ -30,7 +30,6 @@ import ray.data
 
 from ebook_ocr_ray.functions.sketches import (
     LSH_BANDS,
-    jaccard,
     lsh_band_keys_batch,
     minhash_signatures_batch,
     simhash64_batch,
@@ -578,10 +577,34 @@ def minhash_clusters(
         return max(1, min(num_partitions, n_rows // 100_000 + 1))
 
     def verify(batch: pa.Table) -> pa.Table:
-        keep = [
-            jaccard(ta, tb, k_shingle) >= jaccard_threshold
-            for ta, tb in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist())
-        ]
+        # Exact-Jaccard gate, semantics identical to functions.sketches.jaccard,
+        # but each doc's shingle set is built ONCE per batch (keyed by doc id)
+        # instead of once per pair — at high dup fractions a doc appears in
+        # dozens of candidate pairs, and shingling dominated the verify wall.
+        from ebook_ocr_ray.functions.sketches import word_shingles
+
+        cache: dict[int, set] = {}
+
+        def sset(i: int, t: str) -> set:
+            s = cache.get(i)
+            if s is None:
+                s = set(word_shingles(t, k_shingle))
+                cache[i] = s
+            return s
+
+        keep = []
+        for ia, ib, ta, tb in zip(
+            batch["id_a"].to_pylist(), batch["id_b"].to_pylist(),
+            batch["text_a"].to_pylist(), batch["text_b"].to_pylist(),
+        ):
+            sa, sb = sset(ia, ta), sset(ib, tb)
+            if not sa and not sb:
+                keep.append(True)                      # jaccard == 1.0
+            else:
+                inter = len(sa & sb)
+                keep.append(
+                    inter / (len(sa) + len(sb) - inter) >= jaccard_threshold
+                )
         t = batch.filter(pa.array(keep, pa.bool_()))
         return t.select(["id_a", "id_b"])
 
