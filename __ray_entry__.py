@@ -429,7 +429,7 @@ def _site_boilerplate(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ebook_ocr_ray.pipelines import analytics, neardup, neighbors
+    from ebook_ocr_ray.pipelines import analytics, decontam, neardup, neighbors
 
     return {
         # extraction family (closed-form oracles)
@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # text analysis
         "train_val_split": analytics.train_val_split,
+        "decontaminate": lambda sf: _sorted_frame(decontam.decontaminate(sf), ["doc_id"]),
         "token_stats": analytics.token_table,
         "doc_fingerprint": analytics.fingerprint_table,
         "dedup_exact_docs": analytics.dedup_exact_docs,
@@ -809,8 +810,35 @@ def _minhash_clusters_sql() -> str:
     """
 
 
+def _decontaminate_sql() -> str:
+    """Closed-form oracle for decontam.decontaminate: benchmark = docs
+    with doc_id % BENCH_MOD == 0, contamination = count of DISTINCT
+    8-word shingles shared with any benchmark doc (shingle semantics
+    identical to the sketch oracles via _shingle_ctes: <8-word docs are
+    one whole-text shingle, empty docs none)."""
+    from ebook_ocr_ray.pipelines.decontam import BENCH_MOD, DECONTAM_NGRAM
+
+    return f"""
+        WITH {_shingle_ctes(DECONTAM_NGRAM)},
+        ds AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
+        bench AS (SELECT DISTINCT s FROM ds WHERE doc_id % {BENCH_MOD} = 0),
+        hits AS (
+          SELECT ds.doc_id, COUNT(DISTINCT ds.s) AS n
+          FROM ds JOIN bench USING (s)
+          GROUP BY ds.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+               CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "decontaminate": _decontaminate_sql(),
         "minhash_clusters": _minhash_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "text_profile": _text_profile_sql(),
