@@ -415,12 +415,14 @@ def label_propagation_keyed(
     endpoints via hash-partitioned joins on the node key — NO driver-side
     label map, so both edges and labels can exceed driver memory. Per
     round: join labels onto id_a, then onto id_b, emit min(label_a,
-    label_b) to both endpoints, keyed Min aggregate. Convergence is
-    detected by a scalar Sum aggregate (labels only ever decrease, so the
-    total is a strictly-decreasing potential until the fixpoint) — no
-    label ever crosses the driver. Default ``max_iters=None`` iterates to
-    the fixpoint (hard cap 200, logged warning if hit — unconverged
-    labels must never be silent).
+    label_b) to both endpoints, keyed Min aggregate. Convergence is a
+    scalar COUNT of label-mismatched edges over the already-joined round
+    input — exact at any scale (a label-total "potential" would wrap
+    int64 once ids reach web scale and could falsely report a fixpoint),
+    free of an extra pass, and when it hits zero the round's Min
+    aggregate is skipped entirely — no label ever crosses the driver.
+    Default ``max_iters=None`` iterates to the fixpoint (hard cap 200,
+    logged warning if hit — unconverged labels must never be silent).
 
     Costs two hash joins + one aggregate per round vs the broadcast
     variant's one aggregate — use it when the label set can't sit on the
@@ -439,7 +441,6 @@ def label_propagation_keyed(
 
     edge_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
     lab_schema = lambda name: pa.schema([("node", pa.int64()), (name, pa.int64())])  # noqa: E731
-    prev_total = labels.aggregate(Sum("label", alias_name="total"))["total"]
     cap = 200 if max_iters is None else max_iters
     converged = False
     for _ in range(cap):
@@ -468,6 +469,26 @@ def label_propagation_keyed(
             right_schema=lab_schema("label_b"),
         )
 
+        # two consumers (mismatch count + min emission): keep the slim
+        # joined edge rows in the object store instead of re-joining
+        lab = lab.materialize()
+
+        def mismatches(batch: pa.Table) -> pa.Table:
+            n = pa.compute.sum(
+                pa.compute.cast(
+                    pa.compute.not_equal(batch["label_a"], batch["label_b"]),
+                    pa.int64(),
+                )
+            ).as_py()
+            return pa.table({"n": pa.array([n or 0], pa.int64())})
+
+        n_mismatch = lab.map_batches(mismatches, batch_format="pyarrow").aggregate(
+            Sum("n", alias_name="n")
+        )["n"]
+        if not n_mismatch:       # every edge agrees: labels ARE the fixpoint
+            converged = True
+            break
+
         def emit_min(batch: pa.Table) -> pa.Table:
             a = batch["id_a"].to_numpy(zero_copy_only=False)
             b = batch["id_b"].to_numpy(zero_copy_only=False)
@@ -482,18 +503,12 @@ def label_propagation_keyed(
                 }
             )
 
-        new_labels = (
+        labels = (
             lab.map_batches(emit_min, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
-        labels = new_labels
-        total = labels.aggregate(Sum("label", alias_name="total"))["total"]
-        if total == prev_total:                          # fixpoint: labels only decrease
-            converged = True
-            break
-        prev_total = total
     if not converged:
         logger.warning(
             "label_propagation_keyed hit the %d-iteration cap without "
