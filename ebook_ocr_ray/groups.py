@@ -1,0 +1,108 @@
+"""Warning-free group-apply for LOW-CARDINALITY int64 keys.
+
+``ds.groupby(key).map_groups(fn)`` is sort-shuffle based: when the sort
+produces more output partitions than there are distinct key values (a
+16-bucket key over a 64-block corpus guarantees it), the empty
+partitions surface as schema-less empty blocks, and every one of them
+triggers Ray's "Operator produced a RefBundle with a different schema"
+warning (ray/data/_internal/execution/streaming_executor_state.py:793)
+— the untyped block is built by the map operator when a task's input
+bundle holds no rows, so returning typed empties from the UDF cannot
+fix it.
+
+``map_groups_typed`` keeps the exact per-group semantics but removes
+the failure mode by construction:
+
+- co-location is a HASH repartition on the key (+ in-partition sort),
+  not a global sort — ``num_partitions`` is explicit and sized to the
+  key cardinality instead of the block count;
+- one sentinel row per partition (key below ``joins.SENTINEL_CEILING``,
+  placed with the same replicated hash function ``joins.sentinel_keys``
+  uses for the join operator — ray/data/_internal/arrow_ops/
+  transform_pyarrow.py:70-97) guarantees no map task ever sees an
+  empty input bundle;
+- the group-apply wrapper filters the sentinels back out and yields a
+  TYPED empty batch when a partition carried nothing else.
+
+Only int64 keys are supported (string keys hash process-dependently —
+see joins.py). High-cardinality groupbys (urls, users, hashes) should
+keep using ``groupby().map_groups``: their sort partitions are
+statistically dense and the sort path needs no cap choice.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ebook_ocr_ray.joins import SENTINEL_CEILING, _sentinel_table, sentinel_keys
+
+
+def _make_wrapped(fn, key: str, batch_format: str, empty_fn):
+    from ray.data.grouped_data import _apply_udf_to_groups
+
+    def wrapped(block):
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        # strip the per-partition sentinel rows (order-preserving filter,
+        # so the in-partition key sort — and hence the group boundary
+        # scan — stays valid)
+        t = t.filter(pa.compute.greater_equal(t[key], SENTINEL_CEILING + 1))
+        n = 0
+        if len(t):
+            for out in _apply_udf_to_groups(fn, t, [key], batch_format):
+                n += 1
+                yield out
+        if n == 0:
+            yield empty_fn()
+
+    # module-level factory (not a closure over Dataset objects) so the task
+    # payload pickles small — the same serializability rule Ray's own
+    # map_groups wrapper follows (ray/data/grouped_data.py:260-280)
+    return wrapped
+
+
+def map_groups_typed(
+    ds: ray.data.Dataset,
+    key: str,
+    fn: Callable,
+    *,
+    schema: pa.Schema,
+    empty_fn: Callable[[], "pd.DataFrame | pa.Table"],
+    num_partitions: int,
+    batch_format: str = "pandas",
+) -> ray.data.Dataset:
+    """Drop-in for ``ds.groupby(key).map_groups(fn, batch_format=...)``
+    for low-cardinality int64 keys.
+
+    ``schema``: the Arrow schema of ``ds`` rows (needed to build typed
+    sentinel rows without triggering a partial execution).
+    ``empty_fn``: zero-row batch in ``fn``'s OUTPUT format/dtypes —
+    yielded for partitions that carried only sentinels, so every block
+    this stage emits is schema-typed.
+    ``num_partitions``: size to the key cardinality (>= cardinality is
+    wasteful but safe; a fraction of it trades parallelism for block
+    size)."""
+    assert schema.field(key).type == pa.int64(), "map_groups_typed needs int64 keys"
+    from ray.data.context import ShuffleStrategy
+
+    sent = ray.data.from_arrow(
+        _sentinel_table(schema, key, sentinel_keys(num_partitions))
+    )
+    # keyed repartition is only wired for the hash-shuffle strategy, and
+    # the check reads the CHAIN's captured context at execution time, so
+    # the flip goes on ``ds.context`` (not the process-global context —
+    # that would leak into unrelated pipelines). Caveat: any shuffle
+    # upstream in the SAME chain also becomes hash-based; callers here
+    # feed pure map chains (read -> map_batches), where the strategy is
+    # irrelevant.
+    shuffled = ds.union(sent)
+    shuffled.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    shuffled = shuffled.repartition(num_partitions, keys=[key], sort=True)
+    return shuffled.map_batches(
+        _make_wrapped(fn, key, batch_format, empty_fn),
+        batch_size=None,
+        batch_format=None,
+    )

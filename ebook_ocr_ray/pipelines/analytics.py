@@ -1092,10 +1092,25 @@ def pack_sequences(
             }
         )
 
-    return (
-        docs.map_batches(chunk_counts, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pack, batch_format="pandas")
+    from ebook_ocr_ray.groups import map_groups_typed
+
+    # low-cardinality key (PACK_BUCKETS distinct values): the hash-
+    # partitioned group apply sizes the shuffle to the key space and emits
+    # only schema-typed blocks (a sort-based map_groups here produces one
+    # schema-less empty block per surplus sort partition)
+    return map_groups_typed(
+        docs.map_batches(chunk_counts, batch_format="pyarrow"),
+        "bucket",
+        pack,
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+             ("n_tokens", pa.int64()), ("bucket", pa.int64())]
+        ),
+        empty_fn=lambda: pd.DataFrame(
+            {c: pd.Series(dtype="int64")
+             for c in ("bucket", "seq_idx", "doc_id", "chunk_idx", "n_tokens")}
+        ),
+        num_partitions=PACK_BUCKETS,
     )
 
 

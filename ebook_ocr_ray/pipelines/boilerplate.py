@@ -14,6 +14,7 @@ the reference's own threshold shape.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -58,34 +59,81 @@ def _candidate_lines(batch: pa.Table) -> pa.Table:
     )
 
 
+def _site_key_col(t: pa.Table, col: str = "site") -> pa.Array:
+    """Deterministic int63 hash of the site string (md5 prefix — NEVER
+    Python's process-salted str hash) for the keyed totals join.
+    Collisions are tolerated: the post-join filter re-checks exact site
+    equality."""
+    import hashlib
+
+    return pa.array(
+        [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) for s in
+         t[col].to_pylist()],
+        pa.int64(),
+    )
+
+
 def site_boilerplate(
-    prepared: ray.data.Dataset, min_ratio: float = 0.5, min_count: int = 2
+    prepared: ray.data.Dataset,
+    min_ratio: float = 0.5,
+    min_count: int = 2,
+    num_partitions: int = 8,
 ) -> ray.data.Dataset:
     """(site, line) pairs where the line occurs in >= max(min_ratio *
-    site_doc_count, min_count) of the site's html documents."""
+    site_doc_count, min_count) of the site's html documents.
+
+    The per-site doc totals ride the same keyed aggregate as the line
+    counts (the ``_DOC_SENTINEL`` rows) and are joined BACK onto the
+    counts by a hashed-site keyed join — never a driver-side dict: sites
+    at web scale are the corpus's host table (~10^8 rows), which no
+    worker heap should hold. Only slim (site, line, n) rows shuffle."""
+    from ebook_ocr_ray.joins import safe_join
+
     counts = (
         prepared.map_batches(_candidate_lines, batch_format="pyarrow")
         .groupby(["site", "line"])
         .aggregate(Sum("n", alias_name="n"))
     ).materialize()   # consumed twice (totals + threshold) — parse once
 
-    doc_totals = counts.map_batches(
-        lambda t: t.filter(pa.compute.equal(t["line"], _DOC_SENTINEL)),
-        batch_format="pyarrow",
-    ).to_pandas()
-    totals_ref = ray.put(dict(zip(doc_totals["site"], doc_totals["n"])))
+    def lines_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.not_equal(t["line"], _DOC_SENTINEL))
+        return t.append_column("skey", _site_key_col(t))
+
+    def totals_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.equal(t["line"], _DOC_SENTINEL))
+        return pa.table(
+            {
+                "site_t": t["site"],
+                "total": t["n"],
+                "skey": _site_key_col(t),
+            }
+        )
+
+    joined = safe_join(
+        counts.map_batches(lines_side, batch_format="pyarrow"),
+        counts.map_batches(totals_side, batch_format="pyarrow"),
+        on="skey",
+        right_on="skey",
+        num_partitions=num_partitions,
+        left_schema=pa.schema(
+            [("site", pa.string()), ("line", pa.string()), ("n", pa.int64()),
+             ("skey", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("site_t", pa.string()), ("total", pa.int64()), ("skey", pa.int64())]
+        ),
+    )
 
     def threshold(batch: pa.Table) -> pa.Table:
-        totals = ray.get(totals_ref)
-        keep = []
-        for site, line, n in zip(
-            batch["site"].to_pylist(), batch["line"].to_pylist(), batch["n"].to_pylist()
-        ):
-            bar = max(min_ratio * totals.get(site, 0), min_count)
-            keep.append(line != _DOC_SENTINEL and n >= bar)
-        return batch.filter(pa.array(keep, pa.bool_())).drop_columns(["n"])
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        total = batch["total"].to_numpy(zero_copy_only=False)
+        same_site = pa.compute.equal(batch["site"], batch["site_t"]).to_numpy(
+            zero_copy_only=False
+        )
+        bar = np.maximum(min_ratio * total, min_count)
+        return batch.filter(pa.array(same_site & (n >= bar))).select(["site", "line"])
 
-    return counts.map_batches(threshold, batch_format="pyarrow")
+    return joined.map_batches(threshold, batch_format="pyarrow")
 
 
 def site_boilerplate_pages(sf_dir: str) -> ray.data.Dataset:

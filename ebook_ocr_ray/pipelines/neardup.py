@@ -212,8 +212,19 @@ def _make_collect_records_agg(cols: list[str], alias: str = "recs"):
             ]
             return np.column_stack(arrs).astype("<u8").tobytes()
 
-        def combine(self, a: bytes, b: bytes) -> bytes:
-            return a + b
+        def combine(self, a, b):
+            # bytearray promotion makes the reduce-side left fold over many
+            # partials amortized O(total) instead of O(total^2) in blob
+            # bytes (a degenerate mega-bucket can span hundreds of
+            # partials); Arrow binary columns accept bytearray, so partial
+            # accumulators still store in blocks between stages
+            if isinstance(a, bytearray):
+                a += b
+                return a
+            return bytearray(a) + b
+
+        def finalize(self, acc):
+            return bytes(acc)
 
     return CollectRecords()
 
@@ -266,7 +277,10 @@ def candidate_pair_dataset(
             batch["band"].to_pylist(), batch["key"].to_pylist(),
             batch["recs"].to_pylist(),
         ):
-            ids = np.sort(np.frombuffer(rec, dtype="<u8").astype(np.int64))
+            # np.unique (not sort): a doc_id duplicated in the input table
+            # would otherwise appear twice in the blob and emit self-pairs
+            # (id_a == id_b) into the edge set
+            ids = np.unique(np.frombuffer(rec, dtype="<u8").astype(np.int64))
             if len(ids) < 2:
                 continue
             head = ids[:cap]

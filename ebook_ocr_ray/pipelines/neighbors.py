@@ -46,6 +46,29 @@ def _final_topk(k: int):
     return fn
 
 
+_PARTIAL_SCHEMA = pa.schema(
+    [("qid", pa.int64()), ("nid", pa.int64()), ("sim", pa.float64())]
+)
+
+
+def _reduce_topk(partials: "ray.data.Dataset", n_queries: int, k: int) -> "ray.data.Dataset":
+    """Per-query reduce over the partial top-k rows. The key space is tiny
+    (one group per query), so this is a hash-partitioned typed group
+    apply, not a sort shuffle (see groups.map_groups_typed)."""
+    from ebook_ocr_ray.groups import map_groups_typed
+
+    return map_groups_typed(
+        partials,
+        "qid",
+        _final_topk(k),
+        schema=_PARTIAL_SCHEMA,
+        empty_fn=lambda: pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("qid", "nid", "rank")}
+        ),
+        num_partitions=max(1, min(n_queries, 8)),
+    )
+
+
 def _load_training_sample(
     sf_dir: str, cap: int = 4096
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -138,7 +161,7 @@ def knn_brute(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.data.Dataset:
         batch_size=2048,
         concurrency=(1, 8),
     )
-    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
+    return _reduce_topk(partials, n_queries, k)
 
 
 def knn_ivf(
@@ -212,23 +235,86 @@ def knn_ivf(
         batch_size=2048,
         concurrency=(1, 8),
     )
-    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
+    return _reduce_topk(partials, n_queries, k)
 
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.35) -> ray.data.Dataset:
+# Ceiling on the all-pairs region within one label block — the same
+# bounded-recall contract as neardup.MAX_BUCKET: a hot label (at web
+# scale: "en", or an empty-string label) otherwise goes O(n^2) in both
+# compute and pair volume. Beyond the cap the block degrades to a STAR:
+# each overflow vector is compared against the block's min-id vector
+# only (the pair still emits only if it clears the cosine threshold).
+# Tail-tail pairs inside an over-cap label are NOT generated; the event
+# is logged loudly, never silent. The SQL oracle assumes no label
+# overflows — true by construction at oracle scale (label blocks << cap).
+MAX_LABEL_BLOCK = 4096
+
+
+def embedding_dup_pairs(
+    sf_dir: str, threshold: float = 0.35, max_block: int | None = None
+) -> ray.data.Dataset:
     """(id_a, id_b) pairs with cosine >= threshold, blocked by label: the
     groupby key acts as the coarse quantizer, so the all-pairs matmul runs
-    per block instead of across the corpus (embedding-space near-dup)."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    per block instead of across the corpus (embedding-space near-dup).
+    Per-block work is capped at ``max_block`` (default MAX_LABEL_BLOCK)
+    with a logged star fallback, so one hot label cannot go quadratic."""
+    import logging
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group.vec_id.to_numpy()
+    logger = logging.getLogger(__name__)
+    cap = MAX_LABEL_BLOCK if max_block is None else max_block
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+
+    def one_label(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        ids = g.vec_id.to_numpy()
         order = np.argsort(ids, kind="mergesort")
         ids = ids[order]
-        mat = _normalize(np.asarray(group.embedding.to_list(), dtype=np.float64)[order])
-        sims = mat @ mat.T
-        ai, bi = np.triu_indices(len(ids), 1)
+        mat = _normalize(np.asarray(g.embedding.to_list(), dtype=np.float64)[order])
+        head_ids, head = ids[:cap], mat[:cap]
+        sims = head @ head.T                               # (<=cap, <=cap)
+        ai, bi = np.triu_indices(len(head_ids), 1)
         keep = sims[ai, bi] >= threshold
-        return pd.DataFrame({"id_a": ids[ai[keep]], "id_b": ids[bi[keep]]})
+        out_a = [head_ids[ai[keep]]]
+        out_b = [head_ids[bi[keep]]]
+        if len(ids) > cap:
+            logger.warning(
+                "embedding label block over cap: label=%r size=%d > %d — "
+                "star fallback — bounded recall: tail-tail pairs in this "
+                "label are NOT generated (see MAX_LABEL_BLOCK)",
+                g.label.iloc[0], len(ids), cap,
+            )
+            tail_ids, tail = ids[cap:], mat[cap:]
+            star = tail @ mat[0]                           # hub = min id
+            k = star >= threshold
+            out_a.append(np.full(int(k.sum()), ids[0], dtype=ids.dtype))
+            out_b.append(tail_ids[k])
+        return np.concatenate(out_a), np.concatenate(out_b)
 
-    return emb.groupby("label").map_groups(pairs, batch_format="pandas")
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        a, b = one_label(group)
+        return pd.DataFrame(
+            {"id_a": a.astype(np.int64), "id_b": b.astype(np.int64)}
+        )
+
+    def add_lkey(t: pa.Table) -> pa.Table:
+        # the typed hash-partitioned group apply needs an int64 key; the
+        # table's label is int32, so this is a lossless cast, not a hash
+        t = t.select(["vec_id", "label", "embedding"])
+        return t.append_column("lkey", t["label"].cast(pa.int64()))
+
+    from ebook_ocr_ray.groups import map_groups_typed
+
+    return map_groups_typed(
+        emb.map_batches(add_lkey, batch_format="pyarrow"),
+        "lkey",
+        pairs,
+        schema=pa.schema(
+            [("vec_id", pa.int64()), ("label", pa.int32()),
+             ("embedding", pa.list_(pa.float32())), ("lkey", pa.int64())]
+        ),
+        empty_fn=lambda: pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+        ),
+        num_partitions=8,
+    )

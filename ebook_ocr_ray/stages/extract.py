@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 from urllib.parse import urlsplit
 
 import pyarrow as pa
@@ -67,6 +68,11 @@ def prepare_batch(batch: pa.Table, num_partitions: int = DEFAULT_NUM_PARTITIONS)
     )
 
 
+# compiled once at import: this runs in the synthesis/split hot path on
+# every payload byte-string
+_ARTICLE_RE = re.compile(rb"<article>.*?</article>", re.DOTALL)
+
+
 def split_multidoc_batch(batch: pa.Table) -> pa.Table:
     """1->N flat map: a payload carrying several <article> elements splits
     into one pages row per article (url gains a #aK fragment; other
@@ -77,10 +83,6 @@ def split_multidoc_batch(batch: pa.Table) -> pa.Table:
     (src/preprocessing/split_spread.py:174-216): one physical capture ->
     N logical documents, with stable derived keys instead of renumbering
     (SURVEY.md M3/M4)."""
-    import re as _re
-
-    article_re = _re.compile(rb"<article>.*?</article>", _re.DOTALL)
-
     urls, tss, payloads, texts, langs = [], [], [], [], []
     for url, ts, payload, text, lang in zip(
         batch["url"].to_pylist(),
@@ -89,7 +91,7 @@ def split_multidoc_batch(batch: pa.Table) -> pa.Table:
         batch["text"].to_pylist(),
         batch["lang"].to_pylist(),
     ):
-        matches = list(article_re.finditer(payload or b""))
+        matches = list(_ARTICLE_RE.finditer(payload or b""))
         if len(matches) < 2:
             urls.append(url)
             tss.append(ts)

@@ -138,13 +138,15 @@ def run_checkpointed_extraction(
                 tmp_dir, columns=["part_id", "payload_bytes", "extracted_text"]
             )
             stats_df = lineage(written, key="part_id").to_pandas()
-            # the hive partition column reads back as STRING — without the
-            # cast every int `part in stats.index` probe below misses and
-            # the manifest records doc_count=0 for every partition
-            stats_df["part_id"] = stats_df["part_id"].astype("int64")
         else:
             stats_df = pd.DataFrame()
         if "part_id" in stats_df.columns:
+            # the hive partition column reads back as STRING — without the
+            # cast every int `part in stats.index` probe below misses and
+            # the manifest records doc_count=0 for every partition (the
+            # cast lives inside the column guard: zero-row fragments can
+            # yield a frame with no part_id column at all)
+            stats_df["part_id"] = stats_df["part_id"].astype("int64")
             stats = stats_df.set_index("part_id")
         else:
             stats = pd.DataFrame(

@@ -102,6 +102,33 @@ class TestNeighbors:
 
         assert_matches_oracle(embedding_dup_pairs(SF), con, e.oracle_sql()["embedding_dup_pairs"])
 
+    def test_embedding_dup_pairs_hot_label_caps_to_star(self, ray_session, tmp_path):
+        """A label block bigger than the cap must complete with the star
+        fallback (bounded pair volume) instead of going all-pairs: with n
+        identical vectors and cap c the pair count is C(c,2) + (n - c),
+        not C(n,2)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ebook_ocr_ray.pipelines.neighbors import embedding_dup_pairs
+
+        n, cap = 50, 8
+        vec = [1.0, 0.0, 0.0]
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([vec] * n, pa.list_(pa.float32())),
+                "label": pa.array([7] * n, pa.int32()),
+            }
+        )
+        pq.write_table(t, tmp_path / "embeddings.parquet")
+        df = embedding_dup_pairs(str(tmp_path), max_block=cap).to_pandas()
+        assert len(df) == cap * (cap - 1) // 2 + (n - cap)
+        # star edges attach every tail id to the block's min id
+        tail = df[df.id_b >= cap]
+        assert (tail.id_a == 0).all()
+        assert (df.id_a < df.id_b).all()
+
 
 class TestNearDup:
     def test_minhash_finds_planted_near_dups(self, ray_session, tmp_path):
