@@ -76,14 +76,26 @@ def run_bench() -> dict:
 
     # headline: full extraction pipeline (pages synth -> dedup -> ensemble
     # extraction -> lineage), consumed by the lineage aggregate so the whole
-    # stream executes without driver materialization
+    # stream executes without driver materialization. Spool mode: the
+    # prepared corpus is synthesized ONCE into a scratch parquet; dedup
+    # pass A is a column-pruned read of it (see extraction_pipeline).
     factor = int(os.environ.get("GRAFT_BENCH_FACTOR", "8"))
 
     def headline():
-        lin = lineage(
-            extraction_pipeline(SF_DIR, with_duplicates=True, dedup=True, repeat=factor)
-        ).to_pandas()
-        return int(lin.doc_count.sum())
+        import shutil
+        import tempfile
+
+        spool = tempfile.mkdtemp(prefix="extract_spool_", dir="/tmp")
+        try:
+            lin = lineage(
+                extraction_pipeline(
+                    SF_DIR, with_duplicates=True, dedup=True, repeat=factor,
+                    spool_dir=spool,
+                )
+            ).to_pandas()
+            return int(lin.doc_count.sum())
+        finally:
+            shutil.rmtree(spool, ignore_errors=True)
 
     n_docs = timed("extract_e2e", headline)
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):

@@ -154,47 +154,59 @@ def _make_survivor_agg():
     return SurvivorAgg()
 
 
+def _sha_partial(batch: pa.Table) -> pa.Table:
+    """Vectorized dedup partial: one ~60-byte row per distinct content_sha
+    in the batch — (sha, n, batch-min survivor key, rows at that key).
+    Extra columns in ``batch`` are ignored."""
+    ts_us = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    keys = _survivor_key(ts_us, batch["url"].to_pylist())
+    df = pd.DataFrame({"content_sha": batch["content_sha"].to_pylist(), "key": keys})
+    agg = (
+        df.groupby("content_sha", sort=False)
+        .agg(n=("key", "size"), min_key=("key", "min"))
+        .reset_index()
+    )
+    # rows in this batch carrying the batch-local min key — combined
+    # by the survivor aggregate into the GLOBAL-min tie count, which
+    # detects BYTE-IDENTICAL records (same url+ts+payload)
+    at_min = (
+        df.merge(agg[["content_sha", "min_key"]], on="content_sha")
+        .query("key == min_key")
+        .groupby("content_sha", sort=False)
+        .size()
+        .rename("n_min")
+        .reset_index()
+    )
+    agg = agg.merge(at_min, on="content_sha")
+    # strip the pandas schema metadata: Ray's concat dedups block schemas
+    # by hashing them, and the metadata dict makes that fail (warning per
+    # reduce task)
+    return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+
 def dedup_survivor_state(slim: ray.data.Dataset) -> tuple[object, object]:
     """Pass A of exact dedup: the slim survivor aggregate, fully keyed.
 
-    Per batch a vectorized partial emits one ~60-byte row per distinct
-    content_sha: (sha, n, batch-min survivor key, rows at that key). The
-    partials flow through ONE keyed aggregate — Sum(n) plus the custom
-    survivor aggregate — so no per-unique-hash state ever reaches the
-    driver. Groups are then filtered to actual duplicates (n > 1) BEFORE
-    collection; only the multi-crawl shas (a small fraction of any real
-    corpus) are broadcast via ray.put. At extreme dup fractions use
-    ``dedup_exact_bloom`` — fixed-size Bloom membership broadcast plus a
-    keyed first-wins pass over the hit slice; same aggregate shape.
+    Per batch ``_sha_partial`` emits slim rows; the partials flow through
+    ONE keyed aggregate — Sum(n) plus the custom survivor aggregate — so
+    no per-unique-hash state ever reaches the driver. Groups are then
+    filtered to actual duplicates (n > 1) BEFORE collection; only the
+    multi-crawl shas (a small fraction of any real corpus) are broadcast
+    via ray.put. At extreme dup fractions use ``dedup_exact_bloom`` —
+    fixed-size Bloom membership broadcast plus a keyed first-wins pass
+    over the hit slice; same aggregate shape.
 
     Returns (survivors_ref, ties_ref): ObjectRefs to the {sha -> min
     survivor key} dict and the byte-identical tie-group sha set.
     """
+    return survivor_state_from_partials(
+        slim.map_batches(_sha_partial, batch_format="pyarrow")
+    )
 
-    def sha_partial(batch: pa.Table) -> pa.Table:
-        ts_us = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        keys = _survivor_key(ts_us, batch["url"].to_pylist())
-        df = pd.DataFrame({"content_sha": batch["content_sha"].to_pylist(), "key": keys})
-        agg = (
-            df.groupby("content_sha", sort=False)
-            .agg(n=("key", "size"), min_key=("key", "min"))
-            .reset_index()
-        )
-        # rows in this batch carrying the batch-local min key — combined
-        # by the survivor aggregate into the GLOBAL-min tie count, which
-        # detects BYTE-IDENTICAL records (same url+ts+payload)
-        at_min = (
-            df.merge(agg[["content_sha", "min_key"]], on="content_sha")
-            .query("key == min_key")
-            .groupby("content_sha", sort=False)
-            .size()
-            .rename("n_min")
-            .reset_index()
-        )
-        agg = agg.merge(at_min, on="content_sha")
-        return pa.Table.from_pandas(agg, preserve_index=False)
 
-    partials = slim.map_batches(sha_partial, batch_format="pyarrow")
+def survivor_state_from_partials(partials: ray.data.Dataset) -> tuple[object, object]:
+    """Reduce side of pass A: keyed aggregate over ``_sha_partial`` rows,
+    then broadcast of the duplicate groups only."""
     agg = partials.groupby("content_sha").aggregate(
         Sum("n", alias_name="n"), _make_survivor_agg()
     )
@@ -652,18 +664,33 @@ def extraction_pipeline(
     cfg: ExtractionConfig | None = None,
     repeat: int = 1,
     kind: str | None = None,
+    spool_dir: str | None = None,
 ) -> ray.data.Dataset:
     """documents -> pages -> prepare -> (dedup) -> extract.
 
     Dedup needs two passes over the prepared pages (slim survivor
-    aggregate, then the filtered main pass). Each pass is its OWN lazy
-    dataset from the re-readable source — nothing is materialized, so the
-    payload-bearing corpus never sits in the object store whole. Pass A
-    reads/synthesizes, hashes, and aggregates slim (sha, ts, url) rows;
-    pass B re-reads, filters to survivors and extracts. Input IO happens
-    twice; extraction happens once, on survivors only — the right trade
-    at 100 TB where the ensemble extraction dominates IO by orders of
-    magnitude.
+    aggregate, then the filtered main pass). Two modes:
+
+    - ``spool_dir=None`` (re-read): each pass is its OWN lazy dataset
+      from the re-readable source — nothing is materialized, the
+      payload-bearing corpus never sits in the object store whole, and
+      input IO simply happens twice. Right when the input is cheap
+      columnar storage and scratch space is scarce.
+    - ``spool_dir=<scratch path>`` (spool): synthesis + prepare runs
+      ONCE and the prepared corpus streams into a scratch parquet (the
+      checkpoint-wave layout's economy — work persisted, not recomputed;
+      reference analog src/layout/detector.py:168-205). Pass A is then a
+      COLUMN-PRUNED read of just (content_sha, warc_ts, url) — on a
+      columnar layout that touches a few % of the bytes — and pass B
+      reads the full rows. Right when producing the prepared rows is
+      expensive (WARC decompression, payload sniffing/hashing over
+      remote IO): at 100 TB the spool costs one full local-scratch
+      write but saves an entire decode pass. The caller owns the
+      scratch directory's lifetime (the returned Dataset reads from it
+      lazily — delete only after consumption).
+
+    Either way extraction happens once, on survivors only — the part
+    that dominates at any scale.
     """
 
     def prepared_factory() -> ray.data.Dataset:
@@ -672,6 +699,14 @@ def extraction_pipeline(
                 sf_dir, with_duplicates=with_duplicates, repeat=repeat, kind=kind
             )
         )
+
+    if dedup and spool_dir is not None:
+        prepared_factory().write_parquet(spool_dir)
+        slim = ray.data.read_parquet(
+            spool_dir, columns=["content_sha", "warc_ts", "url"]
+        )
+        full = ray.data.read_parquet(spool_dir)
+        return extract(dedup_exact(full, slim=slim), cfg)
 
     prepared = prepared_factory()
     if dedup:

@@ -344,3 +344,19 @@ class TestBloomDedup:
         assert bf.might_contain_hex(items).all()          # no false negatives
         fp = bf.might_contain_hex(others).mean()
         assert fp < 0.05                                  # fp rate in the ballpark
+
+
+class TestSpoolMode:
+    def test_spool_matches_reread(self, extracted, tmp_path):
+        """spool_dir mode (synthesize once -> scratch parquet -> column-
+        pruned pass A) must produce exactly the re-read mode's corpus."""
+        from ebook_ocr_ray.pipelines.extraction import extraction_pipeline
+
+        spooled = extraction_pipeline(
+            SF, with_duplicates=True, dedup=True, spool_dir=str(tmp_path / "spool")
+        ).to_pandas()
+        a = extracted.sort_values("url").reset_index(drop=True)
+        b = spooled.sort_values("url").reset_index(drop=True)
+        assert list(a.url) == list(b.url)
+        assert list(a.extracted_text) == list(b.extracted_text)
+        assert list(a.content_sha) == list(b.content_sha)
