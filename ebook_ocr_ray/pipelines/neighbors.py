@@ -164,21 +164,14 @@ def knn_brute(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.data.Dataset:
     return _reduce_topk(partials, n_queries, k)
 
 
-def knn_ivf(
-    sf_dir: str,
-    n_queries: int = 10,
-    k: int = 5,
-    n_cells: int = 16,
-    nprobe: int = 4,
-    lloyd_iters: int = 2,
-) -> ray.data.Dataset:
-    """IVF approximate top-k. Centroid training is deterministic and
-    BOUNDED: a stride-sampled training set (<= ~4096 vectors regardless of
-    table size) seeds the first ``n_cells`` vectors and refines with
-    ``lloyd_iters`` Lloyd steps driver-side (centroids are tiny);
-    assignment + probing are distributed. Cells are the shuffle/partition
-    key at scale."""
-    ids, emb = _load_training_sample(sf_dir)
+def _train_centroids(
+    sf_dir: str, n_cells: int, lloyd_iters: int
+) -> np.ndarray:
+    """Deterministic, BOUNDED centroid fit: a stride-sampled training set
+    (<= ~4096 vectors regardless of table size) seeds the first
+    ``n_cells`` vectors and refines with ``lloyd_iters`` Lloyd steps
+    driver-side (centroids are tiny)."""
+    _, emb = _load_training_sample(sf_dir)
     u = _normalize(emb)
     centroids = u[:n_cells].copy()
     for _ in range(lloyd_iters):
@@ -188,7 +181,97 @@ def knn_ivf(
             if len(members):
                 centroids[c] = members.mean(axis=0)
         centroids = _normalize(centroids)
+    return centroids
+
+
+def build_ivf_index(
+    sf_dir: str,
+    index_dir: str,
+    n_cells: int = 16,
+    lloyd_iters: int = 2,
+) -> np.ndarray:
+    """Build (or reuse) the cell-partitioned IVF layout: a distributed
+    assignment pass tags every vector with its nearest-centroid cell and
+    the table streams into parquet hive-partitioned by ``cell`` — one
+    directory per inverted list, so probing can SKIP (n_cells - nprobe) /
+    n_cells of the IO at the read, not just the compute. Centroids are
+    persisted next to the partitions; an existing complete index is
+    reused (the reference's pickle-cache economy — work avoided, not
+    recomputed; src/layout/detector.py:168-205). Returns the centroids.
+
+    ``cell_id`` is duplicated as a data column because the hive write
+    drops partition columns from the files, and probing needs the cell
+    per row (each query masks to its OWN nprobe cells inside the shared
+    union read)."""
+    import logging
+    import os
+
+    logger = logging.getLogger(__name__)
+    cent_path = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(cent_path):
+        logger.info("ivf index cache hit: %s", index_dir)
+        return np.load(cent_path)
+
+    centroids = _train_centroids(sf_dir, n_cells, lloyd_iters)
     cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        mat = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        cells = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
+        return (
+            batch.select(["vec_id", "embedding"])
+            .append_column("cell_id", pa.array(cells, pa.int32()))
+            .append_column("cell", pa.array(cells, pa.int32()))
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    np.save(cent_path, centroids)  # written LAST: marks the index complete
+    return centroids
+
+
+def default_ivf_index_dir(sf_dir: str, n_cells: int, lloyd_iters: int) -> str:
+    """Deterministic scratch location for the IVF layout of one table:
+    build is deterministic, so a same-key index can always be reused.
+    The engine version is part of the key — a semantics change invalidates
+    the cache exactly like the checkpoint manifest's version hash."""
+    import hashlib
+
+    from ebook_ocr_ray.config import ENGINE_VERSION
+
+    key = hashlib.md5(
+        f"{sf_dir}|{n_cells}|{lloyd_iters}|{ENGINE_VERSION}".encode()
+    ).hexdigest()[:16]
+    return f"/tmp/ivf_index_{key}"
+
+
+def knn_ivf(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 2,
+    index_dir: str | None = None,
+) -> ray.data.Dataset:
+    """IVF approximate top-k with TRUE partition pruning: vectors live in
+    a cell-partitioned parquet layout (``build_ivf_index``), and probing
+    reads ONLY the union of the queries' nprobe cells — the other
+    inverted lists are never opened. Rows-read vs table size is logged
+    per run. Training, assignment and probing are all deterministic, so
+    results are identical to the former scan-everything variant."""
+    import glob
+    import logging
+    import os
+
+    logger = logging.getLogger(__name__)
+    index_dir = index_dir or default_ivf_index_dir(sf_dir, n_cells, lloyd_iters)
+    centroids = build_ivf_index(sf_dir, index_dir, n_cells, lloyd_iters)
 
     qt = pd.read_parquet(
         f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "<", n_queries)]
@@ -198,16 +281,37 @@ def knn_ivf(
     q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
     probe_ref = ray.put((q_ids, q_mat, q_cells))
 
+    # partition pruning at the read: only the probed cells' directories
+    # are listed (a cell no vector landed in has no directory)
+    probed = sorted({int(c) for row in q_cells for c in row})
+    cell_dirs = [
+        d for c in probed for d in [os.path.join(index_dir, f"cell={c}")]
+        if os.path.isdir(d)
+    ]
+
+    import pyarrow.parquet as pq
+
+    cell_files = sorted(
+        f for d in cell_dirs for f in glob.glob(os.path.join(d, "*.parquet"))
+    )
+    rows_total = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    rows_read = sum(pq.ParquetFile(f).metadata.num_rows for f in cell_files)
+    logger.info(
+        "ivf partition pruning: reading %d of %d rows (%.1f%%) from %d of %d "
+        "cells (nprobe=%d, union over %d queries)",
+        rows_read, rows_total, 100.0 * rows_read / max(1, rows_total),
+        len(cell_dirs), n_cells, nprobe, len(q_ids),
+    )
+
     class CellTopK:
-        def __init__(self, cent_ref, probe_ref, k):
-            self.centroids = ray.get(cent_ref)
+        def __init__(self, probe_ref, k):
             self.q_ids, self.q_mat, self.q_cells = ray.get(probe_ref)
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["vec_id"].to_numpy(zero_copy_only=False)
             mat = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
-            cells = np.argmax(mat @ self.centroids.T, axis=1)
+            cells = batch["cell_id"].to_numpy(zero_copy_only=False)
             out_q, out_n, out_s = [], [], []
             for qi, qid in enumerate(self.q_ids):
                 mask = np.isin(cells, self.q_cells[qi]) & (ids != qid)
@@ -227,14 +331,19 @@ def knn_ivf(
                 }
             )
 
-    emb_ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    partials = emb_ds.map_batches(
-        CellTopK,
-        fn_constructor_args=(cent_ref, probe_ref, k),
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=(1, 8),
-    )
+    if not cell_files:  # no probed cell has any vector: empty result
+        partials = ray.data.from_arrow(_PARTIAL_SCHEMA.empty_table())
+    else:
+        emb_ds = ray.data.read_parquet(
+            cell_files, columns=["vec_id", "embedding", "cell_id"]
+        )
+        partials = emb_ds.map_batches(
+            CellTopK,
+            fn_constructor_args=(probe_ref, k),
+            batch_format="pyarrow",
+            batch_size=2048,
+            concurrency=(1, 8),
+        )
     return _reduce_topk(partials, n_queries, k)
 
 

@@ -96,6 +96,30 @@ class TestNeighbors:
             overlap += len(b & v) / len(b)
         assert overlap / brute.qid.nunique() >= 0.6
 
+    def test_knn_ivf_prunes_io(self, ray_session, tmp_path, caplog):
+        """The cell-partitioned index must make probing read a strict
+        subset of the table (true partition pruning, not per-batch
+        masking): with one query and nprobe=1, at most 1/n_cells-ish of
+        the rows may be opened."""
+        import logging
+        import re
+
+        from ebook_ocr_ray.pipelines.neighbors import knn_ivf
+
+        with caplog.at_level(logging.INFO, logger="ebook_ocr_ray.pipelines.neighbors"):
+            out = knn_ivf(
+                SF, n_queries=1, nprobe=1, index_dir=str(tmp_path / "ivf")
+            ).to_pandas()
+        assert len(out) == 5
+        m = [
+            re.search(r"reading (\d+) of (\d+) rows", r.message)
+            for r in caplog.records
+            if "partition pruning" in r.message
+        ]
+        assert m and m[0]
+        rows_read, rows_total = int(m[0].group(1)), int(m[0].group(2))
+        assert 0 < rows_read < rows_total / 2
+
     def test_embedding_dup_pairs(self, ray_session, con):
         from ebook_ocr_ray.pipelines.neighbors import embedding_dup_pairs
         import __ray_entry__ as e
