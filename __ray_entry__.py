@@ -486,6 +486,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "train_val_split": analytics.train_val_split,
         "decontaminate": lambda sf: _sorted_frame(decontam.decontaminate(sf), ["doc_id"]),
+        "decontaminate_join": lambda sf: _sorted_frame(
+            decontam.decontaminate_join(sf), ["doc_id"]
+        ),
         "token_stats": analytics.token_table,
         "doc_fingerprint": analytics.fingerprint_table,
         "dedup_exact_docs": analytics.dedup_exact_docs,
@@ -839,6 +842,9 @@ def _decontaminate_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "decontaminate": _decontaminate_sql(),
+        # the keyed semi-join fallback is output-identical by contract,
+        # so it shares the broadcast path's closed-form oracle
+        "decontaminate_join": _decontaminate_sql(),
         "minhash_clusters": _minhash_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "text_profile": _text_profile_sql(),

@@ -15,15 +15,19 @@ Scale posture (100 TB corpus): eval suites are megabytes while the
 corpus is not, so the benchmark n-gram set is the canonical broadcast
 small side — built once, ``ray.put`` once, membership-tested per
 streamed Arrow batch. The corpus side never shuffles and never
-materializes; output is one slim row per document. If a benchmark set
-ever outgrew a worker's heap, the same shape as the near-dup hot-bucket
-filter applies (flip the broadcast to a keyed semi-join on the shingle
-hash) — not implemented because no real eval suite is that large.
+materializes; output is one slim row per document. For a benchmark set
+that outgrows a worker's heap, ``decontaminate_ds_join`` flips the
+broadcast to a keyed semi-join on the shingle hash (the near-dup
+hot-bucket filter's shape, with the same post-join exact re-check), at
+the price of shuffling the corpus's shingle rows.
 """
 from __future__ import annotations
 
+import hashlib
 from typing import Iterable
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
@@ -84,6 +88,133 @@ def decontaminate_ds(
     return docs.map_batches(flag, batch_format="pyarrow")
 
 
+def _shingle_key64(shingles: list[str]) -> np.ndarray:
+    """Deterministic 63-bit int join key for shingle strings (md5 prefix
+    masked positive — process-stable, sentinel-safe). Collisions are
+    handled by the post-join exact re-check, not assumed away."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+            & ((1 << 63) - 1)
+            for s in shingles
+        ],
+        dtype=np.int64,
+    )
+
+
+def decontaminate_ds_join(
+    docs: ray.data.Dataset,
+    bench: ray.data.Dataset,
+    n: int = DECONTAM_NGRAM,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """The keyed fallback for eval sets BEYOND broadcast size: instead of
+    shipping the benchmark n-gram set to every task, both sides explode
+    to slim (key, shingle) rows and meet in a hash semi-join.
+
+    corpus (doc_id, text)  -> per-doc DISTINCT shingle rows
+    bench  (text)          -> globally DISTINCT shingle rows (keyed agg)
+    inner safe_join on the 63-bit shingle key, post-join exact string
+    re-check (hash collisions surface as inequality, never as a false
+    hit), keyed per-doc count, then a left_outer join back onto the doc
+    list so uncontaminated documents keep their (0, 0) row.
+
+    Output is identical to ``decontaminate_ds`` — equality is pinned by
+    a test. The trade: the corpus's shingle rows shuffle (slim — one
+    int64 + one short string each), which is exactly what paying for a
+    too-big broadcast side buys back."""
+    from ray.data.aggregate import Count, Sum
+
+    from ebook_ocr_ray.joins import safe_join
+
+    def corpus_rows(batch: pa.Table) -> pa.Table:
+        ids, keys, strs = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sh = set(word_shingles(t or "", n))        # per-doc DISTINCT
+            if not sh:
+                continue
+            sh = sorted(sh)
+            ids.extend([d] * len(sh))
+            strs.extend(sh)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "gkey": pa.array(_shingle_key64(strs), pa.int64()),
+                "shingle": pa.array(strs, pa.string()),
+            }
+        )
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        out = set()
+        for t in batch["text"].to_pylist():
+            out.update(word_shingles(t or "", n))
+        strs = sorted(out)
+        return pa.table(
+            {
+                "gkey": pa.array(_shingle_key64(strs), pa.int64()),
+                "shingle_b": pa.array(strs, pa.string()),
+            }
+        )
+
+    # global distinct on the bench side: keyed aggregate, no driver state
+    bench_distinct = (
+        bench.map_batches(bench_rows, batch_format="pyarrow")
+        .groupby(["gkey", "shingle_b"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(lambda t: t.select(["gkey", "shingle_b"]), batch_format="pyarrow")
+    )
+
+    joined = safe_join(
+        docs.map_batches(corpus_rows, batch_format="pyarrow"),
+        bench_distinct,
+        on="gkey",
+        right_on="gkey",
+        num_partitions=num_partitions,
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("gkey", pa.int64()), ("shingle", pa.string())]
+        ),
+        right_schema=pa.schema([("gkey", pa.int64()), ("shingle_b", pa.string())]),
+    )
+
+    def hit_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.equal(t["shingle"], t["shingle_b"]))  # exact
+        df = pd.DataFrame({"doc_id": t["doc_id"].to_pylist()})
+        agg = df.groupby("doc_id", sort=False).size().rename("h").reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    counts = (
+        joined.map_batches(hit_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("h", alias_name="n_hits"))
+    )
+
+    doc_ids = docs.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+    out = safe_join(
+        doc_ids,
+        counts,
+        on="doc_id",
+        right_on="doc_id",
+        num_partitions=num_partitions,
+        join_type="left_outer",
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        h = pa.compute.fill_null(t["n_hits"].combine_chunks(), 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_hits": h.cast(pa.int64()),
+                "contaminated": pa.compute.cast(pa.compute.greater(h, 0), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def decontaminate(
     sf_dir: str, n: int = DECONTAM_NGRAM, bench_mod: int = BENCH_MOD
 ) -> ray.data.Dataset:
@@ -109,3 +240,22 @@ def decontaminate(
     bench_ref = ray.put(bench_ngram_set(bench_texts, n))
     docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
     return decontaminate_ds(docs, bench_ref, n)
+
+
+def decontaminate_join(
+    sf_dir: str, n: int = DECONTAM_NGRAM, bench_mod: int = BENCH_MOD
+) -> ray.data.Dataset:
+    """``decontaminate`` through the keyed semi-join fallback — the path a
+    beyond-broadcast eval suite takes. Same benchmark slice, same output,
+    no driver-side n-gram set at any point."""
+    path = f"{sf_dir}/documents.parquet"
+
+    def keep_bench(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % bench_mod == 0)).select(["text"])
+
+    bench = ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        keep_bench, batch_format="pyarrow"
+    )
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    return decontaminate_ds_join(docs, bench, n)

@@ -73,3 +73,56 @@ class TestDecontaminate:
         assert (members.contaminated == 1).all()
         # contamination must not be universal, or the flag is useless
         assert df.contaminated.sum() < len(df)
+
+
+class TestDecontaminateJoinFallback:
+    def test_join_equals_broadcast_on_corpus(self, ray_session):
+        """The keyed semi-join fallback (eval set beyond broadcast size)
+        must produce exactly the broadcast path's flags over the real
+        synthetic corpus, zero-rows included."""
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.decontam import (
+            BENCH_MOD,
+            bench_ngram_set,
+            decontaminate_ds,
+            decontaminate_ds_join,
+        )
+
+        path = f"{SF_SMOKE}/documents.parquet"
+
+        def keep_bench(t):
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % BENCH_MOD == 0)).select(["text"])
+
+        docs = rd.read_parquet(path, columns=["doc_id", "text"])
+        bench_ds = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+            keep_bench, batch_format="pyarrow"
+        )
+        bench_texts = [r["text"] for r in bench_ds.take_all()]
+        ref = ray_session.put(bench_ngram_set(bench_texts))
+
+        a = (
+            decontaminate_ds(rd.read_parquet(path, columns=["doc_id", "text"]), ref)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            decontaminate_ds_join(docs, bench_ds)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert a.equals(b)
+        assert a.contaminated.sum() > 0          # the check is not vacuous
+
+    def test_join_handles_empty_bench(self, ray_session):
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.decontam import decontaminate_ds_join
+
+        docs = rd.from_arrow(
+            pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["some words here", ""], pa.string())})
+        )
+        bench = rd.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+        out = decontaminate_ds_join(docs, bench).to_pandas().sort_values("doc_id")
+        assert list(out.n_hits) == [0, 0]
+        assert list(out.contaminated) == [0, 0]
