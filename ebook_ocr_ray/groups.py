@@ -106,3 +106,77 @@ def map_groups_typed(
         batch_size=None,
         batch_format=None,
     )
+
+
+def typed_keyed_sum(
+    partials: ray.data.Dataset,
+    key_cols: list[str],
+    sum_cols: list[str],
+    partials_schema: pa.Schema,
+    num_partitions: int = 4,
+) -> ray.data.Dataset:
+    """Warning-free keyed Sum for LOW-cardinality keys of any dtype.
+
+    The sort-based ``groupby().aggregate(Sum...)`` emits one schema-less
+    empty bundle per unpopulated output partition — guaranteed whenever
+    distinct keys < input block count (a 6-group pricing rollup over a
+    64-block corpus always warns). This routes the reduce through
+    ``map_groups_typed`` on a 63-bit surrogate hash of the key tuple:
+    the per-partition sentinel rows make empty input bundles impossible,
+    and a surrogate-hash collision between distinct key tuples is
+    resolved by the in-group pandas groupby over the TRUE key columns
+    (it simply emits both rows). Output columns are key_cols + sum_cols,
+    value- and dtype-identical to the built-in aggregate.
+
+    Meant for partial-combiner outputs (slim rows, few distinct keys).
+    High-cardinality keys should keep the built-in aggregate: its sort
+    partitions are dense and it avoids hashing every key tuple."""
+    import hashlib
+
+    def add_skey(t: pa.Table) -> pa.Table:
+        cols = [t[c].to_pylist() for c in key_cols]
+        skeys = [
+            int.from_bytes(
+                hashlib.md5(
+                    "\x1f".join(repr(v) for v in row).encode("utf-8")
+                ).digest()[:8],
+                "little",
+            )
+            & ((1 << 63) - 1)
+            for row in zip(*cols)
+        ]
+        return t.append_column("skey", pa.array(skeys, pa.int64()))
+
+    def group_fn(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (
+            g.groupby(key_cols, sort=False, dropna=False)[sum_cols]
+            .sum()
+            .reset_index()
+        )
+        return out[key_cols + sum_cols]
+
+    def empty_fn() -> "pd.DataFrame":
+        cols = {}
+        for c in key_cols:
+            cols[c] = pd.Series(
+                dtype=partials_schema.field(c).type.to_pandas_dtype()
+            )
+        for c in sum_cols:
+            cols[c] = pd.Series(dtype="int64")
+        return pd.DataFrame(cols)
+
+    schema = pa.schema(
+        [partials_schema.field(c) for c in key_cols + sum_cols]
+        + [pa.field("skey", pa.int64())]
+    )
+    keyed = partials.map_batches(
+        lambda t: add_skey(t.select(key_cols + sum_cols)), batch_format="pyarrow"
+    )
+    return map_groups_typed(
+        keyed,
+        "skey",
+        group_fn,
+        schema=schema,
+        empty_fn=empty_fn,
+        num_partitions=num_partitions,
+    )

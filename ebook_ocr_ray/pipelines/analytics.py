@@ -78,15 +78,29 @@ def q1_pricing(sf_dir: str) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(agg, preserve_index=False)
 
+    from ebook_ocr_ray.groups import typed_keyed_sum
+
+    # ~6 distinct groups: the typed hash reduce (sentinel-backed, never an
+    # empty untyped bundle) replaces the sort aggregate; the result is
+    # coalesced to one block so the final order-by is a local sort
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="base_cents"),
-            Sum("revenue_cents", alias_name="revenue_cents"),
-            Sum("n", alias_name="n"),
+        typed_keyed_sum(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["l_returnflag", "l_linestatus"],
+            ["sum_qty", "base_cents", "revenue_cents", "n"],
+            pa.schema(
+                [
+                    ("l_returnflag", pa.string()),
+                    ("l_linestatus", pa.string()),
+                    ("sum_qty", pa.int64()),
+                    ("base_cents", pa.int64()),
+                    ("revenue_cents", pa.int64()),
+                    ("n", pa.int64()),
+                ]
+            ),
+            num_partitions=2,
         )
+        .repartition(1)
         .sort(["l_returnflag", "l_linestatus"])
     )
 
@@ -264,13 +278,23 @@ def priority_revenue(sf_dir: str) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(agg, preserve_index=False)
 
+    from ebook_ocr_ray.groups import typed_keyed_sum
+
     return (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("priority")
-        .aggregate(
-            Sum("n_items", alias_name="n_items"),
-            Sum("revenue_cents", alias_name="revenue_cents"),
+        typed_keyed_sum(
+            joined.map_batches(partial, batch_format="pyarrow"),
+            ["priority"],
+            ["n_items", "revenue_cents"],
+            pa.schema(
+                [
+                    ("priority", pa.string()),
+                    ("n_items", pa.int64()),
+                    ("revenue_cents", pa.int64()),
+                ]
+            ),
+            num_partitions=2,
         )
+        .repartition(1)
         .sort("priority")
     )
 
@@ -333,10 +357,19 @@ def top_terms(sf_dir: str, k: int = 50) -> ray.data.Dataset:
             {"term": list(counts.keys()), "n": pa.array(list(counts.values()), pa.int64())}
         )
 
+    from ebook_ocr_ray.groups import typed_keyed_sum
+
+    # the synthetic vocabulary is tiny; a web-scale vocabulary would keep
+    # the built-in sort aggregate (dense partitions) and a top-k combiner
     return (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("n", alias_name="n"))
+        typed_keyed_sum(
+            docs.map_batches(partial, batch_format="pyarrow"),
+            ["term"],
+            ["n"],
+            pa.schema([("term", pa.string()), ("n", pa.int64())]),
+            num_partitions=8,
+        )
+        .repartition(1)
         .sort(["n", "term"], descending=[True, False])
         .limit(k)
     )

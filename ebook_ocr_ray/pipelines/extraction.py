@@ -567,7 +567,10 @@ def lineage(extracted: ray.data.Dataset, key: str = "site") -> ray.data.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         tdf = pd.DataFrame(
             {
-                "k": batch[key].to_pylist(),
+                # str() so the partial schema is static across key choices
+                # (site is a string; part_id arrives as int64 or, read back
+                # from a hive layout, as string — checkpoint casts after)
+                "k": [str(v) for v in batch[key].to_pylist()],
                 "payload_bytes": batch["payload_bytes"].to_pylist(),
                 "chars": pa.compute.utf8_length(
                     batch["extracted_text"].cast(pa.large_string())
@@ -580,13 +583,27 @@ def lineage(extracted: ray.data.Dataset, key: str = "site") -> ray.data.Dataset:
             char_count=("chars", "sum"),
         )
         agg = agg.reset_index().rename(columns={"k": key})
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    from ebook_ocr_ray.groups import typed_keyed_sum
 
     partials = extracted.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(key).aggregate(
-        Sum("doc_count", alias_name="doc_count"),
-        Sum("byte_count", alias_name="byte_count"),
-        Sum("char_count", alias_name="char_count"),
+    # sites-per-corpus is low at bench scale — the typed hash reduce never
+    # emits the untyped empty bundles the sort aggregate would; at web
+    # scale (~1e8 sites) raise num_partitions with the site count
+    return typed_keyed_sum(
+        partials,
+        [key],
+        ["doc_count", "byte_count", "char_count"],
+        pa.schema(
+            [
+                (key, pa.string()),
+                ("doc_count", pa.int64()),
+                ("byte_count", pa.int64()),
+                ("char_count", pa.int64()),
+            ]
+        ),
+        num_partitions=4,
     )
 
 
