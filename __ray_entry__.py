@@ -503,6 +503,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": lambda sf: _sorted_frame(
             neardup.simhash_pairs(sf), ["id_a", "id_b"]
         ),
+        "jaccard_dup_pairs": lambda sf: _sorted_frame(
+            neardup.jaccard_dup_pairs(sf), ["id_a", "id_b"]
+        ),
         # extraction metadata (ensemble internals, closed-form oracle)
         "extract_metrics": _extract_metrics,
         # structural stage (book_converter analog)
@@ -691,6 +694,32 @@ def _distinct_terms_hll_sql() -> str:
     """
 
 
+def _jaccard_dup_pairs_sql() -> str:
+    """Closed-form oracle for neardup.jaccard_dup_pairs: exact 3-word-
+    shingle Jaccard >= 1/2 via a string-exact shingle self-join (the Ray
+    side keys on 63-bit shingle hashes — value-hash equality here is the
+    collision-freedom proof). Integer-rational threshold compare, same as
+    the pipeline. Precondition: no posting list exceeds JACCARD_DF_CAP
+    (holds at oracle scale: corpus 500 < 512)."""
+    return f"""
+        WITH {_shingle_ctes(3)},
+        sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shingled),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pair_inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT p.id_a, p.id_b, p.inter,
+               (sa.n + sb.n - p.inter) AS un
+        FROM pair_inter p
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+        WHERE 2 * p.inter >= (sa.n + sb.n - p.inter)
+        ORDER BY p.id_a, p.id_b
+    """
+
+
 def _simhash_pairs_sql() -> str:
     """Closed-form oracle for neardup.simhash_pairs (max_hamming=3):
     pigeonhole band sizing (4 tables) guarantees every pair within hamming
@@ -847,6 +876,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_join": _decontaminate_sql(),
         "minhash_clusters": _minhash_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
+        "jaccard_dup_pairs": _jaccard_dup_pairs_sql(),
         "text_profile": _text_profile_sql(),
         "distinct_terms_hll": _distinct_terms_hll_sql(),
         # Closed-form oracle for the ensemble metadata. The synthesized

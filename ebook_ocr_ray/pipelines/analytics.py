@@ -25,6 +25,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
+
+from ebook_ocr_ray.reads import read_parquet_clean
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ebook_ocr_ray.functions.textstats import (
@@ -49,7 +51,7 @@ def _cents(values: np.ndarray) -> np.ndarray:
 def q1_pricing(sf_dir: str) -> ray.data.Dataset:
     """Pricing summary per (returnflag, linestatus): quantities, base and
     discounted revenue in integer cents, row counts."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -76,7 +78,7 @@ def q1_pricing(sf_dir: str) -> ray.data.Dataset:
             )
             .reset_index()
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     from ebook_ocr_ray.groups import typed_keyed_sum
 
@@ -114,7 +116,7 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
     """Per (user, hour) tumbling window: event count and value in integer
     cents. Windows are computed batch-locally (floor to hour) and combined
     by key — no ordering assumption, no watermark needed for tumbling."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         # the window key travels through the shuffle as int64 microseconds:
@@ -134,7 +136,7 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
             .agg(n_events=("value_cents", "size"), value_cents=("value_cents", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     def to_timestamp(batch: pa.Table) -> pa.Table:
         win = batch["window_us"].cast(pa.timestamp("us"))
@@ -163,7 +165,7 @@ def events_gaps(sf_dir: str) -> ray.data.Dataset:
     lag/as-of pattern: groupby(user) co-locates each user's history, the
     gap computation is a vectorized sorted diff inside the group. First
     event per user gets -1."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
 
     def gaps(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["ts", "event_id"], kind="mergesort")
@@ -210,9 +212,9 @@ def orders_by_region(sf_dir: str) -> ray.data.Dataset:
                 .agg(n_orders=("total_cents", "size"), total_cents=("total_cents", "sum"))
                 .reset_index()
             )
-            return pa.Table.from_pandas(agg, preserve_index=False)
+            return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     return (
@@ -233,7 +235,7 @@ def priority_revenue(sf_dir: str) -> ray.data.Dataset:
     broadcast doesn't fit), then the usual partial-combine aggregate.
     Revenue is reduced to integer cents BEFORE the join so the fact rows
     shuffled are (key, int64) only."""
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -248,7 +250,7 @@ def priority_revenue(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
     # partition count ~ HALF the cluster cpus, capped: each partition is a
@@ -276,7 +278,7 @@ def priority_revenue(sf_dir: str) -> ray.data.Dataset:
             .agg(n_items=("revenue_cents", "size"), revenue_cents=("revenue_cents", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     from ebook_ocr_ray.groups import typed_keyed_sum
 
@@ -303,7 +305,7 @@ def purchase_attribution(sf_dir: str) -> ray.data.Dataset:
     """As-of join within the events stream: every purchase is attributed
     to the user's most recent click at or before it (merge_asof per user
     group — sort inside the group, never globally)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     )
 
@@ -346,7 +348,7 @@ def purchase_attribution(sf_dir: str) -> ray.data.Dataset:
 
 
 def top_terms(sf_dir: str, k: int = 50) -> ray.data.Dataset:
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         counts: dict[str, int] = {}
@@ -381,7 +383,7 @@ def top_terms(sf_dir: str, k: int = 50) -> ray.data.Dataset:
 
 
 def source_stats(sf_dir: str) -> ray.data.Dataset:
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
     )
     return (
@@ -404,7 +406,7 @@ def source_stats(sf_dir: str) -> ray.data.Dataset:
 def token_table(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, n_tokens, n_distinct, stop_count, n_chars) — exactly
     mirrorable in SQL over string_split."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def stats(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -430,7 +432,7 @@ def token_table(sf_dir: str) -> ray.data.Dataset:
 def fingerprint_table(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, fp_md5) — content fingerprint; md5 is mirrored by DuckDB's
     md5() so the whole column is oracle-checkable."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -454,7 +456,7 @@ def text_profile(sf_dir: str) -> ray.data.Dataset:
     list_reduce in HUGEINT. fp_roll is int64 — the 2^61-1 modulus
     guarantees the value fits, and the oracle's BIGINT must agree on
     dtype."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def prof(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -484,7 +486,7 @@ def train_val_split(sf_dir: str) -> ray.data.Dataset:
     corpus growth — the standard web-scale train/val discipline."""
     from ebook_ocr_ray.sources.pages import page_url
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def assign(batch: pa.Table) -> pa.Table:
         urls = [page_url(d) for d in batch["doc_id"].to_pylist()]
@@ -517,7 +519,7 @@ def dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
     duplicates before the broadcast; full rows never shuffle and per-group
     Python never runs. Doc ids are unique, so unlike the pages dedup no
     byte-identical tie handling is needed."""
-    slim = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    slim = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sha_counts(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -531,7 +533,7 @@ def dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
             .agg(n=("doc_id", "size"), min_id=("doc_id", "min"))
             .reset_index()
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     dup_groups = (
         slim.map_batches(sha_counts, batch_format="pyarrow")
@@ -561,7 +563,7 @@ def dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
         ]
         return batch.filter(pa.array(mask, pa.bool_()))
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet")
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
@@ -581,7 +583,7 @@ def sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US) -> ray.data.Dataset:
     events_gaps); session assignment is a vectorized cumulative sum over
     the sorted diffs, and the per-session rollup happens inside the group,
     so one slim row per session leaves the shuffle."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
 
@@ -617,7 +619,7 @@ def top_docs_per_source(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     contains (vectorized pandas head-per-group), so the shuffle moves
     O(k x sources x batches) slim rows — never the corpus — before the
     per-group final top-k."""
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
     )
 
@@ -655,7 +657,7 @@ def token_quantiles_per_source(sf_dir: str) -> ray.data.Dataset:
     Quantile rule mirrors DuckDB quantile_disc: sorted[ceil(q*n) - 1]."""
     import math
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["source", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         counts: dict[tuple, int] = {}
@@ -722,7 +724,7 @@ def redact_pii(sf_dir: str) -> ray.data.Dataset:
     replaced with typed placeholders; counts are per-document match
     totals. Pure per-batch map — no shuffle; patterns are compiled once
     at module import, not per batch."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def scrub(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -787,7 +789,7 @@ def tfidf_top_terms(
 
     if df_strategy not in ("auto", "broadcast", "join"):
         raise ValueError(f"unknown df_strategy {df_strategy!r}")
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
     )
 
@@ -942,7 +944,7 @@ def stratified_sample(sf_dir: str) -> ray.data.Dataset:
     constant (the per-source table is config-sized)."""
     from ebook_ocr_ray.sources.pages import page_url
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
 
@@ -977,7 +979,7 @@ def clicks_before_purchase(sf_dir: str, window_us: int = RANGE_WINDOW_US) -> ray
     equality key, sort-probe on the range key; at extreme per-user volume
     the group fn swaps to time-bucketed sub-joins without changing the
     dataflow."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     )
 
@@ -1023,7 +1025,7 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def chunks(batch: pa.Table) -> pa.Table:
         ids, idxs, texts, ntoks = [], [], [], []
@@ -1079,7 +1081,7 @@ def pack_sequences(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def chunk_counts(batch: pa.Table) -> pa.Table:
         # the packing plan needs only token COUNTS per window —
@@ -1161,7 +1163,7 @@ def repetition_profile(sf_dir: str, n: int = REP_NGRAM) -> ray.data.Dataset:
     thousandths (floor) — the standard boilerplate/repetition quality
     signal a curation pass thresholds on. Pure per-batch map; the n-gram
     multiset never leaves the worker."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def profile(batch: pa.Table) -> pa.Table:
         ids, totals, maxes, reps = [], [], [], []
@@ -1210,7 +1212,7 @@ def distinct_terms_hll(sf_dir: str) -> pd.DataFrame:
     float division) and mirrored exactly by the SQL oracle."""
     from ebook_ocr_ray.functions.sketches import HLL_M, hll_estimate, hll_partial
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def batch_terms(batch: pa.Table) -> set[str]:
         terms: set[str] = set()

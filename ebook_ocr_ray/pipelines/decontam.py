@@ -32,6 +32,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ebook_ocr_ray.reads import read_parquet_clean
+
 from ebook_ocr_ray.functions.textstats import word_shingles
 
 # Default n-gram length for contamination checks; 8 words is the
@@ -233,12 +235,12 @@ def decontaminate(
 
     bench_texts = [
         r["text"]
-        for r in ray.data.read_parquet(path, columns=["doc_id", "text"])
+        for r in read_parquet_clean(path, columns=["doc_id", "text"])
         .map_batches(keep_bench, batch_format="pyarrow")
         .take_all()
     ]
     bench_ref = ray.put(bench_ngram_set(bench_texts, n))
-    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    docs = read_parquet_clean(path, columns=["doc_id", "text"])
     return decontaminate_ds(docs, bench_ref, n)
 
 
@@ -254,8 +256,8 @@ def decontaminate_join(
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(ids % bench_mod == 0)).select(["text"])
 
-    bench = ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+    bench = read_parquet_clean(path, columns=["doc_id", "text"]).map_batches(
         keep_bench, batch_format="pyarrow"
     )
-    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    docs = read_parquet_clean(path, columns=["doc_id", "text"])
     return decontaminate_ds_join(docs, bench, n)

@@ -26,6 +26,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+
+from ebook_ocr_ray.reads import read_parquet_clean
 from ray.data.aggregate import Sum
 
 from ebook_ocr_ray.config import DEFAULT_NUM_PARTITIONS, ExtractionConfig
@@ -51,7 +53,7 @@ def _extract_pool_size() -> int:
 
 def load_documents(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
     cols = columns or ["doc_id", "text", "lang"]
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=cols)
 
 
 def pages_dataset(
@@ -344,7 +346,7 @@ def dedup_exact_bloom(
     def sha_counts(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({"content_sha": batch["content_sha"].to_pylist()})
         agg = df.groupby("content_sha", sort=False).size().rename("n").reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     dup_shas = (
         src.select_columns(["content_sha"])
@@ -393,7 +395,7 @@ def verify_against_golden(
     dropped by the pipeline (or an unexpected extra) is a mismatch, not a
     silent pass. Empty frame = byte-identity holds corpus-wide. The join
     shuffles slim (url, text) rows only."""
-    golden = ray.data.read_parquet(golden_path).map_batches(
+    golden = read_parquet_clean(golden_path).map_batches(
         lambda t: pa.table(
             {
                 "url": t["url"],
@@ -719,10 +721,10 @@ def extraction_pipeline(
 
     if dedup and spool_dir is not None:
         prepared_factory().write_parquet(spool_dir)
-        slim = ray.data.read_parquet(
+        slim = read_parquet_clean(
             spool_dir, columns=["content_sha", "warc_ts", "url"]
         )
-        full = ray.data.read_parquet(spool_dir)
+        full = read_parquet_clean(spool_dir)
         return extract(dedup_exact(full, slim=slim), cfg)
 
     prepared = prepared_factory()

@@ -28,6 +28,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ebook_ocr_ray.reads import read_parquet_clean
+
 from ebook_ocr_ray.functions.sketches import (
     LSH_BANDS,
     lsh_band_keys_batch,
@@ -546,7 +548,7 @@ def _join_pair_texts(
     pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 
     def docs_as(col: str) -> ray.data.Dataset:
-        return ray.data.read_parquet(
+        return read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         ).map_batches(
             lambda t: t.rename_columns(["doc_id", col]), batch_format="pyarrow"
@@ -583,7 +585,7 @@ def minhash_clusters(
     -> keyed min-label propagation -> left-outer join back onto the id
     column. The only materialization is the verified edge set (slim int
     pairs — the propagation's working set, consumed once per round)."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -666,7 +668,7 @@ def minhash_clusters(
         .map_batches(verify, batch_format="pyarrow")
         .materialize()                                   # slim int pairs; the
     )                                                    # propagation re-reads per round
-    all_ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    all_ids = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     n_edges = edges.count()
     if n_edges == 0:
         return all_ids.map_batches(
@@ -712,7 +714,7 @@ def simhash_pairs(
     result stays a Dataset end to end."""
     tables = max_hamming + 1
     max_bucket = MAX_BUCKET if max_bucket is None else max_bucket
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -845,3 +847,190 @@ def simhash_pairs(
         .aggregate(_make_collect_records_agg(["id_b", "hamming"]))
         .map_batches(uniq_neighbors, batch_format="pyarrow")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (the non-sketch member of the dedup family)
+# --------------------------------------------------------------------------
+
+# Posting lists longer than this are dropped as stop-shingles before pair
+# generation (logged): a shingle shared by B documents contributes B^2/2
+# candidate pairs, and a boilerplate shingle ("all rights reserved ...")
+# would pull the corpus quadratic. Dropping it REMOVES its +1 from every
+# affected pair's intersection — an explicit bounded-recall valve, exactly
+# like MAX_BUCKET. The SQL oracle assumes no posting list overflows (true
+# at oracle scale: corpus 500 < cap).
+JACCARD_DF_CAP = 512
+
+
+def jaccard_dup_pairs(
+    sf_dir: str,
+    k: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    df_cap: int = JACCARD_DF_CAP,
+) -> ray.data.Dataset:
+    """EXACT k-word-shingle Jaccard near-dup pairs via an inverted-index
+    join — no sketches, no sampling: (id_a, id_b, inter, un) for every
+    doc pair with |A∩B| / |A∪B| >= threshold_num/threshold_den (compared
+    as integers — ``den*inter >= num*union`` — so no float boundary can
+    disagree with the oracle).
+
+        shingle rows (doc_id, 63-bit shingle key), per-doc DISTINCT
+          -> groupby shingle -> pairs within each posting list (df-capped)
+          -> per-pair intersection count (typed keyed sum)
+          -> two keyed joins onto the per-doc set sizes -> threshold
+
+    Set sizes are exact (counted from the distinct string set before
+    hashing). Cross-doc key collisions could in principle inflate an
+    intersection by 1; at 63 bits that is ~n^2/2^64 and DETERMINISTIC —
+    the driver's value-hash equality against the string-exact SQL oracle
+    is the proof it never fires at oracle scale."""
+    from ebook_ocr_ray.functions.textstats import stable_hash64, word_shingles
+    from ebook_ocr_ray.groups import typed_keyed_sum
+    from ebook_ocr_ray.joins import safe_join
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        # (band=0, key, doc_id) — the bucket schema, so the near-dup
+        # hot-bucket machinery applies verbatim: only shingles shared by
+        # >= 2 docs can generate a pair, and they are a small fraction of
+        # all shingles, so the expensive per-posting-list group apply
+        # runs on the filtered slice only
+        ids, keys = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sh = set(word_shingles(t or "", k))
+            ids.extend([d] * len(sh))
+            keys.extend(stable_hash64(s) & ((1 << 63) - 1) for s in sorted(sh))
+        return pa.table(
+            {
+                "band": pa.array(np.zeros(len(ids), dtype=np.int32), pa.int32()),
+                "key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    def size_rows(batch: pa.Table) -> pa.Table:
+        ids, ns = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ids.append(d)
+            ns.append(len(set(word_shingles(t or "", k))))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "nsh": pa.array(ns, pa.int64())}
+        )
+
+    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized kernel per hash partition: pandas self-merge on
+        the shingle key emits a row per (shared shingle, doc pair), then a
+        local groupby pre-combines the intersection counts. All C-level;
+        a per-posting-list apply here costs Python overhead per key."""
+        sizes = df.groupby("key", sort=False)["doc_id"].size()
+        over = sizes[sizes > df_cap]
+        if len(over):
+            logger.warning(
+                "jaccard posting lists over cap: %d shingles with df > %d "
+                "(max %d) dropped (stop-shingles; bounded recall, see "
+                "JACCARD_DF_CAP)", len(over), df_cap, int(over.max()),
+            )
+            df = df[~df.key.isin(over.index)]
+        m = df.merge(df, on="key")
+        m = m[m.doc_id_x < m.doc_id_y]
+        out = (
+            m.groupby(["doc_id_x", "doc_id_y"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+            .rename(columns={"doc_id_x": "id_a", "doc_id_y": "id_b"})
+        )
+        return out[["id_a", "id_b", "c"]].astype("int64")
+
+    bucket_schema = pa.schema(
+        [("band", pa.int32()), ("key", pa.int64()), ("doc_id", pa.int64())]
+    )
+    filtered = hot_filtered_buckets(
+        docs.map_batches(shingle_rows, batch_format="pyarrow"), bucket_schema
+    )
+    if filtered is None:  # every shingle is a singleton: no pairs at all
+        return ray.data.from_arrow(
+            pa.schema(
+                [("id_a", pa.int64()), ("id_b", pa.int64()),
+                 ("inter", pa.int64()), ("un", pa.int64())]
+            ).empty_table()
+        )
+    from ebook_ocr_ray.groups import map_partitions_typed
+
+    pair_rows = map_partitions_typed(
+        filtered.map_batches(
+            lambda t: t.select(["key", "doc_id"]), batch_format="pyarrow"
+        ),
+        "key",
+        partition_pairs,
+        schema=pa.schema([("key", pa.int64()), ("doc_id", pa.int64())]),
+        empty_fn=lambda: pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("id_a", "id_b", "c")}
+        ),
+        num_partitions=8,
+    )
+
+    inter = typed_keyed_sum(
+        pair_rows,
+        ["id_a", "id_b"],
+        ["c"],
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("c", pa.int64())]),
+        num_partitions=4,
+    )
+
+    sizes = docs.map_batches(size_rows, batch_format="pyarrow")
+    sizes_schema = pa.schema([("doc_id", pa.int64()), ("nsh", pa.int64())])
+
+    j1 = safe_join(
+        inter,
+        sizes,
+        on="id_a",
+        right_on="doc_id",
+        num_partitions=4,
+        left_schema=pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("c", pa.int64())]
+        ),
+        right_schema=sizes_schema,
+    ).map_batches(
+        lambda t: pa.table(
+            {"id_a": t["id_a"], "id_b": t["id_b"], "c": t["c"], "na": t["nsh"]}
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = safe_join(
+        j1,
+        sizes,
+        on="id_b",
+        right_on="doc_id",
+        num_partitions=4,
+        left_schema=pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("c", pa.int64()),
+             ("na", pa.int64())]
+        ),
+        right_schema=sizes_schema,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        un = (
+            t["na"].to_numpy(zero_copy_only=False)
+            + t["nsh"].to_numpy(zero_copy_only=False)
+            - c
+        )
+        keep = threshold_den * c >= threshold_num * un
+        out = pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "inter": pa.array(c, pa.int64()),
+                "un": pa.array(un, pa.int64()),
+            }
+        )
+        return out.filter(pa.array(keep, pa.bool_()))
+
+    return j2.map_batches(finish, batch_format="pyarrow")

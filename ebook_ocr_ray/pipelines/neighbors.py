@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ebook_ocr_ray.reads import read_parquet_clean
+
 
 def _partial_topk_select(row: np.ndarray, cand_ids: np.ndarray, k: int):
     """EXACT per-batch top-k by (sim desc, nid asc): a bare argpartition on
@@ -91,7 +93,7 @@ def _load_training_sample(
         return batch.filter(pa.array(h % np.uint64(step) == 0))
 
     t = (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
         .map_batches(hash_stride, batch_format="pyarrow")
@@ -99,7 +101,7 @@ def _load_training_sample(
     )
     if t.empty:  # pathological id space: fall back to a bounded head read
         t = (
-            ray.data.read_parquet(
+            read_parquet_clean(
                 f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
             )
             .limit(cap)
@@ -153,7 +155,7 @@ def knn_brute(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.data.Dataset:
                 }
             )
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     partials = emb.map_batches(
         PartialTopK,
         fn_constructor_args=(query_ref, k),
@@ -226,7 +228,7 @@ def build_ivf_index(
         )
 
     os.makedirs(index_dir, exist_ok=True)
-    ray.data.read_parquet(
+    read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(assign, batch_format="pyarrow").write_parquet(
         index_dir, partition_cols=["cell"]
@@ -334,7 +336,7 @@ def knn_ivf(
     if not cell_files:  # no probed cell has any vector: empty result
         partials = ray.data.from_arrow(_PARTIAL_SCHEMA.empty_table())
     else:
-        emb_ds = ray.data.read_parquet(
+        emb_ds = read_parquet_clean(
             cell_files, columns=["vec_id", "embedding", "cell_id"]
         )
         partials = emb_ds.map_batches(
@@ -371,7 +373,7 @@ def embedding_dup_pairs(
 
     logger = logging.getLogger(__name__)
     cap = MAX_LABEL_BLOCK if max_block is None else max_block
-    emb = ray.data.read_parquet(
+    emb = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
     )
 

@@ -25,6 +25,8 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+from ebook_ocr_ray.reads import read_parquet_clean
+
 IMG_MAGIC = b"FAKEIMG\0"
 AUD_MAGIC = b"FAKEAUD\0"
 VID_MAGIC = b"FAKEVID\0"
@@ -259,7 +261,7 @@ def media_dataset(sf_dir: str, kind: str | None = None):
     bytes."""
     import ray.data
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     if kind is not None:
         want = ("image", "audio", "video").index(kind)
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from ebook_ocr_ray.reads import read_parquet_clean
 from ebook_ocr_ray.functions.bookparse import parse_document
 from ebook_ocr_ray.functions.bookxml import build_book_xml
 
@@ -89,7 +90,7 @@ def heading_repair_batch(batch: pa.Table) -> pa.Table:
 def heading_repair_pipeline(sf_dir: str):
     import ray.data
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(heading_repair_batch, batch_format="pyarrow")
 
 
@@ -123,7 +124,7 @@ def structural_pipeline(sf_dir: str):
     """documents -> synth book_md -> compile to XML."""
     import ray.data
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(synth_books_batch, batch_format="pyarrow").map_batches(
         compile_books, batch_format="pyarrow"
     )

@@ -120,6 +120,44 @@ class TestNeighbors:
         rows_read, rows_total = int(m[0].group(1)), int(m[0].group(2))
         assert 0 < rows_read < rows_total / 2
 
+    def test_jaccard_dup_pairs_matches_oracle(self, ray_session, con):
+        from ebook_ocr_ray.pipelines.neardup import jaccard_dup_pairs
+        import __ray_entry__ as e
+
+        assert_matches_oracle(
+            jaccard_dup_pairs(SF), con, e.oracle_sql()["jaccard_dup_pairs"]
+        )
+
+    def test_jaccard_rational_threshold_is_exact(self, ray_session, tmp_path):
+        """Pair at exactly inter/union == 1/2 must be KEPT (>=), and one
+        shingle below must not — the integer compare has no float edge."""
+        import pyarrow as pa
+
+        from ebook_ocr_ray.pipelines import neardup
+
+        # doc1/doc2: 4 shingles each, sharing... build texts with known
+        # 3-word shingle overlap: "a b c d e f" -> shingles {abc,bcd,cde,def}
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b c d e f",          # {abc bcd cde def}
+                        "a b c d e g",          # {abc bcd cde deg} inter=3 un=5 -> 3/5 >= 1/2 keep
+                        "x y z w v u",          # disjoint
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        path = tmp_path / "documents.parquet"
+        import pyarrow.parquet as pq
+
+        pq.write_table(docs, str(path))
+        out = neardup.jaccard_dup_pairs(str(tmp_path)).to_pandas()
+        assert list(zip(out.id_a, out.id_b)) == [(1, 2)]
+        assert list(out.inter) == [3] and list(out.un) == [5]
+
     def test_embedding_dup_pairs(self, ray_session, con):
         from ebook_ocr_ray.pipelines.neighbors import embedding_dup_pairs
         import __ray_entry__ as e
