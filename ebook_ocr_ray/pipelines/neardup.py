@@ -159,7 +159,7 @@ def hot_filtered_buckets(
         empty_fn=lambda: pd.DataFrame(
             {"band": pd.Series(dtype="int32"), "key": pd.Series(dtype="int64")}
         ),
-        num_partitions=max(8, cpus),
+        num_partitions=min(max(8, cpus), 16),
     ).materialize()
     n_hot = hot_ds.count()
     if n_hot == 0:
