@@ -411,7 +411,9 @@ def _heading_pattern_stats(sf_dir: str):
             for _ln, _lvl, h in doc.headings:
                 c = classify_heading(h)
                 counts[c] = counts.get(c, 0) + 1
-        return pa.table({"category": list(counts), 
+        # explicit types: an empty batch otherwise yields a null-typed
+        # table and the shuffle logs a schema-mismatch warning
+        return pa.table({"category": pa.array(list(counts), pa.string()),
                          "n": pa.array(list(counts.values()), pa.int64())})
 
     return (
@@ -426,6 +428,61 @@ def _site_boilerplate(sf_dir: str):
     from ebook_ocr_ray.pipelines.boilerplate import site_boilerplate_pages
 
     return site_boilerplate_pages(sf_dir)
+
+
+def _dedup_spans(sf_dir: str):
+    from ebook_ocr_ray.pipelines.spandedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(sf_dir)
+
+
+def _dedup_spans_sql(k: int = 8, min_count: int = 2) -> str:
+    """Closed-form oracle for spandedup.remove_duplicated_spans: spans
+    counted by STRING (the jaccard_dup_pairs idiom — the Ray side keys on
+    63-bit stable hashes, and the driver's value-hash equality is the
+    collision-freedom proof), coverage as the DISTINCT union of covered
+    1-based word positions, rebuild as an ordered string_agg anti-joined
+    against the covered set."""
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+          FROM documents
+        ),
+        posr AS (
+          SELECT doc_id,
+                 unnest(range(1, len(w) - {k} + 2)) AS pos,
+                 unnest(list_transform(range(1, len(w) - {k} + 2),
+                        i -> array_to_string(w[i:i+{k - 1}], ' '))) AS s
+          FROM docs WHERE len(w) >= {k}
+        ),
+        hot AS (SELECT s FROM posr GROUP BY s HAVING COUNT(*) >= {min_count}),
+        cov AS (
+          SELECT DISTINCT doc_id, idx FROM (
+            SELECT p.doc_id, unnest(range(p.pos, p.pos + {k})) AS idx
+            FROM posr p JOIN hot USING (s))
+        ),
+        words AS (
+          SELECT doc_id, unnest(w) AS word,
+                 unnest(range(1, len(w) + 1)) AS idx
+          FROM docs
+        ),
+        kept AS (
+          SELECT wd.doc_id, wd.word, wd.idx
+          FROM words wd LEFT JOIN cov c
+            ON c.doc_id = wd.doc_id AND c.idx = wd.idx
+          WHERE c.doc_id IS NULL
+        ),
+        agg AS (
+          SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS ct,
+                 COUNT(*) AS nk
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.ct, '') AS clean_text,
+               (len(d.w) - coalesce(a.nk, 0))::BIGINT AS n_removed
+        FROM docs d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -506,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dup_pairs": lambda sf: _sorted_frame(
             neardup.jaccard_dup_pairs(sf), ["id_a", "id_b"]
         ),
+        "dedup_spans": lambda sf: _sorted_frame(_dedup_spans(sf), ["doc_id"]),
         # extraction metadata (ensemble internals, closed-form oracle)
         "extract_metrics": _extract_metrics,
         # structural stage (book_converter analog)
@@ -877,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_clusters": _minhash_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "jaccard_dup_pairs": _jaccard_dup_pairs_sql(),
+        "dedup_spans": _dedup_spans_sql(),
         "text_profile": _text_profile_sql(),
         "distinct_terms_hll": _distinct_terms_hll_sql(),
         # Closed-form oracle for the ensemble metadata. The synthesized
