@@ -549,6 +549,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": analytics.token_table,
         "doc_fingerprint": analytics.fingerprint_table,
         "dedup_exact_docs": analytics.dedup_exact_docs,
+        "dedup_fuzzy_exact": lambda sf: _sorted_frame(
+            analytics.dedup_fuzzy_exact(sf), ["doc_id"]
+        ),
         "text_profile": analytics.text_profile,
         # similarity / near-dup
         "knn_brute": neighbors.knn_brute,
@@ -1348,6 +1351,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.* FROM documents d
             JOIN (SELECT text, MIN(doc_id) AS keep FROM documents GROUP BY text) k
               ON d.doc_id = k.keep
+        """,
+        # analytics.dedup_fuzzy_exact: the perturbed union replayed
+        # verbatim, then exact dedup on the NORMALIZED text (lower ->
+        # strip non-[a-z0-9 ] -> collapse space runs -> trim). Grouping
+        # is by normalized STRING while the pipeline keys on its 63-bit
+        # hash — value-hash equality proves collision freedom.
+        "dedup_fuzzy_exact": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, upper(text) || '  !!' FROM documents
+            ),
+            norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(
+                       lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+              FROM all_docs
+            )
+            SELECT MIN(doc_id)::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_variants
+            FROM norm GROUP BY nt ORDER BY 1
         """,
         "knn_brute": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

@@ -35,6 +35,7 @@ from ebook_ocr_ray.functions.textstats import (
     md5_fingerprint,
     quality_score,
     rolling_fingerprint,
+    stable_hash64,
 )
 
 # --------------------------------------------------------------------------
@@ -565,6 +566,113 @@ def dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet")
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Fuzzy-exact dedup (exact dedup on NORMALIZED text — the MassiveText /
+# Gopher "fuzzy exact match" step: casing, punctuation and whitespace
+# variants of the same document collapse to one survivor)
+# --------------------------------------------------------------------------
+
+import re as _fre
+
+_FUZZY_STRIP_RE = _fre.compile(r"[^a-z0-9 ]")
+_FUZZY_SPACE_RE = _fre.compile(r" +")
+
+
+def fuzzy_normalize(text: str | None) -> str:
+    """lower -> drop non-[a-z0-9 ] -> collapse space runs -> trim. Every
+    step has an exact DuckDB twin (lower / regexp_replace 'g' / trim), so
+    the oracle can replay it character-for-character on ASCII corpora."""
+    t = _FUZZY_STRIP_RE.sub("", (text or "").lower())
+    return _FUZZY_SPACE_RE.sub(" ", t).strip()
+
+
+def dedup_fuzzy_exact_ds(
+    docs: ray.data.Dataset, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """(doc_id, n_variants): one survivor row (min doc_id) per distinct
+    NORMALIZED text over (doc_id, text) rows. Fully keyed — the survivor
+    IS the aggregate's output (no broadcast, no join, no per-unique-hash
+    driver state): per-batch partials (63-bit normalized-text hash, count,
+    min id) -> one int64 hash shuffle -> vectorized per-partition reduce.
+    The SQL oracle groups by the normalized STRING; the driver's
+    value-hash equality is the collision-freedom proof (jaccard idiom)."""
+    from ebook_ocr_ray.groups import map_partitions_typed
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keys = np.fromiter(
+            (
+                stable_hash64(fuzzy_normalize(txt)) & ((1 << 63) - 1)
+                for txt in t["text"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        df = pd.DataFrame({"key": keys, "doc_id": ids})
+        agg = (
+            df.groupby("key", sort=False)
+            .agg(n=("doc_id", "size"), min_id=("doc_id", "min"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    def reduce_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("key", sort=False)
+            .agg(n_variants=("n", "sum"), doc_id=("min_id", "min"))
+            .reset_index()[["doc_id", "n_variants"]]
+        )
+        return out.astype({"doc_id": "int64", "n_variants": "int64"})
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return map_partitions_typed(
+        docs.map_batches(partials, batch_format="pyarrow"),
+        "key",
+        reduce_partition,
+        schema=pa.schema(
+            [("key", pa.int64()), ("n", pa.int64()), ("min_id", pa.int64())]
+        ),
+        empty_fn=lambda: pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "n_variants": pd.Series(dtype="int64"),
+            }
+        ),
+        num_partitions=min(max(8, cpus), num_partitions * 2),
+    )
+
+
+def dedup_fuzzy_exact(sf_dir: str) -> ray.data.Dataset:
+    """Query wrapper: the corpus has no casing/punctuation variants by
+    construction, so the demonstration UNIONS a deterministic perturbed
+    copy of every document (doc_id + 1_000_000, uppercased, doubled
+    spaces + trailing '!!') — normalization must collapse each pair back
+    to one survivor with n_variants == 2. The perturbation is replayed
+    verbatim in the SQL oracle."""
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def with_variants(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        v_texts = [(txt or "").upper() + "  !!" for txt in texts]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([ids, ids + 1_000_000]), pa.int64()
+                ),
+                "text": pa.array(texts + v_texts, pa.string()),
+            }
+        )
+
+    return dedup_fuzzy_exact_ds(
+        docs.map_batches(with_variants, batch_format="pyarrow")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -783,3 +783,60 @@ class TestHyperLogLog:
 
         est = hll_estimate(hll_partial([f"x{i}" for i in range(50)]))
         assert abs(est - 50) <= 2                # linear counting is near-exact
+
+
+class TestFuzzyExactDedup:
+    def _run(self, ray, rows):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.analytics import dedup_fuzzy_exact_ds
+
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+        return dedup_fuzzy_exact_ds(docs).to_pandas().set_index("doc_id").sort_index()
+
+    def test_variants_collapse_to_min_id(self, ray_session):
+        rows = [
+            (5, "Hello,  World! This is DOC one."),
+            (2, "hello world this is doc one"),          # survivor (min id)
+            (9, "HELLO WORLD — this is doc one?!"),      # non-ascii dash strips
+            (7, "a completely different document"),
+        ]
+        out = self._run(ray_session, rows)
+        assert list(out.index) == [2, 7]
+        assert out.loc[2, "n_variants"] == 3
+        assert out.loc[7, "n_variants"] == 1
+
+    def test_whitespace_and_empty(self, ray_session):
+        rows = [(1, "   "), (2, ""), (3, "!!!"), (4, "real text")]
+        # all three normalize to '' -> one survivor (min id 1)
+        out = self._run(ray_session, rows)
+        assert list(out.index) == [1, 4]
+        assert out.loc[1, "n_variants"] == 3
+
+    def test_normalize_function(self):
+        from ebook_ocr_ray.pipelines.analytics import fuzzy_normalize
+
+        # tab is stripped (not a space), leaving "a  bc" -> collapse
+        assert fuzzy_normalize("A  B\tC") == "a bc"
+        assert fuzzy_normalize("Hello,  World!") == "hello world"
+        assert fuzzy_normalize(None) == ""
+        assert fuzzy_normalize("  x  ") == "x"
+
+    def test_query_wrapper_collapses_perturbed_union(self, ray_session):
+        from ebook_ocr_ray.pipelines.analytics import dedup_fuzzy_exact
+
+        out = dedup_fuzzy_exact(SF).to_pandas()
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+        assert len(out) == n                       # every pair collapsed
+        assert (out["n_variants"] == 2).all()
+        assert (out["doc_id"] < 1_000_000).all()   # original id survives
