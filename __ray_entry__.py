@@ -486,7 +486,7 @@ def _dedup_spans_sql(k: int = 8, min_count: int = 2) -> str:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ebook_ocr_ray.pipelines import analytics, decontam, neardup, neighbors
+    from ebook_ocr_ray.pipelines import analytics, decontam, neardup, neighbors, quality
 
     return {
         # extraction family (closed-form oracles)
@@ -553,6 +553,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.dedup_fuzzy_exact(sf), ["doc_id"]
         ),
         "text_profile": analytics.text_profile,
+        "quality_buckets": lambda sf: _sorted_frame(
+            quality.quality_buckets(sf), ["doc_id"]
+        ),
         # similarity / near-dup
         "knn_brute": neighbors.knn_brute,
         "knn_ivf": neighbors.knn_ivf,                    # rows-only (approx)
@@ -939,6 +942,45 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(),
         "jaccard_dup_pairs": _jaccard_dup_pairs_sql(),
         "dedup_spans": _dedup_spans_sql(),
+        # pipelines/quality.quality_buckets: CCNet-style two-pass LM
+        # bucketing. The model's micro-nat quantization (CAST AS BIGINT
+        # == Python round-half-even) is the only float op; scoring,
+        # thresholds and buckets are exact int64 arithmetic in both
+        # engines. quantile_disc == sorted[ceil(q*n)-1], the
+        # token_quantiles convention.
+        "quality_buckets": """
+            WITH docs AS (SELECT doc_id, lang, text FROM documents),
+            bg AS (
+              SELECT doc_id, lang,
+                     unnest(list_transform(range(1, length(text)),
+                            i -> substr(text, i, 2))) AS g
+              FROM docs WHERE length(text) >= 2),
+            model AS (SELECT lang, g, COUNT(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+            tot AS (SELECT lang, SUM(c)::BIGINT AS t FROM model GROUP BY 1),
+            vocab AS (SELECT COUNT(DISTINCT g)::BIGINT AS v FROM bg),
+            model_q AS (
+              SELECT m.lang, m.g,
+                     CAST(-ln((m.c + 1)::DOUBLE / (tt.t + vocab.v)) * 1000000
+                          AS BIGINT) AS lp
+              FROM model m JOIN tot tt ON tt.lang = m.lang CROSS JOIN vocab),
+            scored AS (
+              SELECT b.doc_id, b.lang, SUM(q.lp) // COUNT(*) AS ce_micro
+              FROM bg b JOIN model_q q ON q.lang = b.lang AND q.g = b.g
+              GROUP BY 1, 2),
+            allscored AS (
+              SELECT d.doc_id, d.lang, coalesce(s.ce_micro, 0)::BIGINT AS ce_micro
+              FROM docs d LEFT JOIN scored s ON s.doc_id = d.doc_id),
+            th AS (
+              SELECT lang, quantile_disc(ce_micro // 1000, 1.0/3) AS t1,
+                     quantile_disc(ce_micro // 1000, 2.0/3) AS t2
+              FROM allscored GROUP BY lang)
+            SELECT a.doc_id, a.lang, a.ce_micro,
+                   CASE WHEN a.ce_micro // 1000 <= th.t1 THEN 'head'
+                        WHEN a.ce_micro // 1000 <= th.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM allscored a JOIN th ON th.lang = a.lang
+            ORDER BY a.doc_id
+        """,
         "text_profile": _text_profile_sql(),
         "distinct_terms_hll": _distinct_terms_hll_sql(),
         # Closed-form oracle for the ensemble metadata. The synthesized
