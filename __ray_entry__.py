@@ -531,6 +531,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "redact_pii": analytics.redact_pii,
         "stratified_sample": analytics.stratified_sample,
+        "rebalance_langs": lambda sf: _sorted_frame(
+            analytics.rebalance_langs(sf), ["doc_id"]
+        ),
         "chunk_documents": analytics.chunk_documents,
         "repetition_profile": analytics.repetition_profile,
         "distinct_terms_hll": analytics.distinct_terms_hll,
@@ -942,6 +945,32 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(),
         "jaccard_dup_pairs": _jaccard_dup_pairs_sql(),
         "dedup_spans": _dedup_spans_sql(),
+        # analytics.rebalance_langs: exact-integer language-cap sampling.
+        # stable_hash64 replayed in HUGEINT (the simhash-oracle idiom);
+        # keep iff count <= cap or hash * count < cap * 2^64 — no float
+        # anywhere, so no boundary can disagree.
+        "rebalance_langs": f"""
+            WITH {_MULT_CTE},
+            counts AS (SELECT lang, COUNT(*)::BIGINT AS c
+                       FROM documents GROUP BY lang),
+            hashed AS (
+              SELECT d.doc_id, d.lang, (
+                SELECT SUM(
+                   ((strpos('0123456789abcdef',
+                       substr(md5('rebalance:' || d.doc_id), 2*i+1, 1))-1) * 16
+                  + (strpos('0123456789abcdef',
+                       substr(md5('rebalance:' || d.doc_id), 2*i+2, 1))-1)
+                   )::HUGEINT * m
+                ) FROM mult
+              ) AS h
+              FROM documents d)
+            SELECT h.doc_id, h.lang
+            FROM hashed h JOIN counts c ON c.lang = h.lang
+            WHERE c.c <= 100
+               OR h.h * c.c::HUGEINT
+                  < 100::HUGEINT * 18446744073709551616::HUGEINT
+            ORDER BY h.doc_id
+        """,
         # pipelines/quality.quality_buckets: CCNet-style two-pass LM
         # bucketing. The model's micro-nat quantization (CAST AS BIGINT
         # == Python round-half-even) is the only float op; scoring,

@@ -125,6 +125,13 @@ def run_bench() -> dict:
     timed("structural_xml", lambda: structural_pipeline(SF_DIR).count())
     timed("sessionize", lambda: analytics.sessionize(SF_DIR).count())
     timed("pack_sequences", lambda: analytics.pack_sequences(SF_DIR).count())
+    from ebook_ocr_ray.pipelines import quality, spandedup
+
+    timed("dedup_spans", lambda: spandedup.remove_duplicated_spans(SF_DIR).count())
+    timed("quality_buckets", lambda: quality.quality_buckets(SF_DIR).count())
+    timed(
+        "dedup_fuzzy_exact", lambda: analytics.dedup_fuzzy_exact(SF_DIR).count()
+    )
 
     total = round(sum(timings.values()), 3)
     result = {

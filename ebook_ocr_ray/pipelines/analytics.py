@@ -1069,6 +1069,76 @@ def stratified_sample(sf_dir: str) -> ray.data.Dataset:
 
 
 # --------------------------------------------------------------------------
+# Language-cap mixture rebalancing (multilingual corpus sampling: cap the
+# dominant language's share so tail languages are not drowned — the
+# downsampling half of the XLM-R-style temperature mix, expressed as an
+# exact deterministic rule instead of an RNG draw)
+# --------------------------------------------------------------------------
+
+REBALANCE_SALT = "rebalance:"
+
+
+def rebalance_langs_ds(
+    docs: ray.data.Dataset, cap: int, group_col: str = "lang"
+) -> ray.data.Dataset:
+    """Keep every row of groups at or under ``cap``; downsample larger
+    groups to ~cap in expectation with the exact integer rule
+
+        keep  iff  hash_u64(salt + doc_id) * c_group < cap * 2**64
+
+    (Bernoulli(cap / c_group) with zero float arithmetic — no rounding
+    boundary can ever disagree with the SQL oracle's HUGEINT replay).
+    Hash-based membership keeps the sample stable under re-sharding and
+    corpus append, the train_val_split discipline. Two passes: a keyed
+    group count (bounded by the language inventory, broadcast via
+    ``ray.put``) then a pure per-batch filter — no shuffle touches the
+    payload rows."""
+    from ebook_ocr_ray.groups import typed_keyed_sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group_col: t[group_col].to_pylist()})
+        agg = df.groupby(group_col, sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    counts_df = typed_keyed_sum(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        key_cols=[group_col],
+        sum_cols=["n"],
+        partials_schema=pa.schema([(group_col, pa.string()), ("n", pa.int64())]),
+        num_partitions=2,
+    ).to_pandas()
+    counts_ref = ray.put(dict(zip(counts_df[group_col], counts_df["n"])))
+    bound = cap << 64
+
+    def keep(batch: pa.Table) -> pa.Table:
+        counts = ray.get(counts_ref)
+        ids = batch["doc_id"].to_pylist()
+        groups = batch[group_col].to_pylist()
+        mask = []
+        for d, g in zip(ids, groups):
+            c = int(counts.get(g, 0))
+            if c <= cap:
+                mask.append(True)
+                continue
+            h = stable_hash64(f"{REBALANCE_SALT}{d}")     # full 64 bits
+            mask.append(h * c < bound)
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def rebalance_langs(sf_dir: str, cap: int = 100) -> ray.data.Dataset:
+    """(doc_id, lang) rows surviving the language cap — see
+    rebalance_langs_ds."""
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return rebalance_langs_ds(docs, cap)
+
+
+# --------------------------------------------------------------------------
 # Range join within the event stream (bounded-window count per probe row)
 # --------------------------------------------------------------------------
 

@@ -100,6 +100,7 @@ def hot_filtered_buckets(
     bucket_schema: pa.Schema,
     hot_strategy: str = "auto",
     num_partitions: int = 8,
+    n_rows: int | None = None,
 ) -> ray.data.Dataset | None:
     """Reduce bucket rows to those in multi-member buckets (the only rows
     that can generate candidate pairs). Returns None when every bucket is
@@ -107,7 +108,12 @@ def hot_filtered_buckets(
     (``ray.put`` + per-batch Arrow semi-join) and flips to a keyed
     semi-join on a mixed 63-bit key — with post-join exact (band, key)
     re-check — beyond HOT_BROADCAST_MAX; ``hot_strategy`` forces
-    'broadcast' or 'join'."""
+    'broadcast' or 'join'.
+
+    ``n_rows``: bucket-row count hint (free when the caller already
+    materialized the buckets) — sizes the hash-count shuffle to the data
+    so a bench-scale corpus doesn't pay 16 aggregator actors' spin-up
+    for a few thousand rows. Omitted -> the cpu-count default."""
     from ray.data.aggregate import Count
 
     if hot_strategy not in ("auto", "broadcast", "join"):
@@ -148,6 +154,14 @@ def hot_filtered_buckets(
         return out.astype({"band": "int32", "key": "int64"})
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    count_parts = (
+        min(max(8, cpus), 16)
+        if n_rows is None
+        # data-adaptive: one aggregator per ~1M bucket rows, capped at the
+        # cpu-derived ceiling (per-batch partials pre-shrink the shuffle,
+        # so partition width tracks distinct-key volume, not row volume)
+        else max(1, min(min(max(8, cpus), 16), n_rows // 1_000_000 + 1))
+    )
     hot_ds = map_partitions_typed(
         buckets.map_batches(count_partial, batch_format="pyarrow"),
         "bkey",
@@ -159,7 +173,7 @@ def hot_filtered_buckets(
         empty_fn=lambda: pd.DataFrame(
             {"band": pd.Series(dtype="int32"), "key": pd.Series(dtype="int64")}
         ),
-        num_partitions=min(max(8, cpus), 16),
+        num_partitions=count_parts,
     ).materialize()
     n_hot = hot_ds.count()
     if n_hot == 0:
@@ -280,6 +294,7 @@ def candidate_pair_dataset(
     max_bucket: int | None = None,
     hot_strategy: str = "auto",
     num_partitions: int = 8,
+    n_rows: int | None = None,
 ) -> ray.data.Dataset:
     """groupby (band, key) -> DISTINCT unordered candidate pairs as a
     Dataset.
@@ -306,7 +321,8 @@ def candidate_pair_dataset(
         [("doc_id", pa.int64()), ("band", pa.int32()), ("key", pa.int64())]
     )
     filtered = hot_filtered_buckets(
-        buckets, schema, hot_strategy, num_partitions=num_partitions
+        buckets, schema, hot_strategy, num_partitions=num_partitions,
+        n_rows=n_rows,
     )
     if filtered is None:
         return ray.data.from_arrow(
@@ -666,7 +682,8 @@ def minhash_clusters(
     # parquet or accept the recompute — the pipeline shape is unchanged.
     buckets = docs.map_batches(explode_bands, batch_format="pyarrow").materialize()
     candidates = candidate_pair_dataset(
-        buckets, hot_strategy=hot_strategy, num_partitions=num_partitions
+        buckets, hot_strategy=hot_strategy, num_partitions=num_partitions,
+        n_rows=buckets.count(),             # free: buckets just materialized
     ).materialize()                                              # slim int pairs
 
     def _adaptive(n_rows: int) -> int:
@@ -844,7 +861,8 @@ def simhash_pairs(
          ("print", pa.uint64())]
     )
     filtered = hot_filtered_buckets(
-        buckets, schema, hot_strategy, num_partitions=num_partitions
+        buckets, schema, hot_strategy, num_partitions=num_partitions,
+        n_rows=buckets.count(),             # free: buckets just materialized
     )
     if filtered is None:
         return ray.data.from_arrow(

@@ -840,3 +840,47 @@ class TestFuzzyExactDedup:
         assert len(out) == n                       # every pair collapsed
         assert (out["n_variants"] == 2).all()
         assert (out["doc_id"] < 1_000_000).all()   # original id survives
+
+
+class TestRebalanceLangs:
+    def _ds(self, rows):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "lang": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    def test_small_groups_pass_through_exactly(self, ray_session):
+        from ebook_ocr_ray.pipelines.analytics import rebalance_langs_ds
+
+        rows = [(i, "fr") for i in range(10)] + [(100 + i, "en") for i in range(400)]
+        out = rebalance_langs_ds(self._ds(rows), cap=50).to_pandas()
+        fr = out[out.lang == "fr"]
+        assert len(fr) == 10                               # under cap: all kept
+        en = out[out.lang == "en"]
+        # Bernoulli(50/400) over 400 docs: generous 4-sigma band
+        assert 25 <= len(en) <= 85, len(en)
+
+    def test_deterministic_and_reshard_stable(self, ray_session):
+        from ebook_ocr_ray.pipelines.analytics import rebalance_langs_ds
+
+        rows = [(i, "en") for i in range(300)]
+        a = rebalance_langs_ds(self._ds(rows), cap=60).to_pandas()
+        b = (
+            rebalance_langs_ds(self._ds(rows).repartition(7), cap=60)
+            .to_pandas()
+        )
+        assert sorted(a.doc_id) == sorted(b.doc_id)
+
+    def test_cap_at_group_size_is_identity(self, ray_session):
+        from ebook_ocr_ray.pipelines.analytics import rebalance_langs_ds
+
+        rows = [(i, "de") for i in range(40)]
+        out = rebalance_langs_ds(self._ds(rows), cap=40).to_pandas()
+        assert len(out) == 40
