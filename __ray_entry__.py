@@ -430,6 +430,12 @@ def _site_boilerplate(sf_dir: str):
     return site_boilerplate_pages(sf_dir)
 
 
+def _strip_boilerplate(sf_dir: str):
+    from ebook_ocr_ray.pipelines.boilerplate import strip_boilerplate
+
+    return strip_boilerplate(sf_dir)
+
+
 def _dedup_spans(sf_dir: str):
     from ebook_ocr_ray.pipelines.spandedup import remove_duplicated_spans
 
@@ -592,6 +598,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heading_rules": _heading_rules,
         # corpus-level boilerplate mining (groupby site)
         "site_boilerplate": _site_boilerplate,
+        "strip_boilerplate": lambda sf: _sorted_frame(
+            _strip_boilerplate(sf), ["url"]
+        ),
         "heading_pattern_stats": _heading_pattern_stats,
         # global pipeline metrics (one-row aggregate)
         "corpus_metrics": _corpus_metrics,
@@ -1578,5 +1587,21 @@ def oracle_sql() -> dict[str, str]:
                                           ('Contact')) t(line)
             UNION ALL
             SELECT site, 'privacy terms (c) 2026 ' || site FROM sites
+        """,
+        # boilerplate.strip_boilerplate: closed form on the synth corpus —
+        # every base html page loses exactly the 4 nav items + the footer
+        # line; what survives is the 6 aside tags, the title and the body.
+        "strip_boilerplate": """
+            SELECT 'https://site-' || (doc_id % 20) || '.example/doc/' || doc_id
+                     AS url,
+                   'site-' || (doc_id % 20) AS site,
+                   array_to_string(list_transform(range(0, 6),
+                       i -> 'tag-' || ((doc_id + i) % 50)), chr(10))
+                    || chr(10) || 'Document ' || format('{:,}', doc_id)
+                    || chr(10) || text AS clean_text,
+                   5::BIGINT AS n_stripped
+            FROM documents
+            WHERE doc_id % 7 <> 3
+            ORDER BY url
         """,
     }

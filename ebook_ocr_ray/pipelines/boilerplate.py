@@ -142,3 +142,216 @@ def site_boilerplate_pages(sf_dir: str) -> ray.data.Dataset:
     from ebook_ocr_ray.pipelines.extraction import pages_dataset, prepare_pages
 
     return site_boilerplate(prepare_pages(pages_dataset(sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# Boilerplate APPLY (mine -> strip): remove each site's mined lines from
+# its pages — the CCNet/C4 "drop repeated lines" cleaning step, closing
+# the mine->apply loop the way heading_rules closes analyze->normalize.
+# --------------------------------------------------------------------------
+
+# Beyond this many mined (site, line) rows the set stops being broadcast
+# and the apply becomes a keyed join of per-site line-hash blobs onto the
+# pages (the spandedup escape-hatch shape).
+BOILERPLATE_BROADCAST_MAX = 1_000_000
+
+
+def _line_hashes_by_site(mined_df) -> dict[str, np.ndarray]:
+    from ebook_ocr_ray.functions.textstats import stable_hash64
+
+    out: dict[str, np.ndarray] = {}
+    for site, grp in mined_df.groupby("site", sort=False):
+        hs = np.fromiter(
+            (stable_hash64(ln) & ((1 << 63) - 1) for ln in grp["line"]),
+            dtype=np.int64,
+            count=len(grp),
+        )
+        out[site] = np.sort(hs)
+    return out
+
+
+def _strip_blocks(
+    payload: bytes, hot_sorted: np.ndarray
+) -> tuple[str, int]:
+    """Drop non-head DOM blocks whose text hash is in the site's mined
+    set; surviving block texts join with newlines. Membership is by the
+    canonical 63-bit hash (a cross-line collision is deterministic and
+    ~n/2^63; the oracle's string-exact replay proves it never fires at
+    oracle scale)."""
+    from ebook_ocr_ray.functions.textstats import stable_hash64
+
+    kept, stripped = [], 0
+    for block in parse_blocks(payload.decode("utf-8", errors="replace")):
+        if block.in_head:
+            continue
+        text = block.text.strip()
+        if not text:
+            continue
+        h = stable_hash64(text) & ((1 << 63) - 1)
+        if len(hot_sorted):
+            i = np.searchsorted(hot_sorted, h)
+            if i < len(hot_sorted) and hot_sorted[i] == h:
+                stripped += 1
+                continue
+        kept.append(text)
+    return "\n".join(kept), stripped
+
+
+def strip_boilerplate(
+    sf_dir: str,
+    min_ratio: float = 0.5,
+    min_count: int = 2,
+    hot_strategy: str = "auto",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """(url, site, clean_text, n_stripped) for every base html page:
+    mine each site's boilerplate lines (site_boilerplate), then remove
+    those lines from the site's pages and rejoin the surviving DOM block
+    texts. Two passes over the page synthesis (the extract_e2e recompute
+    trade; spool if payloads are expensive to produce).
+
+    The mined set is broadcast while it fits (bounded by the corpus's
+    boilerplate inventory) and flips to a keyed join of per-site
+    line-hash record blobs onto the pages beyond
+    BOILERPLATE_BROADCAST_MAX — ``hot_strategy`` forces either path."""
+    from ebook_ocr_ray.pipelines.extraction import pages_dataset, prepare_pages
+
+    if hot_strategy not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown hot_strategy {hot_strategy!r}")
+
+    mined = site_boilerplate(
+        prepare_pages(pages_dataset(sf_dir)),
+        min_ratio=min_ratio,
+        min_count=min_count,
+        num_partitions=num_partitions,
+    ).materialize()                       # slim (site, line) rows, used once
+    n_mined = mined.count()
+
+    pages = prepare_pages(pages_dataset(sf_dir, kind="html"))
+
+    use_join = hot_strategy == "join" or (
+        hot_strategy == "auto" and n_mined > BOILERPLATE_BROADCAST_MAX
+    )
+    if not use_join:
+        by_site_ref = ray.put(_line_hashes_by_site(mined.to_pandas()))
+        _empty = np.empty(0, dtype=np.int64)
+
+        def strip(batch: pa.Table) -> pa.Table:
+            by_site = ray.get(by_site_ref)
+            urls, sites_o, texts, counts = [], [], [], []
+            for url, site, payload in zip(
+                batch["url"].to_pylist(),
+                batch["site"].to_pylist(),
+                batch["html"].to_pylist(),
+            ):
+                clean, n = _strip_blocks(payload or b"", by_site.get(site, _empty))
+                urls.append(url)
+                sites_o.append(site)
+                texts.append(clean)
+                counts.append(n)
+            return pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "site": pa.array(sites_o, pa.string()),
+                    "clean_text": pa.array(texts, pa.string()),
+                    "n_stripped": pa.array(counts, pa.int64()),
+                }
+            )
+
+        return pages.map_batches(strip, batch_format="pyarrow")
+
+    return _strip_boilerplate_join(pages, mined, num_partitions)
+
+
+def _strip_boilerplate_join(
+    pages: ray.data.Dataset, mined: ray.data.Dataset, num_partitions: int
+) -> ray.data.Dataset:
+    """Keyed path: per-site line-hash record blobs join onto the pages by
+    hashed site; each page strips against its own blob. Pages move once
+    (the _join_pair_texts discipline); no driver state."""
+    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.joins import safe_join
+    from ebook_ocr_ray.pipelines.neardup import _make_collect_records_agg
+
+    def mined_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "skey": _site_key_col(t),
+                "lhash": pa.array(
+                    [
+                        stable_hash64(ln) & ((1 << 63) - 1)
+                        for ln in t["line"].to_pylist()
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    blobs = (
+        mined.map_batches(mined_rows, batch_format="pyarrow")
+        .groupby("skey")
+        .aggregate(_make_collect_records_agg(["lhash"], alias="lblob"))
+    )
+
+    def blob_cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "skey_b": t["skey"].cast(pa.int64()),
+                "lblob": t["lblob"].cast(pa.large_binary()),
+            }
+        )
+
+    def page_slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "site": t["site"],
+                "html": t["html"],
+                "skey": _site_key_col(t),
+            }
+        )
+
+    joined = safe_join(
+        pages.map_batches(page_slim, batch_format="pyarrow"),
+        blobs.map_batches(blob_cast, batch_format="pyarrow"),
+        on="skey",
+        right_on="skey_b",
+        num_partitions=num_partitions,
+        join_type="left_outer",
+        left_schema=pa.schema(
+            [("url", pa.string()), ("site", pa.string()),
+             ("html", pa.binary()), ("skey", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("skey_b", pa.int64()), ("lblob", pa.large_binary())]
+        ),
+    )
+
+    def strip(batch: pa.Table) -> pa.Table:
+        urls, sites_o, texts, counts = [], [], [], []
+        for url, site, payload, blob in zip(
+            batch["url"].to_pylist(),
+            batch["site"].to_pylist(),
+            batch["html"].to_pylist(),
+            batch["lblob"].to_pylist(),
+        ):
+            hot = (
+                np.sort(np.frombuffer(blob, dtype="<u8").astype(np.int64))
+                if blob
+                else np.empty(0, dtype=np.int64)
+            )
+            clean, n = _strip_blocks(payload or b"", hot)
+            urls.append(url)
+            sites_o.append(site)
+            texts.append(clean)
+            counts.append(n)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "site": pa.array(sites_o, pa.string()),
+                "clean_text": pa.array(texts, pa.string()),
+                "n_stripped": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(strip, batch_format="pyarrow")
