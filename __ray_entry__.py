@@ -569,6 +569,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": neighbors.knn_brute,
         "knn_ivf": neighbors.knn_ivf,                    # rows-only (approx)
         "embedding_dup_pairs": neighbors.embedding_dup_pairs,
+        "dedup_semantic": lambda sf: _sorted_frame(
+            neighbors.dedup_semantic(sf), ["vec_id"]
+        ),
         "minhash_clusters": lambda sf: _sorted_frame(
             neardup.minhash_clusters(sf), ["doc_id"]
         ),
@@ -1470,6 +1473,30 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        # neighbors.dedup_semantic: the pair CTE is embedding_dup_pairs'
+        # oracle verbatim; components via the minhash-oracle reach CTE;
+        # survivors = one row per component min with its size.
+        "dedup_semantic": """
+            WITH RECURSIVE
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35),
+            sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT a AS node, b AS r FROM sym
+              UNION
+              SELECT r.node, e.b AS r FROM reach r JOIN sym e ON r.r = e.a),
+            labels AS (SELECT node, LEAST(MIN(r), node) AS label
+                       FROM reach GROUP BY node),
+            lab_all AS (
+              SELECT e.vec_id, COALESCE(l.label, e.vec_id) AS label
+              FROM embeddings e LEFT JOIN labels l ON l.node = e.vec_id)
+            SELECT label::BIGINT AS vec_id, COUNT(*)::BIGINT AS cluster_size
+            FROM lab_all GROUP BY label ORDER BY 1
         """,
         "structural_stats": """
             SELECT doc_id, CAST(3 AS INT) AS n_pages, CAST(1 AS INT) AS n_errors

@@ -484,6 +484,69 @@ def label_propagation_clusters(
     return labels
 
 
+# Edge sets at or under this size take the exact driver union-find fast
+# path in propagate_labels: a keyed propagation round costs two hash
+# joins + one aggregate of FIXED multi-second overhead, which dwarfs the
+# actual work for small graphs (measured: 26 edges cost 39 s keyed, <1 s
+# via union-find). The bound is the same honesty contract as
+# HOT_BROADCAST_MAX — beyond it nothing touches the driver.
+PROP_DRIVER_MAX = 100_000
+
+
+def _union_find_labels(edges_df: "pd.DataFrame") -> pa.Table:
+    """Exact min-label connected components on the driver (bounded input:
+    see PROP_DRIVER_MAX). Path-compressed union by min id, so the root of
+    every set IS the component minimum — identical semantics to the keyed
+    propagation's fixpoint."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(edges_df["id_a"], edges_df["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted(set(map(int, edges_df["id_a"])) | set(map(int, edges_df["id_b"])))
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "label": pa.array([find(n) for n in nodes], pa.int64()),
+        }
+    )
+
+
+def propagate_labels(
+    edges: ray.data.Dataset,
+    n_edges: int | None = None,
+    strategy: str = "auto",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """(node, label) connected components with automatic path selection:
+    exact driver union-find while the edge set is tiny (<= PROP_DRIVER_MAX
+    — fixed per-round shuffle overhead would dominate), fully keyed
+    min-label propagation beyond it with data-adaptive partitioning.
+    ``strategy`` forces 'driver' or 'keyed'. Output is value-identical
+    across paths (equality-tested)."""
+    if strategy not in ("auto", "driver", "keyed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if n_edges is None:
+        n_edges = edges.count()
+    use_driver = strategy == "driver" or (
+        strategy == "auto" and n_edges <= PROP_DRIVER_MAX
+    )
+    if use_driver:
+        return ray.data.from_arrow(_union_find_labels(edges.to_pandas()))
+    parts = max(1, min(num_partitions, n_edges // 100_000 + 1))
+    return label_propagation_keyed(edges, num_partitions=parts)
+
+
 def label_propagation_keyed(
     edges: ray.data.Dataset, max_iters: int | None = None, num_partitions: int = 8
 ) -> ray.data.Dataset:
@@ -739,7 +802,12 @@ def minhash_clusters(
         )
     from ebook_ocr_ray.joins import safe_join
 
-    labels = label_propagation_keyed(edges, num_partitions=_adaptive(n_edges))
+    # auto: exact driver union-find under PROP_DRIVER_MAX edges (the
+    # verified edge set is a SMALL side there — broadcast-class data),
+    # keyed propagation with adaptive partitioning beyond it
+    labels = propagate_labels(
+        edges, n_edges=n_edges, num_partitions=_adaptive(n_edges)
+    )
     joined = safe_join(
         all_ids, labels,
         on="doc_id", right_on="node",

@@ -429,3 +429,88 @@ def embedding_dup_pairs(
         ),
         num_partitions=8,
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): keep ONE representative
+# per embedding-similarity cluster — the "remove semantic duplicates"
+# action composed from the pieces above: label-blocked cosine pairs
+# (embedding_dup_pairs == the within-cluster pair step) + keyed min-label
+# connected components (no driver state) + a keyed survivor count.
+# --------------------------------------------------------------------------
+
+
+def dedup_semantic(
+    sf_dir: str, threshold: float = 0.35, max_block: int | None = None
+) -> ray.data.Dataset:
+    """(vec_id, cluster_size): one row per semantic cluster, vec_id = the
+    cluster's min member (the kept representative), cluster_size = how
+    many embeddings it absorbed (1 for singletons). The pair graph, the
+    propagation and the final count are all keyed — nothing about the
+    cluster structure ever lands on the driver."""
+    import pandas as pd
+
+    from ebook_ocr_ray.groups import map_partitions_typed
+    from ebook_ocr_ray.joins import safe_join
+    from ebook_ocr_ray.pipelines.neardup import propagate_labels
+
+    edges = embedding_dup_pairs(sf_dir, threshold, max_block).materialize()
+    all_ids = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+
+    if edges.count() == 0:
+        return all_ids.map_batches(
+            lambda t: pa.table(
+                {
+                    "vec_id": t["vec_id"].cast(pa.int64()),
+                    "cluster_size": pa.array(
+                        np.ones(len(t), dtype=np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    labels = propagate_labels(edges)                        # (node, label)
+    joined = safe_join(
+        all_ids,
+        labels,
+        on="vec_id",
+        right_on="node",
+        num_partitions=8,
+        join_type="left_outer",
+        left_schema=pa.schema([("vec_id", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+    )
+
+    def label_partial(t: pa.Table) -> pa.Table:
+        lab = pa.compute.coalesce(
+            t["label"].cast(pa.int64()), t["vec_id"].cast(pa.int64())
+        ).to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(lab, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def reduce_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("key", sort=False)["n"].sum().reset_index()
+            .rename(columns={"key": "vec_id", "n": "cluster_size"})
+        )
+        return out.astype({"vec_id": "int64", "cluster_size": "int64"})
+
+    return map_partitions_typed(
+        joined.map_batches(label_partial, batch_format="pyarrow"),
+        "key",
+        reduce_partition,
+        schema=pa.schema([("key", pa.int64()), ("n", pa.int64())]),
+        empty_fn=lambda: pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "cluster_size": pd.Series(dtype="int64"),
+            }
+        ),
+        num_partitions=4,
+    )

@@ -884,3 +884,50 @@ class TestRebalanceLangs:
         rows = [(i, "de") for i in range(40)]
         out = rebalance_langs_ds(self._ds(rows), cap=40).to_pandas()
         assert len(out) == 40
+
+
+class TestDedupSemantic:
+    def test_planted_clusters_and_singletons(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ebook_ocr_ray.pipelines.neighbors import dedup_semantic
+
+        # vecs 0,1,2 identical (one cluster, survivor 0); 3,4 identical
+        # in another label (survivor 3); 5 orthogonal singleton
+        rows = [
+            (0, [1.0, 0.0], 1), (1, [1.0, 0.0], 1), (2, [1.0, 0.0], 1),
+            (3, [0.0, 1.0], 2), (4, [0.0, 1.0], 2),
+            (5, [1.0, 0.0], 2),            # same label as 3/4 but orthogonal
+        ]
+        t = pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        )
+        pq.write_table(t, tmp_path / "embeddings.parquet")
+        out = (
+            dedup_semantic(str(tmp_path))
+            .to_pandas().set_index("vec_id").sort_index()
+        )
+        assert out.to_dict()["cluster_size"] == {0: 3, 3: 2, 5: 1}
+
+    def test_no_pairs_all_singletons(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ebook_ocr_ray.pipelines.neighbors import dedup_semantic
+
+        t = pa.table(
+            {
+                "vec_id": pa.array([1, 2], pa.int64()),
+                "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float32())),
+                "label": pa.array([1, 1], pa.int32()),
+            }
+        )
+        pq.write_table(t, tmp_path / "embeddings.parquet")
+        out = dedup_semantic(str(tmp_path)).to_pandas()
+        assert sorted(out.vec_id) == [1, 2]
+        assert (out.cluster_size == 1).all()

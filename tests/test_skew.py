@@ -176,3 +176,56 @@ class TestConsolidationSkew:
         assert all(p >= 0 for p in pos)
         assert pos == sorted(pos)
         assert out.n_pages.iloc[0] == n
+
+
+class TestPropagateLabels:
+    def _edges(self, pairs):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+                    "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+                }
+            )
+        )
+
+    def test_driver_equals_keyed(self, ray_session):
+        import numpy as np
+
+        from ebook_ocr_ray.pipelines.neardup import propagate_labels
+
+        rng = np.random.RandomState(11)
+        # a chain (diameter > 1), a triangle, a star, and isolated pairs
+        pairs = (
+            [(i, i + 1) for i in range(100, 110)]
+            + [(1, 2), (2, 3), (3, 1)]
+            + [(50, 51), (50, 52), (50, 53)]
+            + [(int(a), int(a) + 1000) for a in rng.randint(200, 900, 20)]
+        )
+        d = (
+            propagate_labels(self._edges(pairs), strategy="driver")
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        k = (
+            propagate_labels(self._edges(pairs), strategy="keyed")
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(d, k)
+        assert (d[d.node.between(100, 110)].label == 100).all()
+
+    def test_union_find_min_label(self):
+        import pandas as pd
+
+        from ebook_ocr_ray.pipelines.neardup import _union_find_labels
+
+        t = _union_find_labels(
+            pd.DataFrame({"id_a": [5, 9, 2], "id_b": [9, 7, 5]})
+        ).to_pandas().set_index("node")["label"]
+        # component {5,9,7,2} -> min 2
+        assert set(t.index) == {2, 5, 7, 9}
+        assert (t == 2).all()
