@@ -442,6 +442,50 @@ def _dedup_spans(sf_dir: str):
     return remove_duplicated_spans(sf_dir)
 
 
+def _pagerank(sf_dir: str):
+    from ebook_ocr_ray.pipelines.linkgraph import pagerank
+
+    return pagerank(sf_dir)
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Closed-form oracle for linkgraph.pagerank: the synth link graph is
+    12 root-relative hrefs per html page, every edge distinct; the
+    integer update rule is replayed verbatim with one CTE layer per
+    iteration (all int64 floor arithmetic — equality by construction,
+    not within-epsilon)."""
+    hrefs = "('/'),('/about'),('/news'),('/contact'),('/t/0'),('/t/1')," \
+            "('/t/2'),('/t/3'),('/t/4'),('/t/5'),('/privacy'),('/terms')"
+    layers = []
+    for k in range(1, iters + 1):
+        layers.append(f"""
+        r{k} AS (
+          SELECT n.url,
+                 150000 + COALESCE(SUM((85 * p.r) // (100 * o.d)), 0) AS r
+          FROM nodes n
+          LEFT JOIN edges e ON e.dst = n.url
+          LEFT JOIN r{k - 1} p ON p.url = e.src
+          LEFT JOIN outdeg o ON o.src = e.src
+          GROUP BY n.url)""")
+    return f"""
+        WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 3),
+        pages AS (SELECT
+            'https://site-' || (doc_id % 20) || '.example' AS host,
+            'https://site-' || (doc_id % 20) || '.example/doc/' || doc_id
+              AS url
+          FROM docs),
+        hrefs(href) AS (VALUES {hrefs}),
+        edges AS (SELECT DISTINCT p.url AS src, p.host || h.href AS dst
+                  FROM pages p CROSS JOIN hrefs h),
+        nodes AS (SELECT src AS url FROM edges
+                  UNION SELECT dst FROM edges),
+        outdeg AS (SELECT src, COUNT(*)::BIGINT AS d FROM edges GROUP BY src),
+        r0 AS (SELECT url, 1000000::BIGINT AS r FROM nodes),
+        {",".join(layers)}
+        SELECT url, r::BIGINT AS rank FROM r{iters} ORDER BY url
+    """
+
+
 def _dedup_spans_sql(k: int = 8, min_count: int = 2) -> str:
     """Closed-form oracle for spandedup.remove_duplicated_spans: spans
     counted by STRING (the jaccard_dup_pairs idiom — the Ray side keys on
@@ -508,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_fallback": _extract_fallback,
         "lineage_sites": _lineage_sites,
         "outlinks": _outlinks,
+        "pagerank": lambda sf: _sorted_frame(_pagerank(sf), ["url"]),
         # relational / windowed (aggregates returned as total-ordered frames)
         "q1_pricing": lambda sf: _sorted_frame(
             analytics.q1_pricing(sf), ["l_returnflag", "l_linestatus"]
@@ -957,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(),
         "jaccard_dup_pairs": _jaccard_dup_pairs_sql(),
         "dedup_spans": _dedup_spans_sql(),
+        "pagerank": _pagerank_sql(),
         # analytics.rebalance_langs: exact-integer language-cap sampling.
         # stable_hash64 replayed in HUGEINT (the simhash-oracle idiom);
         # keep iff count <= cap or hash * count < cap * 2^64 — no float

@@ -1,0 +1,347 @@
+"""Link-graph analytics over the extracted outlink table: PageRank in
+EXACT integer arithmetic — the web-corpus quality prior (domain/page
+authority feeds crawl frontiers and quality-weighted sampling).
+
+Frozen semantics (mirrored op-for-op by the SQL oracle):
+
+  * nodes  = distinct src urls UNION distinct resolved dst urls,
+  * edges  = DISTINCT (src, dst); dst resolves a root-relative href
+    against the src's scheme+host (the synthetic corpus emits only
+    root-relative hrefs; absolute hrefs pass through),
+  * outdeg = distinct outlinks per src,
+  * R_0(v) = SCALE (1e6 integer units),
+  * R_{k+1}(v) = (15 * SCALE) // 100
+                 + sum over in-edges (u, v) of (85 * R_k(u)) // (100 * outdeg(u))
+  * K iterations (default 3), output (url, rank = R_K) as int64.
+
+Every operation is int64 floor arithmetic, so summation order can never
+change a value — the Ray result and the DuckDB replay are equal by
+construction, not within-epsilon. Dangling nodes (no outlinks) simply
+contribute nothing; their mass is not redistributed (documented
+deviation from the textbook formulation — it keeps every step local to
+an edge join).
+
+Scale shape: an iteration is one hash join (ranks onto edges by src)
+plus one keyed sum (contributions by dst) — the propagate_labels round
+shape. While the node table fits the driver (<= PR_DRIVER_MAX, the
+propagate_labels/honesty contract) the whole loop runs vectorized in
+numpy after ONE distributed edge collection; beyond it every iteration
+stays keyed and nothing lands on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+SCALE = 1_000_000
+PR_DRIVER_MAX = 1_000_000       # node-count bound for the driver fast path
+_MASK63 = (1 << 63) - 1
+
+
+def _resolve(src: str, href: str) -> str:
+    if href.startswith("http://") or href.startswith("https://"):
+        return href
+    # scheme://host prefix = everything before the path
+    parts = src.split("/", 3)                    # ['https:', '', host, rest]
+    return f"{parts[0]}//{parts[2]}{href}"
+
+
+def _edges_dataset(sf_dir: str) -> ray.data.Dataset:
+    """DISTINCT (src, dst) edge rows with 63-bit url keys."""
+    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.pipelines.extraction import outlinks
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        seen = set()
+        srcs, dsts, sk, dk = [], [], [], []
+        for src, href in zip(t["url"].to_pylist(), t["href"].to_pylist()):
+            dst = _resolve(src, href)
+            if (src, dst) in seen:
+                continue
+            seen.add((src, dst))
+            srcs.append(src)
+            dsts.append(dst)
+            sk.append(stable_hash64(src) & _MASK63)
+            dk.append(stable_hash64(dst) & _MASK63)
+        return pa.table(
+            {
+                "src": pa.array(srcs, pa.string()),
+                "dst": pa.array(dsts, pa.string()),
+                "src_key": pa.array(sk, pa.int64()),
+                "dst_key": pa.array(dk, pa.int64()),
+            }
+        )
+
+    # per-batch dedup first; the cross-batch DISTINCT is one keyed pass
+    raw = outlinks(sf_dir).map_batches(to_edges, batch_format="pyarrow")
+
+    def uniq_partition(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["src_key", "dst_key"])[
+            ["src", "dst", "src_key", "dst_key"]
+        ]
+
+    from ebook_ocr_ray.groups import map_partitions_typed
+
+    return map_partitions_typed(
+        raw,
+        "src_key",
+        uniq_partition,
+        schema=pa.schema(
+            [("src", pa.string()), ("dst", pa.string()),
+             ("src_key", pa.int64()), ("dst_key", pa.int64())]
+        ),
+        empty_fn=lambda: pd.DataFrame(
+            {
+                "src": pd.Series(dtype="object"),
+                "dst": pd.Series(dtype="object"),
+                "src_key": pd.Series(dtype="int64"),
+                "dst_key": pd.Series(dtype="int64"),
+            }
+        ),
+        num_partitions=4,
+    )
+
+
+def _pagerank_driver(edges_df: pd.DataFrame, iters: int) -> pa.Table:
+    """Vectorized integer PageRank on the driver (bounded input)."""
+    nodes = pd.concat(
+        [
+            edges_df[["src", "src_key"]].rename(
+                columns={"src": "url", "src_key": "key"}
+            ),
+            edges_df[["dst", "dst_key"]].rename(
+                columns={"dst": "url", "dst_key": "key"}
+            ),
+        ]
+    ).drop_duplicates("key").sort_values("url")
+    keys = nodes["key"].to_numpy(dtype=np.int64)
+    order = np.argsort(keys)
+    keys_sorted = keys[order]
+    n = len(keys_sorted)
+
+    src_idx = np.searchsorted(keys_sorted, edges_df["src_key"].to_numpy(np.int64))
+    dst_idx = np.searchsorted(keys_sorted, edges_df["dst_key"].to_numpy(np.int64))
+    outdeg = np.bincount(src_idx, minlength=n).astype(np.int64)
+
+    r = np.full(n, SCALE, dtype=np.int64)
+    base = (15 * SCALE) // 100
+    for _ in range(iters):
+        contrib = (85 * r[src_idx]) // (100 * outdeg[src_idx])
+        nxt = np.full(n, base, dtype=np.int64)
+        np.add.at(nxt, dst_idx, contrib)
+        r = nxt
+
+    rank_by_key = dict(zip(keys_sorted.tolist(), r.tolist()))
+    return pa.table(
+        {
+            "url": pa.array(nodes["url"].tolist(), pa.string()),
+            "rank": pa.array(
+                [rank_by_key[int(k)] for k in nodes["key"]], pa.int64()
+            ),
+        }
+    )
+
+
+def pagerank(
+    sf_dir: str,
+    iters: int = 3,
+    strategy: str = "auto",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """(url, rank) after ``iters`` integer PageRank rounds over the
+    extracted link graph — see module docstring."""
+    if strategy not in ("auto", "driver", "keyed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    edges = _edges_dataset(sf_dir).materialize()     # slim url/key rows
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table({"url": pa.array([], pa.string()),
+                      "rank": pa.array([], pa.int64())})
+        )
+
+    use_driver = strategy == "driver" or (
+        strategy == "auto" and n_edges <= PR_DRIVER_MAX
+    )
+    if use_driver:
+        return ray.data.from_arrow(_pagerank_driver(edges.to_pandas(), iters))
+    return _pagerank_keyed(edges, iters, num_partitions)
+
+
+def _pagerank_keyed(
+    edges: ray.data.Dataset, iters: int, num_partitions: int
+) -> ray.data.Dataset:
+    """Fully keyed path: per iteration, ranks join onto edges by src key
+    and contributions reduce by dst key — nothing on the driver."""
+    from ebook_ocr_ray.groups import map_partitions_typed
+    from ebook_ocr_ray.joins import safe_join
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pa.array(
+                    np.concatenate(
+                        [
+                            t["src_key"].to_numpy(zero_copy_only=False),
+                            t["dst_key"].to_numpy(zero_copy_only=False),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+                "url": pa.array(
+                    t["src"].to_pylist() + t["dst"].to_pylist(), pa.string()
+                ),
+            }
+        )
+
+    def uniq_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("key")[["key", "url"]]
+
+    nodes = map_partitions_typed(
+        edges.map_batches(node_rows, batch_format="pyarrow"),
+        "key",
+        uniq_nodes,
+        schema=pa.schema([("key", pa.int64()), ("url", pa.string())]),
+        empty_fn=lambda: pd.DataFrame(
+            {"key": pd.Series(dtype="int64"), "url": pd.Series(dtype="object")}
+        ),
+        num_partitions=num_partitions,
+    ).materialize()
+
+    # outdeg rides the edges via a keyed count, then joins back on once
+    def deg_partial(t: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            t["src_key"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"key": pa.array(keys, pa.int64()),
+             "n": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+    def deg_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("key", sort=False)["n"].sum().reset_index()
+        return out.rename(columns={"key": "deg_key", "n": "outdeg"}).astype(
+            {"deg_key": "int64", "outdeg": "int64"}
+        )
+
+    deg = map_partitions_typed(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        "key",
+        deg_reduce,
+        schema=pa.schema([("key", pa.int64()), ("n", pa.int64())]),
+        empty_fn=lambda: pd.DataFrame(
+            {"deg_key": pd.Series(dtype="int64"), "outdeg": pd.Series(dtype="int64")}
+        ),
+        num_partitions=num_partitions,
+    )
+
+    slim_edges = edges.map_batches(
+        lambda t: t.select(["src_key", "dst_key"]), batch_format="pyarrow"
+    )
+    edges_deg = safe_join(
+        slim_edges,
+        deg,
+        on="src_key",
+        right_on="deg_key",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("src_key", pa.int64()), ("dst_key", pa.int64())]),
+        right_schema=pa.schema([("deg_key", pa.int64()), ("outdeg", pa.int64())]),
+    ).materialize()                                  # re-joined every round
+
+    base = (15 * SCALE) // 100
+    ranks = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "rkey": t["key"].cast(pa.int64()),
+                "rank": pa.array(np.full(len(t), SCALE, np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        joined = safe_join(
+            edges_deg,
+            ranks,
+            on="src_key",
+            right_on="rkey",
+            num_partitions=num_partitions,
+            left_schema=pa.schema(
+                [("src_key", pa.int64()), ("dst_key", pa.int64()),
+                 ("outdeg", pa.int64())]
+            ),
+            right_schema=pa.schema([("rkey", pa.int64()), ("rank", pa.int64())]),
+        )
+
+        def contrib_partial(t: pa.Table) -> pa.Table:
+            dst = t["dst_key"].to_numpy(zero_copy_only=False)
+            r = t["rank"].to_numpy(zero_copy_only=False)
+            d = t["outdeg"].to_numpy(zero_copy_only=False)
+            c = (85 * r) // (100 * d)
+            df = pd.DataFrame({"key": dst, "n": c})
+            agg = df.groupby("key", sort=False)["n"].sum().reset_index()
+            return pa.Table.from_pandas(
+                agg, preserve_index=False
+            ).replace_schema_metadata(None)
+
+        def contrib_reduce(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("key", sort=False)["n"].sum().reset_index()
+            return out.rename(columns={"key": "ckey", "n": "contrib"}).astype(
+                {"ckey": "int64", "contrib": "int64"}
+            )
+
+        contribs = map_partitions_typed(
+            joined.map_batches(contrib_partial, batch_format="pyarrow"),
+            "key",
+            contrib_reduce,
+            schema=pa.schema([("key", pa.int64()), ("n", pa.int64())]),
+            empty_fn=lambda: pd.DataFrame(
+                {"ckey": pd.Series(dtype="int64"),
+                 "contrib": pd.Series(dtype="int64")}
+            ),
+            num_partitions=num_partitions,
+        )
+
+        with_c = safe_join(
+            nodes,
+            contribs,
+            on="key",
+            right_on="ckey",
+            num_partitions=num_partitions,
+            join_type="left_outer",
+            left_schema=pa.schema([("key", pa.int64()), ("url", pa.string())]),
+            right_schema=pa.schema(
+                [("ckey", pa.int64()), ("contrib", pa.int64())]
+            ),
+        )
+
+        def next_rank(t: pa.Table) -> pa.Table:
+            c = pa.compute.coalesce(
+                t["contrib"].cast(pa.int64()), pa.scalar(0, pa.int64())
+            ).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "rkey": t["key"].cast(pa.int64()),
+                    "rank": pa.array(base + c, pa.int64()),
+                }
+            )
+
+        ranks = with_c.map_batches(next_rank, batch_format="pyarrow").materialize()
+
+    out = safe_join(
+        nodes,
+        ranks,
+        on="key",
+        right_on="rkey",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("key", pa.int64()), ("url", pa.string())]),
+        right_schema=pa.schema([("rkey", pa.int64()), ("rank", pa.int64())]),
+    )
+    return out.map_batches(
+        lambda t: t.select(["url", "rank"]), batch_format="pyarrow"
+    )
