@@ -257,12 +257,18 @@ def priority_revenue(sf_dir: str) -> ray.data.Dataset:
     # partition count ~ HALF the cluster cpus, capped: each partition is a
     # join-aggregator actor that must coexist with the map tasks feeding
     # it; measured at 32 cpus/sf0.1: 8 parts 3.7s, 16 parts 3.8s,
-    # 32 parts 18.9s (aggregators starve their own producers)
+    # 32 parts 18.9s (aggregators starve their own producers). Also
+    # data-adaptive via free parquet metadata: ~300k fact rows per
+    # aggregator (bench-scale corpora stop paying idle-actor spin-up;
+    # at corpus scale the cpu ceiling governs as before).
+    import pyarrow.parquet as _pq
+
+    n_rows = _pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     joined = li.map_batches(slim, batch_format="pyarrow").join(
         orders,
         join_type="inner",
-        num_partitions=max(4, min(16, cpus // 2)),
+        num_partitions=max(4, min(16, cpus // 2, n_rows // 300_000 + 1)),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
