@@ -168,15 +168,15 @@ def typed_keyed_sum(
         )
         return out[key_cols + sum_cols]
 
-    def empty_fn() -> "pd.DataFrame":
-        cols = {}
-        for c in key_cols:
-            cols[c] = pd.Series(
-                dtype=partials_schema.field(c).type.to_pandas_dtype()
-            )
-        for c in sum_cols:
-            cols[c] = pd.Series(dtype="int64")
-        return pd.DataFrame(cols)
+    def empty_fn() -> pa.Table:
+        # an ARROW empty table, not an empty pandas frame: an empty object
+        # Series (the pandas dtype of a string column) infers Arrow type
+        # `null` under from_pandas, which would reintroduce exactly the
+        # schema-mismatch bundles this module exists to eliminate
+        return pa.schema(
+            [partials_schema.field(c) for c in key_cols]
+            + [pa.field(c, pa.int64()) for c in sum_cols]
+        ).empty_table()
 
     schema = pa.schema(
         [partials_schema.field(c) for c in key_cols + sum_cols]

@@ -1082,6 +1082,7 @@ def stratified_sample(sf_dir: str) -> ray.data.Dataset:
 # --------------------------------------------------------------------------
 
 REBALANCE_SALT = "rebalance:"
+_REBALANCE_NULL = "\x00group-null"   # count-table key for null group values
 
 
 def rebalance_langs_ds(
@@ -1102,7 +1103,17 @@ def rebalance_langs_ds(
     from ebook_ocr_ray.groups import typed_keyed_sum
 
     def count_partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({group_col: t[group_col].to_pylist()})
+        # null group values count under a private sentinel so the cap
+        # applies to them too (a dominant null-lang slice must not be
+        # exempt; pandas groupby would silently drop it)
+        df = pd.DataFrame(
+            {
+                group_col: [
+                    _REBALANCE_NULL if v is None else v
+                    for v in t[group_col].to_pylist()
+                ]
+            }
+        )
         agg = df.groupby(group_col, sort=False).size().rename("n").reset_index()
         return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(
             None
@@ -1124,7 +1135,7 @@ def rebalance_langs_ds(
         groups = batch[group_col].to_pylist()
         mask = []
         for d, g in zip(ids, groups):
-            c = int(counts.get(g, 0))
+            c = int(counts.get(_REBALANCE_NULL if g is None else g, 0))
             if c <= cap:
                 mask.append(True)
                 continue

@@ -60,15 +60,14 @@ def _candidate_lines(batch: pa.Table) -> pa.Table:
 
 
 def _site_key_col(t: pa.Table, col: str = "site") -> pa.Array:
-    """Deterministic int63 hash of the site string (md5 prefix — NEVER
-    Python's process-salted str hash) for the keyed totals join.
-    Collisions are tolerated: the post-join filter re-checks exact site
-    equality."""
-    import hashlib
+    """Deterministic int63 hash of the site string — THE canonical stable
+    hash (textstats.stable_hash64) masked positive (NEVER Python's
+    process-salted str hash) for the keyed totals join. Collisions are
+    tolerated: the post-join filter re-checks exact site equality."""
+    from ebook_ocr_ray.functions.textstats import stable_hash64
 
     return pa.array(
-        [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) for s in
-         t[col].to_pylist()],
+        [stable_hash64(s) & ((1 << 63) - 1) for s in t[col].to_pylist()],
         pa.int64(),
     )
 

@@ -23,7 +23,6 @@ the price of shuffling the corpus's shingle rows.
 """
 from __future__ import annotations
 
-import hashlib
 from typing import Iterable
 
 import numpy as np
@@ -91,15 +90,14 @@ def decontaminate_ds(
 
 
 def _shingle_key64(shingles: list[str]) -> np.ndarray:
-    """Deterministic 63-bit int join key for shingle strings (md5 prefix
-    masked positive — process-stable, sentinel-safe). Collisions are
+    """Deterministic 63-bit int join key for shingle strings — THE
+    canonical stable hash (textstats.stable_hash64) masked positive, so
+    every operator's string->int63 key is one recipe. Collisions are
     handled by the post-join exact re-check, not assumed away."""
+    from ebook_ocr_ray.functions.textstats import stable_hash64
+
     return np.array(
-        [
-            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
-            & ((1 << 63) - 1)
-            for s in shingles
-        ],
+        [stable_hash64(s) & ((1 << 63) - 1) for s in shingles],
         dtype=np.int64,
     )
 

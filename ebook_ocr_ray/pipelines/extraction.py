@@ -720,6 +720,17 @@ def extraction_pipeline(
         )
 
     if dedup and spool_dir is not None:
+        import os as _os
+
+        # write_parquet APPENDS by default (Ray 2.49 SaveMode.APPEND): a
+        # reused scratch dir would silently double the corpus and make
+        # every page a byte-identical dup — refuse dirty dirs outright
+        if _os.path.isdir(spool_dir) and _os.listdir(spool_dir):
+            raise ValueError(
+                f"spool_dir {spool_dir!r} is not empty — reusing a spool "
+                "directory appends a second copy of the corpus; pass a "
+                "fresh scratch path"
+            )
         prepared_factory().write_parquet(spool_dir)
         slim = read_parquet_clean(
             spool_dir, columns=["content_sha", "warc_ts", "url"]

@@ -23,10 +23,10 @@ an edge join).
 
 Scale shape: an iteration is one hash join (ranks onto edges by src)
 plus one keyed sum (contributions by dst) — the propagate_labels round
-shape. While the node table fits the driver (<= PR_DRIVER_MAX, the
-propagate_labels/honesty contract) the whole loop runs vectorized in
-numpy after ONE distributed edge collection; beyond it every iteration
-stays keyed and nothing lands on the driver.
+shape. While the EDGE table fits the driver (<= PR_DRIVER_MAX edges,
+the propagate_labels/honesty contract) the whole loop runs vectorized
+in numpy after one distributed edge collection; beyond it every
+iteration stays keyed and nothing lands on the driver.
 """
 
 from __future__ import annotations
@@ -38,7 +38,11 @@ import ray
 import ray.data
 
 SCALE = 1_000_000
-PR_DRIVER_MAX = 1_000_000       # node-count bound for the driver fast path
+# EDGE-count bound for the driver fast path: the fast path collects the
+# (src, dst, keys) edge rows themselves, so the contract is on edges,
+# not nodes — a dense 1M-edge graph over few nodes still ships ~1M url
+# pairs to the driver. Beyond it every iteration stays keyed.
+PR_DRIVER_MAX = 1_000_000
 _MASK63 = (1 << 63) - 1
 
 
@@ -94,14 +98,11 @@ def _edges_dataset(sf_dir: str) -> ray.data.Dataset:
             [("src", pa.string()), ("dst", pa.string()),
              ("src_key", pa.int64()), ("dst_key", pa.int64())]
         ),
-        empty_fn=lambda: pd.DataFrame(
-            {
-                "src": pd.Series(dtype="object"),
-                "dst": pd.Series(dtype="object"),
-                "src_key": pd.Series(dtype="int64"),
-                "dst_key": pd.Series(dtype="int64"),
-            }
-        ),
+        # Arrow empty table (an empty object Series would infer type null)
+        empty_fn=lambda: pa.schema(
+            [("src", pa.string()), ("dst", pa.string()),
+             ("src_key", pa.int64()), ("dst_key", pa.int64())]
+        ).empty_table(),
         num_partitions=4,
     )
 
@@ -207,9 +208,9 @@ def _pagerank_keyed(
         "key",
         uniq_nodes,
         schema=pa.schema([("key", pa.int64()), ("url", pa.string())]),
-        empty_fn=lambda: pd.DataFrame(
-            {"key": pd.Series(dtype="int64"), "url": pd.Series(dtype="object")}
-        ),
+        empty_fn=lambda: pa.schema(
+            [("key", pa.int64()), ("url", pa.string())]
+        ).empty_table(),
         num_partitions=num_partitions,
     ).materialize()
 

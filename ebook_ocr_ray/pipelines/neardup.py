@@ -1043,15 +1043,6 @@ def jaccard_dup_pairs(
             }
         )
 
-    def size_rows(batch: pa.Table) -> pa.Table:
-        ids, ns = [], []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            ids.append(d)
-            ns.append(len(set(word_shingles(t or "", k))))
-        return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "nsh": pa.array(ns, pa.int64())}
-        )
-
     def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
         """One vectorized kernel per hash partition: pandas self-merge on
         the shingle key emits a row per (shared shingle, doc pair), then a
@@ -1080,8 +1071,13 @@ def jaccard_dup_pairs(
     bucket_schema = pa.schema(
         [("band", pa.int32()), ("key", pa.int64()), ("doc_id", pa.int64())]
     )
+    # shingle ONCE: the rows feed three consumers (hot count, hot filter,
+    # per-doc set sizes) — without the materialize each re-executes the
+    # full-corpus word_shingles + md5 pass (slim int rows, the same trade
+    # as the minhash/simhash bucket materialize)
+    srows = docs.map_batches(shingle_rows, batch_format="pyarrow").materialize()
     filtered = hot_filtered_buckets(
-        docs.map_batches(shingle_rows, batch_format="pyarrow"), bucket_schema
+        srows, bucket_schema, n_rows=srows.count()
     )
     if filtered is None:  # every shingle is a singleton: no pairs at all
         return ray.data.from_arrow(
@@ -1113,7 +1109,34 @@ def jaccard_dup_pairs(
         num_partitions=4,
     )
 
-    sizes = docs.map_batches(size_rows, batch_format="pyarrow")
+    # per-doc set sizes from the SAME materialized shingle rows (they are
+    # per-doc distinct by construction): a keyed count, not a re-shingle;
+    # materialized because both joins below consume it
+    def size_partial(t: pa.Table) -> pa.Table:
+        ids, counts = np.unique(
+            t["doc_id"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+    def size_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", sort=False)["n"].sum().reset_index()
+        return out.rename(columns={"n": "nsh"}).astype(
+            {"doc_id": "int64", "nsh": "int64"}
+        )
+
+    sizes = map_partitions_typed(
+        srows.map_batches(size_partial, batch_format="pyarrow"),
+        "doc_id",
+        size_reduce,
+        schema=pa.schema([("doc_id", pa.int64()), ("n", pa.int64())]),
+        empty_fn=lambda: pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "nsh": pd.Series(dtype="int64")}
+        ),
+        num_partitions=4,
+    ).materialize()
     sizes_schema = pa.schema([("doc_id", pa.int64()), ("nsh", pa.int64())])
 
     j1 = safe_join(

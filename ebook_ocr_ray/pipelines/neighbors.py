@@ -207,6 +207,7 @@ def build_ivf_index(
     union read)."""
     import logging
     import os
+    import shutil
 
     logger = logging.getLogger(__name__)
     cent_path = os.path.join(index_dir, "centroids.npy")
@@ -227,27 +228,48 @@ def build_ivf_index(
             .append_column("cell", pa.array(cells, pa.int32()))
         )
 
-    os.makedirs(index_dir, exist_ok=True)
+    # build into a process-private staging dir, then publish by ATOMIC
+    # rename: write_parquet APPENDS into an existing layout (Ray 2.49
+    # SaveMode.APPEND), so a crashed or concurrent build writing straight
+    # into index_dir would silently double every probed cell — the same
+    # atomic-publish discipline as the checkpoint sink
+    tmp_dir = f"{index_dir}.build.{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
     read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(assign, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["cell"]
+        tmp_dir, partition_cols=["cell"]
     )
-    np.save(cent_path, centroids)  # written LAST: marks the index complete
+    np.save(os.path.join(tmp_dir, "centroids.npy"), centroids)
+    if os.path.exists(cent_path):       # a concurrent build published first
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return np.load(cent_path)
+    shutil.rmtree(index_dir, ignore_errors=True)   # dirty partial of a crash
+    try:
+        os.rename(tmp_dir, index_dir)
+    except OSError:                      # lost a publish race: use theirs
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return np.load(cent_path)
     return centroids
 
 
 def default_ivf_index_dir(sf_dir: str, n_cells: int, lloyd_iters: int) -> str:
     """Deterministic scratch location for the IVF layout of one table:
     build is deterministic, so a same-key index can always be reused.
-    The engine version is part of the key — a semantics change invalidates
-    the cache exactly like the checkpoint manifest's version hash."""
+    The engine version AND a content fingerprint of the source file
+    (size + mtime) are part of the key — a semantics change or a
+    regenerated embeddings table invalidates the cache exactly like the
+    checkpoint manifest's version hash (no stale index is ever served)."""
     import hashlib
+    import os
 
     from ebook_ocr_ray.config import ENGINE_VERSION
 
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|{n_cells}|{lloyd_iters}|{ENGINE_VERSION}".encode()
+        f"{sf_dir}|{n_cells}|{lloyd_iters}|{ENGINE_VERSION}"
+        f"|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
     return f"/tmp/ivf_index_{key}"
 

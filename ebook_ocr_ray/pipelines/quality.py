@@ -56,6 +56,7 @@ import ray.data
 from ebook_ocr_ray.reads import read_parquet_clean
 
 CE_QUANT = 1_000_000  # micro-nats
+_NULL_LANG = "\x00lang-null"   # threshold-table key for null-lang rows
 
 
 def _quantize_lp(p_num: int, p_den: int) -> int:
@@ -163,7 +164,14 @@ def quality_thresholds(scored: ray.data.Dataset) -> dict[str, tuple[int, int]]:
                 "ce_milli": t["ce_micro"].to_numpy(zero_copy_only=False) // 1000,
             }
         )
-        agg = df.groupby(["lang", "ce_milli"], sort=False).size().rename("n").reset_index()
+        # null-lang rows (language-ID failure in a real corpus) must reach
+        # the threshold table or the bucket pass would KeyError; a private
+        # sentinel sidesteps pandas' null-group-key semantics entirely
+        df["lang"] = df["lang"].map(lambda x: _NULL_LANG if x is None else x)
+        agg = (
+            df.groupby(["lang", "ce_milli"], sort=False)
+            .size().rename("n").reset_index()
+        )
         return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(
             None
         )
@@ -208,7 +216,7 @@ def quality_buckets_ds(docs: ray.data.Dataset) -> ray.data.Dataset:
         ce = t["ce_micro"].to_numpy(zero_copy_only=False)
         buckets = []
         for lang, c in zip(langs, ce // 1000):
-            t1, t2 = th[lang]
+            t1, t2 = th[_NULL_LANG if lang is None else lang]
             buckets.append("head" if c <= t1 else "middle" if c <= t2 else "tail")
         return t.append_column("bucket", pa.array(buckets, pa.string()))
 

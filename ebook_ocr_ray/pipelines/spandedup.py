@@ -133,15 +133,6 @@ def _count_duplicated_spans(
     )
 
 
-_OUT_SCHEMA = pa.schema(
-    [("doc_id", pa.int64()), ("clean_text", pa.string()), ("n_removed", pa.int64())]
-)
-
-
-def _empty_out() -> pa.Table:
-    return _OUT_SCHEMA.empty_table()
-
-
 def _rebuild_batch_against(
     batch: pa.Table, hot_sorted: np.ndarray, k: int
 ) -> pa.Table:
