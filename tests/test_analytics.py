@@ -931,3 +931,23 @@ class TestDedupSemantic:
         out = dedup_semantic(str(tmp_path)).to_pandas()
         assert sorted(out.vec_id) == [1, 2]
         assert (out.cluster_size == 1).all()
+
+
+class TestRebalanceNullGroup:
+    def test_null_group_is_capped_too(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.analytics import rebalance_langs_ds
+
+        rows = pa.table(
+            {
+                "doc_id": pa.array(list(range(300)), pa.int64()),
+                "lang": pa.array([None] * 290 + ["fr"] * 10, pa.string()),
+            }
+        )
+        out = rebalance_langs_ds(rd.from_arrow(rows), cap=50).to_pandas()
+        nulls = out[out.lang.isna()]
+        # the dominant null slice must NOT be exempt from the cap
+        assert 20 <= len(nulls) <= 85, len(nulls)
+        assert len(out[out.lang == "fr"]) == 10

@@ -98,3 +98,27 @@ class TestModelAndQuantile:
                     f"{expanded!r}) AS x)"
                 ).fetchone()[0]
                 assert _disc_quantile(vals, cnts, q) == want, (expanded, q)
+
+
+class TestNullLangRobustness:
+    def test_null_lang_rows_bucket_without_crash(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.quality import quality_buckets_ds
+
+        rows = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "lang": pa.array(["en", "en", None, None], pa.string()),
+                "text": pa.array(
+                    ["the cat sat", "the dog sat", "zq xv jq", "zq xv jq"],
+                    pa.string(),
+                ),
+            }
+        )
+        out = quality_buckets_ds(rd.from_arrow(rows)).to_pandas().set_index("doc_id")
+        assert len(out) == 4
+        assert set(out["bucket"]) <= {"head", "middle", "tail"}
+        # null-lang docs scored identically -> same bucket
+        assert out.loc[3, "bucket"] == out.loc[4, "bucket"]
