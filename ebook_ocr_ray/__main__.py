@@ -122,6 +122,30 @@ def cmd_lineage(args) -> int:
     return 0
 
 
+def cmd_quality(args) -> int:
+    """CCNet-style quality tiers over the documents table -> parquet."""
+    ray = _ray_session(args.num_cpus)
+    from ebook_ocr_ray.pipelines.quality import quality_buckets
+
+    quality_buckets(args.sf_dir).write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_dedup_spans(args) -> int:
+    """Duplicated-span removal over the documents table -> parquet."""
+    ray = _ray_session(args.num_cpus)
+    from ebook_ocr_ray.pipelines.spandedup import remove_duplicated_spans
+
+    remove_duplicated_spans(
+        args.sf_dir, k=args.k, min_count=args.min_count
+    ).write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_consolidate(args) -> int:
     """Reference Makefile `consolidate` target (step 5): per-url book
     artifacts written as partitioned parquet."""
@@ -198,6 +222,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-dedup", action="store_true")
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_consolidate)
+
+    p = sub.add_parser("quality", help="CCNet-style quality tiers -> parquet")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_quality)
+
+    p = sub.add_parser("dedup-spans", help="duplicated-span removal -> parquet")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--k", type=int, default=8)
+    p.add_argument("--min-count", type=int, default=2)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_dedup_spans)
 
     p = sub.add_parser("neardup", help="MinHash+LSH near-dup clusters")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")

@@ -360,3 +360,17 @@ class TestSpoolMode:
         assert list(a.url) == list(b.url)
         assert list(a.extracted_text) == list(b.extracted_text)
         assert list(a.content_sha) == list(b.content_sha)
+
+
+class TestSpoolDirtyDirGuard:
+    def test_nonempty_spool_dir_rejected(self, ray_session, tmp_path):
+        import pytest
+
+        from conftest import SF_SMOKE
+        from ebook_ocr_ray.pipelines.extraction import extraction_pipeline
+
+        spool = tmp_path / "spool"
+        spool.mkdir()
+        (spool / "leftover.parquet").write_bytes(b"junk")
+        with pytest.raises(ValueError, match="not empty"):
+            extraction_pipeline(SF_SMOKE, dedup=True, spool_dir=str(spool))
