@@ -436,6 +436,12 @@ def _strip_boilerplate(sf_dir: str):
     return strip_boilerplate(sf_dir)
 
 
+def _dedup_incremental(sf_dir: str):
+    from ebook_ocr_ray.pipelines.incremental import dedup_incremental
+
+    return dedup_incremental(sf_dir)
+
+
 def _dedup_spans(sf_dir: str):
     from ebook_ocr_ray.pipelines.spandedup import remove_duplicated_spans
 
@@ -605,6 +611,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": analytics.dedup_exact_docs,
         "dedup_fuzzy_exact": lambda sf: _sorted_frame(
             analytics.dedup_fuzzy_exact(sf), ["doc_id"]
+        ),
+        "dedup_incremental": lambda sf: _sorted_frame(
+            _dedup_incremental(sf), ["doc_id"]
         ),
         "text_profile": analytics.text_profile,
         "quality_buckets": lambda sf: _sorted_frame(
@@ -1486,6 +1495,25 @@ def oracle_sql() -> dict[str, str]:
         # strip non-[a-z0-9 ] -> collapse space runs -> trim). Grouping
         # is by normalized STRING while the pipeline keys on its 63-bit
         # hash — value-hash equality proves collision freedom.
+        # incremental.dedup_incremental: snapshot = doc_id % 3 == 0, the
+        # rest are the indexed history; survive iff the text never
+        # occurred in history AND first-wins within the snapshot. The Ray
+        # side keys on the 63-bit text hash (persisted index rows); the
+        # string-exact oracle is the collision-freedom proof.
+        "dedup_incremental": """
+            WITH newdocs AS (SELECT doc_id, text FROM documents
+                             WHERE doc_id % 3 = 0),
+            hist AS (SELECT DISTINCT text FROM documents
+                     WHERE doc_id % 3 <> 0),
+            surv AS (SELECT text, MIN(doc_id) AS doc_id
+                     FROM newdocs GROUP BY text)
+            SELECT n.doc_id, n.text
+            FROM newdocs n
+            JOIN surv s ON s.doc_id = n.doc_id
+            LEFT JOIN hist h ON h.text = n.text
+            WHERE h.text IS NULL
+            ORDER BY n.doc_id
+        """,
         "dedup_fuzzy_exact": """
             WITH all_docs AS (
               SELECT doc_id, text FROM documents
