@@ -195,7 +195,13 @@ def _publish_index_update(fresh: ray.data.Dataset, index_dir: str) -> None:
     """Append the fresh keys to the index by atomic rename: new files are
     staged in a process-private dir and moved in with unique names; a
     crash mid-update leaves the index exactly as it was."""
-    tmp = f"{index_dir}.update.{os.getpid()}"
+    import uuid
+
+    # a UNIQUE token per update, not just the pid: two updates from the
+    # same process would otherwise collide on the target filename and
+    # os.rename would silently REPLACE the earlier update's keys
+    token = uuid.uuid4().hex[:12]
+    tmp = f"{index_dir}.update.{token}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     fresh.map_batches(
@@ -206,7 +212,7 @@ def _publish_index_update(fresh: ray.data.Dataset, index_dir: str) -> None:
         if name.endswith(".parquet"):
             os.rename(
                 os.path.join(tmp, name),
-                os.path.join(index_dir, f"upd-{os.getpid()}-{i}.parquet"),
+                os.path.join(index_dir, f"upd-{token}-{i}.parquet"),
             )
     shutil.rmtree(tmp, ignore_errors=True)
 

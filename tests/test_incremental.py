@@ -56,6 +56,13 @@ class TestIncrementalDedup:
         # and the update persisted too
         out3 = dedup_incremental_ds(_ds([(5, "gamma")]), idx).to_pandas()
         assert len(out3) == 0
+        # regression: the SECOND same-process update must not have
+        # replaced the first update's files (unique-token filenames) —
+        # alpha/beta from s1 are still indexed
+        out4 = dedup_incremental_ds(
+            _ds([(6, "alpha"), (7, "beta")]), idx
+        ).to_pandas()
+        assert len(out4) == 0
 
     def test_anti_join_equals_broadcast(self, ray_session, tmp_path, monkeypatch):
         import ebook_ocr_ray.pipelines.incremental as inc
