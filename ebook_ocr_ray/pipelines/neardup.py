@@ -657,18 +657,79 @@ def label_propagation_keyed(
     return labels
 
 
+# Candidate-pair counts at or under this take the gather fast path in
+# _join_pair_texts: two hash joins cost multi-second FIXED overhead,
+# while a few thousand candidate texts are broadcast-class data (the
+# propagate_labels/PROP_DRIVER_MAX honesty contract — candidate volume
+# is bounded by true near-dup volume after the hot-bucket filter, and
+# beyond the bound nothing changes: the keyed joins run as before).
+PAIR_TEXT_DRIVER_MAX = 20_000
+
+
 def _join_pair_texts(
-    pairs: ray.data.Dataset, sf_dir: str, num_partitions: int = 8
+    pairs: ray.data.Dataset,
+    sf_dir: str,
+    num_partitions: int = 8,
+    n_pairs: int | None = None,
 ) -> ray.data.Dataset:
-    """Attach both endpoint texts to each candidate pair via two
-    hash-partitioned joins against the documents table — only candidate
-    rows' texts ever move, and nothing lands on the driver."""
+    """Attach both endpoint texts to each candidate pair. Small pair sets
+    (<= PAIR_TEXT_DRIVER_MAX, known free when the caller materialized the
+    candidates) gather the needed texts with ONE streaming membership
+    filter over the documents table — no shuffle at all; larger sets take
+    two hash-partitioned joins, where only candidate rows' texts ever
+    move and nothing lands on the driver."""
     import pyarrow.parquet as pq
 
     from ebook_ocr_ray.joins import safe_join
 
     text_type = pq.read_schema(f"{sf_dir}/documents.parquet").field("text").type
     pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    if n_pairs is not None and n_pairs <= PAIR_TEXT_DRIVER_MAX:
+        pdf = pairs.to_pandas()
+        if "id_a" not in pdf.columns:            # empty frames lose columns
+            return ray.data.from_arrow(
+                pa.schema(
+                    [("id_a", pa.int64()), ("id_b", pa.int64()),
+                     ("text_a", text_type), ("text_b", text_type)]
+                ).empty_table()
+            )
+        ids = np.unique(
+            np.concatenate(
+                [pdf["id_a"].to_numpy(np.int64), pdf["id_b"].to_numpy(np.int64)]
+            )
+        )
+        ids_ref = ray.put(ids)
+
+        def member(t: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(want, d)
+            pos[pos == len(want)] = 0
+            return t.filter(pa.array(want[pos] == d))
+
+        texts = (
+            read_parquet_clean(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+            .map_batches(member, batch_format="pyarrow")
+            .to_pandas()
+        )
+        tmap = dict(zip(texts["doc_id"], texts["text"]))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(pdf["id_a"].to_numpy(np.int64), pa.int64()),
+                    "id_b": pa.array(pdf["id_b"].to_numpy(np.int64), pa.int64()),
+                    "text_a": pa.array(
+                        [tmap.get(i) for i in pdf["id_a"]], text_type
+                    ),
+                    "text_b": pa.array(
+                        [tmap.get(i) for i in pdf["id_b"]], text_type
+                    ),
+                }
+            )
+        )
 
     def docs_as(col: str) -> ray.data.Dataset:
         return read_parquet_clean(
@@ -787,8 +848,9 @@ def minhash_clusters(
         t = batch.filter(pa.array(keep, pa.bool_()))
         return t.select(["id_a", "id_b"])
 
+    n_cand = candidates.count()                          # free: materialized
     edges = (
-        _join_pair_texts(candidates, sf_dir, _adaptive(candidates.count()))
+        _join_pair_texts(candidates, sf_dir, _adaptive(n_cand), n_pairs=n_cand)
         .map_batches(verify, batch_format="pyarrow")
         .materialize()                                   # slim int pairs; the
     )                                                    # propagation re-reads per round

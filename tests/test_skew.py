@@ -229,3 +229,32 @@ class TestPropagateLabels:
         # component {5,9,7,2} -> min 2
         assert set(t.index) == {2, 5, 7, 9}
         assert (t == 2).all()
+
+
+class TestPairTextGather:
+    def test_gather_equals_keyed_join(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from conftest import SF_SMOKE
+        from ebook_ocr_ray.pipelines import neardup
+
+        pairs = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([1, 5, 9], pa.int64()),
+                    "id_b": pa.array([2, 6, 10], pa.int64()),
+                }
+            )
+        )
+        a = (
+            neardup._join_pair_texts(pairs, SF_SMOKE, 1, n_pairs=3)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        b = (
+            neardup._join_pair_texts(pairs, SF_SMOKE, 1, n_pairs=None)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b[a.columns])
+        assert a["text_a"].notna().all() and a["text_b"].notna().all()
