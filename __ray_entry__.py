@@ -629,6 +629,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": lambda sf: _sorted_frame(
             neardup.minhash_clusters(sf), ["doc_id"]
         ),
+        "minhash_clusters_cascade": lambda sf: _sorted_frame(
+            neardup.minhash_clusters_cascade(sf), ["doc_id"]
+        ),
         "simhash_pairs": lambda sf: _sorted_frame(
             neardup.simhash_pairs(sf), ["id_a", "id_b"]
         ),
@@ -1008,6 +1011,12 @@ def oracle_sql() -> dict[str, str]:
         # so it shares the broadcast path's closed-form oracle
         "decontaminate_join": _decontaminate_sql(),
         "minhash_clusters": _minhash_clusters_sql(),
+        # the exact-dedup -> LSH cascade is output-identical BY THEOREM
+        # (identical texts share every shingle, so exact-dup groups are
+        # sub-cliques of near-dup components and each representative is
+        # its group's min id), so it shares the full-corpus oracle — the
+        # decontaminate_join contract
+        "minhash_clusters_cascade": _minhash_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "jaccard_dup_pairs": _jaccard_dup_pairs_sql(),
         "dedup_spans": _dedup_spans_sql(),

@@ -678,11 +678,19 @@ def _join_pair_texts(
     filter over the documents table — no shuffle at all; larger sets take
     two hash-partitioned joins, where only candidate rows' texts ever
     move and nothing lands on the driver."""
+    import os
+
     import pyarrow.parquet as pq
 
     from ebook_ocr_ray.joins import safe_join
 
-    text_type = pq.read_schema(f"{sf_dir}/documents.parquet").field("text").type
+    table_path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(table_path):          # spooled table = a dir of files
+        table_path = os.path.join(
+            table_path,
+            sorted(f for f in os.listdir(table_path) if f.endswith(".parquet"))[0],
+        )
+    text_type = pq.read_schema(table_path).field("text").type
     pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 
     if n_pairs is not None and n_pairs <= PAIR_TEXT_DRIVER_MAX:
@@ -1249,3 +1257,120 @@ def jaccard_dup_pairs(
         return out.filter(pa.array(keep, pa.bool_()))
 
     return j2.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Exact-dedup -> LSH cascade (the prescribed pipeline order for
+# dup-saturated corpora): collapse byte-identical groups FIRST, run the
+# near-dup machinery on the survivors only, then re-attach every exact
+# duplicate to its representative's cluster. On a mirror-heavy corpus
+# this removes the duplicated mass BEFORE pair generation — the measured
+# failure mode it prevents: a 256-way-duplicated 1.28M-doc corpus forms
+# buckets of 256 (below MAX_BUCKET, so not capped) and ~163M TRUE
+# candidate pairs; after exact dedup the same corpus is 5,000 survivors.
+# Output is VALUE-IDENTICAL to minhash_clusters on the full corpus
+# (identical texts share every shingle, so exact-dup groups are
+# sub-cliques of near-dup components, and each representative is its
+# group's min id — the component minimum is unchanged); the query shares
+# minhash_clusters' oracle for exactly that reason.
+# --------------------------------------------------------------------------
+
+
+def minhash_clusters_cascade(
+    sf_dir: str,
+    scratch_dir: str | None = None,
+    **minhash_kwargs,
+) -> ray.data.Dataset:
+    """(doc_id, cluster_id) for every document via exact-dedup ->
+    survivor spool -> minhash_clusters(survivors) -> keyed re-attach.
+    ``scratch_dir`` holds the survivor spool (fresh tmp dir when None;
+    caller-owned lifetime otherwise, the extraction-spool contract)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ebook_ocr_ray.joins import safe_join
+    from ebook_ocr_ray.pipelines.analytics import dedup_exact_docs
+    from ebook_ocr_ray.pipelines.incremental import _snapshot_survivors
+
+    own_scratch = scratch_dir is None
+    if own_scratch:
+        scratch_dir = tempfile.mkdtemp(prefix=f"minhash_cascade_{uuid.uuid4().hex[:8]}_")
+    table_dir = os.path.join(scratch_dir, "documents.parquet")
+    if os.path.isdir(table_dir) and os.listdir(table_dir):
+        raise ValueError(
+            f"cascade scratch {table_dir!r} is not empty (write_parquet "
+            "appends); pass a fresh scratch path"
+        )
+    try:
+        # pass 1: exact survivors (the broadcast dup-groups-only filter)
+        # spooled as a documents table the untouched minhash path can read
+        dedup_exact_docs(sf_dir).write_parquet(table_dir)
+
+        # pass 2: near-dup clusters over survivors only
+        surv_clusters = minhash_clusters(scratch_dir, **minhash_kwargs).materialize()
+
+        # pass 3: every doc -> its exact representative (keyed survivor
+        # agg + hash join on the 63-bit text key; no driver state) -> the
+        # representative's cluster
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        # materialized: a lazy hash-repartition lineage cannot be unioned
+        # with the join's sentinel rows (shuffle-strategy context clash),
+        # and the rows are slim (two int64 per distinct text)
+        reps = _snapshot_survivors(docs).map_batches(
+            lambda t: t.rename_columns(["rkey", "rep"]), batch_format="pyarrow"
+        ).materialize()
+
+        def key_rows(t: pa.Table) -> pa.Table:
+            from ebook_ocr_ray.functions.textstats import stable_hash64
+
+            keys = np.fromiter(
+                (
+                    stable_hash64(x or "") & ((1 << 63) - 1)
+                    for x in t["text"].to_pylist()
+                ),
+                dtype=np.int64,
+                count=len(t),
+            )
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "key": pa.array(keys, pa.int64()),
+                }
+            )
+
+        with_rep = safe_join(
+            docs.map_batches(key_rows, batch_format="pyarrow"),
+            reps,
+            on="key",
+            right_on="rkey",
+            num_partitions=8,
+            left_schema=pa.schema([("doc_id", pa.int64()), ("key", pa.int64())]),
+            right_schema=pa.schema([("rkey", pa.int64()), ("rep", pa.int64())]),
+        )
+        clusters_renamed = surv_clusters.map_batches(
+            lambda t: t.rename_columns(["sdoc", "cluster_id"]),
+            batch_format="pyarrow",
+        )
+        out = safe_join(
+            with_rep.map_batches(
+                lambda t: t.select(["doc_id", "rep"]), batch_format="pyarrow"
+            ),
+            clusters_renamed,
+            on="rep",
+            right_on="sdoc",
+            num_partitions=8,
+            left_schema=pa.schema([("doc_id", pa.int64()), ("rep", pa.int64())]),
+            right_schema=pa.schema([("sdoc", pa.int64()), ("cluster_id", pa.int64())]),
+        ).map_batches(
+            lambda t: t.select(["doc_id", "cluster_id"]), batch_format="pyarrow"
+        )
+        # the joins consume the spool lazily: force execution before the
+        # scratch dir can be deleted
+        return out.materialize() if own_scratch else out
+    finally:
+        if own_scratch:
+            shutil.rmtree(scratch_dir, ignore_errors=True)

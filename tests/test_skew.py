@@ -258,3 +258,50 @@ class TestPairTextGather:
         )
         pd.testing.assert_frame_equal(a, b[a.columns])
         assert a["text_a"].notna().all() and a["text_b"].notna().all()
+
+
+class TestMinhashCascade:
+    def test_cascade_equals_plain(self, ray_session):
+        import pandas as pd
+
+        from conftest import SF_SMOKE
+        from ebook_ocr_ray.pipelines import neardup
+
+        a = (
+            neardup.minhash_clusters(SF_SMOKE)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            neardup.minhash_clusters_cascade(SF_SMOKE)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_mirror_saturated_corpus(self, ray_session, tmp_path):
+        """256 exact copies of each text: plain minhash faces C(256,2)
+        pairs per clique; the cascade collapses to one survivor per text
+        first and every copy inherits the survivor's cluster."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        texts = [f"distinct document number {i} words here now" for i in range(6)]
+        rows_id, rows_tx = [], []
+        for r in range(256):
+            for i, t in enumerate(texts):
+                rows_id.append(r * 1000 + i)
+                rows_tx.append(t)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(rows_id, pa.int64()),
+                    "text": pa.array(rows_tx, pa.string()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        from ebook_ocr_ray.pipelines import neardup
+
+        out = neardup.minhash_clusters_cascade(str(tmp_path)).to_pandas()
+        assert len(out) == 256 * 6
+        # every copy of text i clusters to the min id holding text i (= i)
+        assert (out.cluster_id == out.doc_id % 1000).all()
