@@ -39,13 +39,30 @@ from ebook_ocr_ray.reads import read_parquet_clean
 
 _MASK63 = (1 << 63) - 1
 INDEX_BROADCAST_MAX = 50_000_000          # int64 keys: ~400 MB on a worker
+# Surviving (key, doc_id) rows above this take a keyed join back onto the
+# snapshot instead of a driver broadcast (first ingest of a mostly-novel
+# snapshot makes survivors ~ the snapshot itself).
+SURVIVOR_BROADCAST_MAX = 10_000_000
+
+# NULL text hashes as a private sentinel, DISTINCT from the empty string
+# (SQL NULL never equals '' either). Caveat vs the oracle's pure-SQL NULL
+# semantics: GROUP BY pools NULLs into one group (matching the sentinel)
+# but a JOIN predicate never matches NULL against history — a NULL-text
+# snapshot doc therefore always survives in SQL while the sentinel key CAN
+# match a NULL-text history doc here. The oracle corpus is NULL-free; on
+# real corpora the sentinel behavior (NULL texts dedup against each
+# other) is the useful one.
+_NULL_TEXT = "\x00text-null"
 
 
 def _text_keys(texts: list) -> np.ndarray:
     from ebook_ocr_ray.functions.textstats import stable_hash64
 
     return np.fromiter(
-        (stable_hash64(t or "") & _MASK63 for t in texts),
+        (
+            stable_hash64(_NULL_TEXT if t is None else t) & _MASK63
+            for t in texts
+        ),
         dtype=np.int64,
         count=len(texts),
     )
@@ -96,20 +113,16 @@ def dedup_incremental_ds(
     atomic publish. See module docstring for semantics."""
     survivors = _snapshot_survivors(snapshot).materialize()  # slim int rows
 
-    index_files = (
-        sorted(
-            os.path.join(index_dir, f)
-            for f in os.listdir(index_dir)
-            if f.endswith(".parquet")
-        )
-        if index_dir is not None and os.path.isdir(index_dir)
-        else []
-    )
+    index_files = _index_files(index_dir)
     if index_files:
-        # explicit file list: the index dir also holds the _complete
-        # marker, which a bare directory read would choke on
+        # explicit file list: the index dir also holds non-parquet
+        # markers, which a bare directory read would choke on
         old = read_parquet_clean(index_files, columns=["key"])
-        n_old = old.count()
+        # row count from the parquet FOOTERS — a Dataset.count() here
+        # would execute a full distributed read just to pick a branch
+        import pyarrow.parquet as pq
+
+        n_old = sum(pq.read_metadata(f).num_rows for f in index_files)
         if n_old > INDEX_BROADCAST_MAX:
             fresh = _anti_join_index(survivors, old, num_partitions)
         else:
@@ -135,8 +148,32 @@ def dedup_incremental_ds(
     if update_index and index_dir is not None:
         _publish_index_update(fresh, index_dir)
 
-    # survivors' full rows: broadcast the surviving doc_id set (bounded
-    # by snapshot novelty) and filter the snapshot stream
+    # survivors' full rows: broadcast the surviving doc_id set while it
+    # fits (first ingest of a mostly-novel snapshot makes survivors ~ the
+    # snapshot, so this gather is BOUNDED and flips to a keyed join)
+    if fresh.count() > SURVIVOR_BROADCAST_MAX:
+        from ebook_ocr_ray.joins import safe_join
+
+        fresh_ids = fresh.map_batches(
+            lambda t: pa.table({"fid": t["doc_id"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        snap_schema = pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string())]
+        )
+        joined = safe_join(
+            snapshot,
+            fresh_ids,
+            on="doc_id",
+            right_on="fid",
+            num_partitions=num_partitions,
+            left_schema=snap_schema,
+            right_schema=pa.schema([("fid", pa.int64())]),
+        )
+        return joined.map_batches(
+            lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+        )
+
     fdf = fresh.to_pandas()
     keep_ids = (
         np.sort(fdf["doc_id"].to_numpy(dtype=np.int64, copy=False))
@@ -155,6 +192,19 @@ def dedup_incremental_ds(
         return t.filter(pa.array(ids[pos] == d))
 
     return snapshot.map_batches(keep_rows, batch_format="pyarrow")
+
+
+def _index_files(index_dir: str | None) -> list[str]:
+    """All parquet files of the index, RECURSIVELY: updates publish as
+    atomically-renamed subdirectories (see _publish_index_update)."""
+    if index_dir is None or not os.path.isdir(index_dir):
+        return []
+    out: list[str] = []
+    for root, _dirs, files in os.walk(index_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
 
 
 def _anti_join_index(
@@ -192,14 +242,15 @@ def _anti_join_index(
 
 
 def _publish_index_update(fresh: ray.data.Dataset, index_dir: str) -> None:
-    """Append the fresh keys to the index by atomic rename: new files are
-    staged in a process-private dir and moved in with unique names; a
-    crash mid-update leaves the index exactly as it was."""
+    """Append the fresh keys to the index by ONE atomic rename: the
+    update's files are staged in a process-private dir which is then
+    renamed INTO the index as a subdirectory (readers list parquet files
+    recursively) — multi-file updates publish all-or-nothing, so a crash
+    mid-update leaves the index exactly as it was. The token is unique
+    per update (not just per pid): repeated updates from one process must
+    never collide."""
     import uuid
 
-    # a UNIQUE token per update, not just the pid: two updates from the
-    # same process would otherwise collide on the target filename and
-    # os.rename would silently REPLACE the earlier update's keys
     token = uuid.uuid4().hex[:12]
     tmp = f"{index_dir}.update.{token}"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -208,13 +259,7 @@ def _publish_index_update(fresh: ray.data.Dataset, index_dir: str) -> None:
         lambda t: t.select(["key"]), batch_format="pyarrow"
     ).write_parquet(tmp)
     os.makedirs(index_dir, exist_ok=True)
-    for i, name in enumerate(sorted(os.listdir(tmp))):
-        if name.endswith(".parquet"):
-            os.rename(
-                os.path.join(tmp, name),
-                os.path.join(index_dir, f"upd-{token}-{i}.parquet"),
-            )
-    shutil.rmtree(tmp, ignore_errors=True)
+    os.rename(tmp, os.path.join(index_dir, f"upd-{token}"))
 
 
 # Snapshot membership for the self-contained query: every third doc is
@@ -227,7 +272,13 @@ def dedup_incremental(sf_dir: str, index_dir: str | None = None) -> ray.data.Dat
     form the NEW snapshot; the rest are the already-ingested history,
     whose index is built (via the same survivor pass) into a scratch dir
     and then consulted. Output: the snapshot docs that are genuinely new
-    (text never seen in history, first-wins within the snapshot)."""
+    (text never seen in history, first-wins within the snapshot).
+
+    ``index_dir``: a CALLER-OWNED existing index to consult AS-IS
+    (e.g. one accumulated via ``dedup_incremental_ds(update_index=True)``)
+    — the wrapper never deletes, rebuilds or writes into it. The
+    demo history index is only built when index_dir is None, into a
+    content-fingerprinted private scratch (atomic publish)."""
     import hashlib
 
     from ebook_ocr_ray.config import ENGINE_VERSION
@@ -244,19 +295,22 @@ def dedup_incremental(sf_dir: str, index_dir: str | None = None) -> ray.data.Dat
 
         return f
 
-    old = docs.map_batches(_part(False), batch_format="pyarrow")
     new = docs.map_batches(_part(True), batch_format="pyarrow")
+    if index_dir is not None:
+        # user-owned index: consult only, never touch
+        return dedup_incremental_ds(new, index_dir)
 
-    if index_dir is None:
-        st = os.stat(f"{sf_dir}/documents.parquet")
-        key = hashlib.md5(
-            f"{sf_dir}|{SNAPSHOT_MOD}|{ENGINE_VERSION}|{st.st_size}|{st.st_mtime_ns}"
-            .encode()
-        ).hexdigest()[:16]
-        index_dir = f"/tmp/dedup_index_{key}"
+    old = docs.map_batches(_part(False), batch_format="pyarrow")
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|{SNAPSHOT_MOD}|{ENGINE_VERSION}|{st.st_size}|{st.st_mtime_ns}"
+        .encode()
+    ).hexdigest()[:16]
+    index_dir = f"/tmp/dedup_index_{key}"
     marker = os.path.join(index_dir, "_complete.json")
     if not os.path.exists(marker):
-        # build the history index once (atomic publish, IVF-cache style)
+        # build the history index once (atomic publish, IVF-cache style;
+        # only this PRIVATE scratch dir is ever rebuilt/deleted)
         tmp = f"{index_dir}.build.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)

@@ -707,6 +707,13 @@ def _join_pair_texts(
                 [pdf["id_a"].to_numpy(np.int64), pdf["id_b"].to_numpy(np.int64)]
             )
         )
+        if len(ids) == 0:
+            return ray.data.from_arrow(
+                pa.schema(
+                    [("id_a", pa.int64()), ("id_b", pa.int64()),
+                     ("text_a", text_type), ("text_b", text_type)]
+                ).empty_table()
+            )
         ids_ref = ray.put(ids)
 
         def member(t: pa.Table) -> pa.Table:
@@ -723,17 +730,27 @@ def _join_pair_texts(
             .map_batches(member, batch_format="pyarrow")
             .to_pandas()
         )
-        tmap = dict(zip(texts["doc_id"], texts["text"]))
+        tmap = (
+            dict(zip(texts["doc_id"], texts["text"]))
+            if "doc_id" in texts.columns           # empty frames lose columns
+            else {}
+        )
+        # drop pairs whose endpoint is absent from the table: the keyed
+        # path's INNER joins do the same, keeping the two paths identical
+        keep = pdf["id_a"].map(tmap.__contains__) & pdf["id_b"].map(
+            tmap.__contains__
+        )
+        pdf = pdf[keep]
         return ray.data.from_arrow(
             pa.table(
                 {
                     "id_a": pa.array(pdf["id_a"].to_numpy(np.int64), pa.int64()),
                     "id_b": pa.array(pdf["id_b"].to_numpy(np.int64), pa.int64()),
                     "text_a": pa.array(
-                        [tmap.get(i) for i in pdf["id_a"]], text_type
+                        [tmap[i] for i in pdf["id_a"]], text_type
                     ),
                     "text_b": pa.array(
-                        [tmap.get(i) for i in pdf["id_b"]], text_type
+                        [tmap[i] for i in pdf["id_b"]], text_type
                     ),
                 }
             )
@@ -1269,10 +1286,16 @@ def jaccard_dup_pairs(
 # buckets of 256 (below MAX_BUCKET, so not capped) and ~163M TRUE
 # candidate pairs; after exact dedup the same corpus is 5,000 survivors.
 # Output is VALUE-IDENTICAL to minhash_clusters on the full corpus
-# (identical texts share every shingle, so exact-dup groups are
-# sub-cliques of near-dup components, and each representative is its
-# group's min id — the component minimum is unchanged); the query shares
-# minhash_clusters' oracle for exactly that reason.
+# whenever no bucket overflows MAX_BUCKET (identical texts share every
+# shingle, so exact-dup groups are sub-cliques of near-dup components,
+# and each representative is its group's min id — the component minimum
+# is unchanged); the query shares minhash_clusters' oracle for exactly
+# that reason, and the oracle precondition (no overflow) is the same.
+# Past the cap the two paths legitimately diverge IN THE CASCADE'S
+# FAVOR: the full run's star fallback drops edges that the smaller
+# post-dedup buckets retain, so the cascade has strictly better recall
+# on mirror-heavy corpora — equality is an at-oracle-scale contract,
+# not a universal one.
 # --------------------------------------------------------------------------
 
 
@@ -1325,20 +1348,14 @@ def minhash_clusters_cascade(
         ).materialize()
 
         def key_rows(t: pa.Table) -> pa.Table:
-            from ebook_ocr_ray.functions.textstats import stable_hash64
+            # the SAME key recipe as _snapshot_survivors (one canonical
+            # string->int63 hash; any drift breaks the rep join silently)
+            from ebook_ocr_ray.pipelines.incremental import _text_keys
 
-            keys = np.fromiter(
-                (
-                    stable_hash64(x or "") & ((1 << 63) - 1)
-                    for x in t["text"].to_pylist()
-                ),
-                dtype=np.int64,
-                count=len(t),
-            )
             return pa.table(
                 {
                     "doc_id": t["doc_id"].cast(pa.int64()),
-                    "key": pa.array(keys, pa.int64()),
+                    "key": pa.array(_text_keys(t["text"].to_pylist()), pa.int64()),
                 }
             )
 
