@@ -261,9 +261,11 @@ def priority_revenue(sf_dir: str) -> ray.data.Dataset:
     # data-adaptive via free parquet metadata: ~300k fact rows per
     # aggregator (bench-scale corpora stop paying idle-actor spin-up;
     # at corpus scale the cpu ceiling governs as before).
-    import pyarrow.parquet as _pq
+    from ebook_ocr_ray.reads import parquet_num_rows
 
-    n_rows = _pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    # footer-only count that also handles a DIRECTORY of parquet files
+    # (the spooled-table layout) — pq.ParquetFile(path) throws on dirs
+    n_rows = parquet_num_rows(f"{sf_dir}/lineitem.parquet")
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     joined = li.map_batches(slim, batch_format="pyarrow").join(
         orders,
@@ -594,6 +596,15 @@ def fuzzy_normalize(text: str | None) -> str:
     return _FUZZY_SPACE_RE.sub(" ", t).strip()
 
 
+# Variant ids in the fuzzy-dedup demo wrapper set a bit OUTSIDE any real
+# doc-id range (2^40 ~ 1.1e12 > a 10^12-page corpus's ids) instead of
+# adding a fixed offset: `doc_id + 1_000_000` collided with genuine ids
+# on corpora >= 1M docs, silently distorting min-id survivor selection
+# and n_variants (the SQL oracle replayed the same rule, masking it).
+# Mirrored verbatim in the oracle (doc_id | 1099511627776).
+VARIANT_ID_BIT = 1 << 40
+
+
 def dedup_fuzzy_exact_ds(
     docs: ray.data.Dataset, num_partitions: int = 8
 ) -> ray.data.Dataset:
@@ -655,7 +666,7 @@ def dedup_fuzzy_exact_ds(
 def dedup_fuzzy_exact(sf_dir: str) -> ray.data.Dataset:
     """Query wrapper: the corpus has no casing/punctuation variants by
     construction, so the demonstration UNIONS a deterministic perturbed
-    copy of every document (doc_id + 1_000_000, uppercased, doubled
+    copy of every document (doc_id | VARIANT_ID_BIT, uppercased, doubled
     spaces + trailing '!!') — normalization must collapse each pair back
     to one survivor with n_variants == 2. The perturbation is replayed
     verbatim in the SQL oracle."""
@@ -670,7 +681,7 @@ def dedup_fuzzy_exact(sf_dir: str) -> ray.data.Dataset:
         return pa.table(
             {
                 "doc_id": pa.array(
-                    np.concatenate([ids, ids + 1_000_000]), pa.int64()
+                    np.concatenate([ids, ids | VARIANT_ID_BIT]), pa.int64()
                 ),
                 "text": pa.array(texts + v_texts, pa.string()),
             }

@@ -538,6 +538,12 @@ def propagate_labels(
         raise ValueError(f"unknown strategy {strategy!r}")
     if n_edges is None:
         n_edges = edges.count()
+    if n_edges == 0:
+        # guard BEFORE the driver path: an empty edge Dataset's to_pandas
+        # frame loses its columns, so _union_find_labels would KeyError
+        return ray.data.from_arrow(
+            pa.schema([("node", pa.int64()), ("label", pa.int64())]).empty_table()
+        )
     use_driver = strategy == "driver" or (
         strategy == "auto" and n_edges <= PROP_DRIVER_MAX
     )

@@ -82,9 +82,9 @@ def _load_training_sample(
     keeps the sample unbiased and non-empty for ANY id space — sparse,
     offset, or structured ids included. The filter runs distributed
     inside map_batches."""
-    import pyarrow.parquet as pq
+    from ebook_ocr_ray.reads import parquet_num_rows
 
-    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    n_rows = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
     step = max(1, n_rows // cap)
 
     def hash_stride(batch: pa.Table) -> pa.Table:
@@ -318,8 +318,10 @@ def knn_ivf(
     cell_files = sorted(
         f for d in cell_dirs for f in glob.glob(os.path.join(d, "*.parquet"))
     )
-    rows_total = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    rows_read = sum(pq.ParquetFile(f).metadata.num_rows for f in cell_files)
+    from ebook_ocr_ray.reads import parquet_num_rows
+
+    rows_total = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    rows_read = sum(pq.read_metadata(f).num_rows for f in cell_files)
     logger.info(
         "ivf partition pruning: reading %d of %d rows (%.1f%%) from %d of %d "
         "cells (nprobe=%d, union over %d queries)",

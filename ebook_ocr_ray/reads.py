@@ -35,3 +35,22 @@ def read_parquet_clean(paths, **kwargs) -> ray.data.Dataset:
     return ray.data.read_parquet(paths, **kwargs).map_batches(
         _strip_meta, batch_format="pyarrow"
     )
+
+
+def parquet_num_rows(path: str) -> int:
+    """Row count from parquet FOOTERS only (no data read), handling both a
+    single file and a directory of files (the spooled-table layout that a
+    bare ``pq.ParquetFile(path)`` chokes on). Non-parquet siblings
+    (markers, manifests) are skipped; nested dirs (hive layouts) walk."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        return pq.read_metadata(path).num_rows
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, f)).num_rows
+    return total

@@ -839,7 +839,9 @@ class TestFuzzyExactDedup:
         n = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
         assert len(out) == n                       # every pair collapsed
         assert (out["n_variants"] == 2).all()
-        assert (out["doc_id"] < 1_000_000).all()   # original id survives
+        from ebook_ocr_ray.pipelines.analytics import VARIANT_ID_BIT
+
+        assert (out["doc_id"] < VARIANT_ID_BIT).all()  # original id survives
 
 
 class TestRebalanceLangs:
