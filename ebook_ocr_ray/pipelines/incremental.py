@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 import numpy as np
 import pandas as pd
@@ -243,23 +242,21 @@ def _anti_join_index(
 
 def _publish_index_update(fresh: ray.data.Dataset, index_dir: str) -> None:
     """Append the fresh keys to the index by ONE atomic rename: the
-    update's files are staged in a process-private dir which is then
-    renamed INTO the index as a subdirectory (readers list parquet files
-    recursively) — multi-file updates publish all-or-nothing, so a crash
-    mid-update leaves the index exactly as it was. The token is unique
-    per update (not just per pid): repeated updates from one process must
-    never collide."""
-    import uuid
+    update's files are staged in a process-private SIBLING dir which is
+    then renamed INTO the index as a subdirectory (readers list parquet
+    files recursively) — multi-file updates publish all-or-nothing, so a
+    crash mid-update leaves the index exactly as it was. staging_dir
+    normalizes the path first: a trailing slash on index_dir would
+    otherwise land the staging dir INSIDE the index, where a concurrent
+    reader's recursive walk could pick up partially written files."""
+    from ebook_ocr_ray.state.atomic import publish_into, staging_dir
 
-    token = uuid.uuid4().hex[:12]
-    tmp = f"{index_dir}.update.{token}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+    tmp = staging_dir(index_dir, kind="update")
+    token = tmp.rsplit(".", 1)[1]
     fresh.map_batches(
         lambda t: t.select(["key"]), batch_format="pyarrow"
     ).write_parquet(tmp)
-    os.makedirs(index_dir, exist_ok=True)
-    os.rename(tmp, os.path.join(index_dir, f"upd-{token}"))
+    publish_into(tmp, index_dir, f"upd-{token}")
 
 
 # Snapshot membership for the self-contained query: every third doc is
@@ -307,25 +304,24 @@ def dedup_incremental(sf_dir: str, index_dir: str | None = None) -> ray.data.Dat
         .encode()
     ).hexdigest()[:16]
     index_dir = f"/tmp/dedup_index_{key}"
-    marker = os.path.join(index_dir, "_complete.json")
-    if not os.path.exists(marker):
-        # build the history index once (atomic publish, IVF-cache style;
-        # only this PRIVATE scratch dir is ever rebuilt/deleted)
-        tmp = f"{index_dir}.build.{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp, exist_ok=True)
+
+    def _complete(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_complete.json"))
+
+    if not _complete(index_dir):
+        # build the history index once; publish_build never deletes a
+        # complete index (a concurrent winner's copy is kept — the build
+        # is deterministic), and a markerless crashed partial is renamed
+        # aside atomically, so a concurrent reader never sees the index
+        # path transiently missing after it was complete
+        from ebook_ocr_ray.state.atomic import publish_build, staging_dir
+
+        tmp = staging_dir(index_dir)
         _snapshot_survivors(old).map_batches(
             lambda t: t.select(["key"]), batch_format="pyarrow"
         ).write_parquet(tmp)
         with open(os.path.join(tmp, "_complete.json"), "w") as f:
             json.dump({"mod": SNAPSHOT_MOD}, f)
-        if not os.path.exists(marker):
-            shutil.rmtree(index_dir, ignore_errors=True)
-            try:
-                os.rename(tmp, index_dir)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            shutil.rmtree(tmp, ignore_errors=True)
+        publish_build(tmp, index_dir, _complete)
 
     return dedup_incremental_ds(new, index_dir)

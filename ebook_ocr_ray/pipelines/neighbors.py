@@ -207,7 +207,6 @@ def build_ivf_index(
     union read)."""
     import logging
     import os
-    import shutil
 
     logger = logging.getLogger(__name__)
     cent_path = os.path.join(index_dir, "centroids.npy")
@@ -231,26 +230,26 @@ def build_ivf_index(
     # build into a process-private staging dir, then publish by ATOMIC
     # rename: write_parquet APPENDS into an existing layout (Ray 2.49
     # SaveMode.APPEND), so a crashed or concurrent build writing straight
-    # into index_dir would silently double every probed cell — the same
-    # atomic-publish discipline as the checkpoint sink
-    tmp_dir = f"{index_dir}.build.{os.getpid()}"
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    os.makedirs(tmp_dir, exist_ok=True)
+    # into index_dir would silently double every probed cell. The shared
+    # publish_build helper carries the race discipline: a complete index
+    # (centroids.npy present) is never deleted, a crashed markerless
+    # partial is renamed aside atomically, and a lost race yields to the
+    # winner's copy (the build is deterministic, so copies are equal).
+    from ebook_ocr_ray.state.atomic import publish_build, staging_dir
+
+    tmp_dir = staging_dir(index_dir)
     read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(assign, batch_format="pyarrow").write_parquet(
         tmp_dir, partition_cols=["cell"]
     )
     np.save(os.path.join(tmp_dir, "centroids.npy"), centroids)
-    if os.path.exists(cent_path):       # a concurrent build published first
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        return np.load(cent_path)
-    shutil.rmtree(index_dir, ignore_errors=True)   # dirty partial of a crash
-    try:
-        os.rename(tmp_dir, index_dir)
-    except OSError:                      # lost a publish race: use theirs
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        return np.load(cent_path)
+
+    def _complete(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "centroids.npy"))
+
+    if not publish_build(tmp_dir, index_dir, _complete):
+        return np.load(cent_path)        # a concurrent build won — use it
     return centroids
 
 

@@ -161,8 +161,11 @@ def run_checkpointed_extraction(
             src = os.path.join(tmp_dir, f"part_id={part}")
             dst = os.path.join(out_dir, f"part_id={part}")
             if os.path.exists(src):
-                shutil.rmtree(dst, ignore_errors=True)
-                os.replace(src, dst)                      # atomic publish
+                # overwrite-publish: the MANIFEST (not the dir) is the
+                # completeness record, so replacing a stale version is safe
+                from ebook_ocr_ray.state.atomic import replace_dir
+
+                replace_dir(src, dst)
             else:
                 # a zero-row partition still "publishes": remove any stale
                 # directory from a previous engine version, otherwise a
