@@ -117,6 +117,33 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def embedding_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """C-speed decode of a list<float> column into an (n, d) float64
+    matrix: flatten the Arrow child buffer and reshape — replaces the
+    per-row Python decode of ``to_pylist()`` (noise at 2k vectors, THE
+    stage cost at 10^9). Zero-copy from the child buffer up to the dtype
+    cast; ragged or null-bearing columns (never produced by the embedding
+    tables) fall back to the row-wise path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if col.null_count == 0:
+        if pa.types.is_fixed_size_list(col.type):
+            d = col.type.list_size
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64, copy=False).reshape(n, d)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            offsets = col.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offsets)
+            if widths.size and (widths == widths[0]).all():
+                d = int(widths[0])
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                return flat.astype(np.float64, copy=False).reshape(n, d)
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
 def knn_brute(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.data.Dataset:
     """Exact cosine top-k for the first ``n_queries`` vec_ids against the
     whole table. Returns (qid, nid, rank) — ints only, so the oracle
@@ -135,9 +162,7 @@ def knn_brute(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.data.Dataset:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            mat = _normalize(
-                np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-            )
+            mat = _normalize(embedding_matrix(batch["embedding"]))
             sims = self.q_mat @ mat.T                      # (Q, B)
             out_q, out_n, out_s = [], [], []
             for qi, qid in enumerate(self.q_ids):
@@ -219,7 +244,7 @@ def build_ivf_index(
 
     def assign(batch: pa.Table) -> pa.Table:
         cents = ray.get(cent_ref)
-        mat = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        mat = _normalize(embedding_matrix(batch["embedding"]))
         cells = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
         return (
             batch.select(["vec_id", "embedding"])
@@ -335,7 +360,7 @@ def knn_ivf(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            mat = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+            mat = _normalize(embedding_matrix(batch["embedding"]))
             cells = batch["cell_id"].to_numpy(zero_copy_only=False)
             out_q, out_n, out_s = [], [], []
             for qi, qid in enumerate(self.q_ids):

@@ -83,6 +83,37 @@ class TestNeighbors:
 
         assert_matches_oracle(knn_brute(SF), con, e.oracle_sql()["knn_brute"])
 
+    def test_embedding_matrix_equals_pylist_decode(self):
+        """The flatten->reshape decode must be value-identical to the
+        row-wise to_pylist path on every layout it fast-paths: chunked
+        list, sliced list, fixed-size list, sliced fixed-size list.
+        (Ragged/null columns can't form a matrix in EITHER path; the
+        embedding tables never produce them.)"""
+        import numpy as np
+        import pyarrow as pa
+
+        from ebook_ocr_ray.pipelines.neighbors import embedding_matrix
+
+        rng = np.random.default_rng(7)
+        m = rng.random((10, 8))
+        as_list = pa.chunked_array(
+            [pa.array(list(m[:6])), pa.array(list(m[6:]))]
+        )
+        for col in (
+            as_list,
+            as_list.combine_chunks().slice(2, 5),
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), pa.float64()), 8
+            ),
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), pa.float64()), 8
+            ).slice(3, 4),
+        ):
+            got = embedding_matrix(col)
+            want = np.asarray(col.to_pylist(), dtype=np.float64)
+            assert np.array_equal(got, want, equal_nan=True)
+        assert embedding_matrix(pa.array([], pa.list_(pa.float64()))).shape == (0, 0)
+
     def test_knn_ivf_mostly_agrees_with_brute(self, ray_session):
         from ebook_ocr_ray.pipelines.neighbors import knn_brute, knn_ivf
 
