@@ -791,6 +791,7 @@ def minhash_clusters(
     jaccard_threshold: float = 0.7,
     num_partitions: int = 8,
     hot_strategy: str = "auto",
+    spool_dir: str | None = None,
 ) -> ray.data.Dataset:
     """(doc_id, cluster_id) for every document; cluster_id = min doc_id of
     the near-dup component (singletons map to themselves).
@@ -798,8 +799,16 @@ def minhash_clusters(
     Fully distributed end to end: banded LSH blocking -> capped per-bucket
     pair generation -> keyed pair dedup -> join-based exact-Jaccard verify
     -> keyed min-label propagation -> left-outer join back onto the id
-    column. The only materialization is the verified edge set (slim int
-    pairs — the propagation's working set, consumed once per round)."""
+    column.
+
+    ``spool_dir``: the O(corpus) bucket rows are consumed twice (hot-key
+    count + pair pass); None materializes them into the object store
+    (bench-scale default), a scratch path spools them to parquet so the
+    object store never carries the whole bucket set (corpus-scale mode;
+    caller owns the dir lifetime — the extraction_pipeline contract).
+    The candidate-pair and verified-edge sets stay materialized in both
+    modes: they are bounded by the actual near-dup volume, not by the
+    corpus."""
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -831,14 +840,23 @@ def minhash_clusters(
         )
 
     # Buckets are consumed twice (hot-key count pass + pair pass):
-    # materializing the slim (doc_id, band, key) rows trades object-store
-    # bytes (~24 B x bands per doc, spillable) for not running the minhash
-    # permutations twice. At extreme corpus scale flip to a scratch
-    # parquet or accept the recompute — the pipeline shape is unchanged.
-    buckets = docs.map_batches(explode_bands, batch_format="pyarrow").materialize()
+    # pin_reusable either materializes the slim (doc_id, band, key) rows
+    # (~24 B x bands per doc, spillable; spool_dir=None) or spools them to
+    # scratch parquet and re-reads per consumer (spool_dir set) — running
+    # the minhash permutations once either way.
+    from ebook_ocr_ray.state.spool import pin_reusable
+
+    buckets = pin_reusable(
+        docs.map_batches(explode_bands, batch_format="pyarrow"),
+        spool_dir,
+        "lsh_buckets",
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("band", pa.int32()), ("key", pa.int64())]
+        ),
+    )
     candidates = candidate_pair_dataset(
-        buckets, hot_strategy=hot_strategy, num_partitions=num_partitions,
-        n_rows=buckets.count(),             # free: buckets just materialized
+        buckets.read(), hot_strategy=hot_strategy, num_partitions=num_partitions,
+        n_rows=buckets.n_rows,              # free in both modes
     ).materialize()                                              # slim int pairs
 
     def _adaptive(n_rows: int) -> int:
@@ -924,6 +942,7 @@ def simhash_pairs(
     max_bucket: int | None = None,
     hot_strategy: str = "auto",
     num_partitions: int = 8,
+    spool_dir: str | None = None,
 ) -> ray.data.Dataset:
     """(id_a, id_b, hamming) near-dup pairs: band blocking over the 64-bit
     simhash sized so recall is GUARANTEED up to ``max_hamming`` (pigeonhole
@@ -1012,18 +1031,26 @@ def simhash_pairs(
             }
         )
 
-    # two consumers (hot-key count pass + pair pass) — materialize the
-    # slim bucket rows instead of recomputing every simhash (see the
+    # two consumers (hot-key count pass + pair pass) — pin_reusable keeps
+    # the simhash computation single-pass in both modes: materialized
+    # bucket rows (spool_dir=None) or scratch-parquet spool (see the
     # matching note in minhash_clusters)
-    buckets = docs.map_batches(explode, batch_format="pyarrow").materialize()
-    # vectorized multi-member-bucket prefilter (see hot_filtered_buckets)
+    from ebook_ocr_ray.state.spool import pin_reusable
+
     schema = pa.schema(
         [("doc_id", pa.int64()), ("band", pa.int32()), ("key", pa.int64()),
          ("print", pa.uint64())]
     )
+    buckets = pin_reusable(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        spool_dir,
+        "simhash_buckets",
+        schema=schema,
+    )
+    # vectorized multi-member-bucket prefilter (see hot_filtered_buckets)
     filtered = hot_filtered_buckets(
-        buckets, schema, hot_strategy, num_partitions=num_partitions,
-        n_rows=buckets.count(),             # free: buckets just materialized
+        buckets.read(), schema, hot_strategy, num_partitions=num_partitions,
+        n_rows=buckets.n_rows,              # free in both modes
     )
     if filtered is None:
         return ray.data.from_arrow(
@@ -1092,6 +1119,7 @@ def jaccard_dup_pairs(
     threshold_num: int = 1,
     threshold_den: int = 2,
     df_cap: int = JACCARD_DF_CAP,
+    spool_dir: str | None = None,
 ) -> ray.data.Dataset:
     """EXACT k-word-shingle Jaccard near-dup pairs via an inverted-index
     join — no sketches, no sampling: (id_a, id_b, inter, un) for every
@@ -1165,12 +1193,22 @@ def jaccard_dup_pairs(
         [("band", pa.int32()), ("key", pa.int64()), ("doc_id", pa.int64())]
     )
     # shingle ONCE: the rows feed three consumers (hot count, hot filter,
-    # per-doc set sizes) — without the materialize each re-executes the
-    # full-corpus word_shingles + md5 pass (slim int rows, the same trade
-    # as the minhash/simhash bucket materialize)
-    srows = docs.map_batches(shingle_rows, batch_format="pyarrow").materialize()
+    # per-doc set sizes) — without pinning, each re-executes the
+    # full-corpus word_shingles + md5 pass. spool_dir=None materializes
+    # (slim int rows, spillable — but ~one row per word-shingle per doc,
+    # comparable to the corpus itself at web scale); a scratch path spools
+    # them to parquet so the sizes pass re-reads ONLY the doc_id column
+    # and the object store never carries the shingle set whole.
+    from ebook_ocr_ray.state.spool import pin_reusable
+
+    srows = pin_reusable(
+        docs.map_batches(shingle_rows, batch_format="pyarrow"),
+        spool_dir,
+        "jaccard_shingles",
+        schema=bucket_schema,
+    )
     filtered = hot_filtered_buckets(
-        srows, bucket_schema, n_rows=srows.count()
+        srows.read(), bucket_schema, n_rows=srows.n_rows
     )
     if filtered is None:  # every shingle is a singleton: no pairs at all
         return ray.data.from_arrow(
@@ -1202,9 +1240,9 @@ def jaccard_dup_pairs(
         num_partitions=4,
     )
 
-    # per-doc set sizes from the SAME materialized shingle rows (they are
-    # per-doc distinct by construction): a keyed count, not a re-shingle;
-    # materialized because both joins below consume it
+    # per-doc set sizes from the SAME pinned shingle rows (they are
+    # per-doc distinct by construction): a keyed count, not a re-shingle
+    # — and in spool mode a doc_id-only column-pruned read
     def size_partial(t: pa.Table) -> pa.Table:
         ids, counts = np.unique(
             t["doc_id"].to_numpy(zero_copy_only=False), return_counts=True
@@ -1221,7 +1259,9 @@ def jaccard_dup_pairs(
         )
 
     sizes = map_partitions_typed(
-        srows.map_batches(size_partial, batch_format="pyarrow"),
+        srows.read(columns=["doc_id"]).map_batches(
+            size_partial, batch_format="pyarrow"
+        ),
         "doc_id",
         size_reduce,
         schema=pa.schema([("doc_id", pa.int64()), ("n", pa.int64())]),
@@ -1229,7 +1269,7 @@ def jaccard_dup_pairs(
             {"doc_id": pd.Series(dtype="int64"), "nsh": pd.Series(dtype="int64")}
         ),
         num_partitions=4,
-    ).materialize()
+    ).materialize()      # per-doc rows (2 int64/doc): both joins consume it
     sizes_schema = pa.schema([("doc_id", pa.int64()), ("nsh", pa.int64())])
 
     j1 = safe_join(

@@ -198,17 +198,36 @@ def quality_thresholds(scored: ray.data.Dataset) -> dict[str, tuple[int, int]]:
     return out
 
 
-def quality_buckets_ds(docs: ray.data.Dataset) -> ray.data.Dataset:
+def quality_buckets_ds(
+    docs: ray.data.Dataset, spool_dir: str | None = None
+) -> ray.data.Dataset:
     """(doc_id, lang, ce_micro, bucket) over (doc_id, lang, text) rows —
-    see module docstring for the frozen semantics."""
+    see module docstring for the frozen semantics.
+
+    The scored rows are consumed twice (threshold histogram + bucket
+    attach). ``spool_dir=None`` materializes them (object-store residency
+    — O(corpus) slim rows, spillable); a scratch path spools them to
+    parquet instead, so the histogram pass re-reads only (lang, ce_micro)
+    column-pruned and the object store never holds the corpus whole (the
+    extraction_pipeline spool contract; caller owns the dir lifetime)."""
+    from ebook_ocr_ray.state.spool import pin_reusable
+
     model_ref = ray.put(train_bigram_model(docs))
 
     def score(t: pa.Table) -> pa.Table:
         return _score_batch(t, ray.get(model_ref))
 
-    # slim int rows, consumed twice (threshold histogram + bucket attach)
-    scored = docs.map_batches(score, batch_format="pyarrow").materialize()
-    th_ref = ray.put(quality_thresholds(scored))
+    scored = pin_reusable(
+        docs.map_batches(score, batch_format="pyarrow"),
+        spool_dir,
+        "scored_rows",
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("lang", pa.string()), ("ce_micro", pa.int64())]
+        ),
+    )
+    th_ref = ray.put(
+        quality_thresholds(scored.read(columns=["lang", "ce_micro"]))
+    )
 
     def bucket(t: pa.Table) -> pa.Table:
         th = ray.get(th_ref)
@@ -220,11 +239,11 @@ def quality_buckets_ds(docs: ray.data.Dataset) -> ray.data.Dataset:
             buckets.append("head" if c <= t1 else "middle" if c <= t2 else "tail")
         return t.append_column("bucket", pa.array(buckets, pa.string()))
 
-    return scored.map_batches(bucket, batch_format="pyarrow")
+    return scored.read().map_batches(bucket, batch_format="pyarrow")
 
 
-def quality_buckets(sf_dir: str) -> ray.data.Dataset:
+def quality_buckets(sf_dir: str, spool_dir: str | None = None) -> ray.data.Dataset:
     docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
     )
-    return quality_buckets_ds(docs)
+    return quality_buckets_ds(docs, spool_dir=spool_dir)

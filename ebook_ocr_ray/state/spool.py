@@ -1,0 +1,87 @@
+"""Spool-or-materialize for multiply-consumed slim intermediates.
+
+Several pipelines compute a slim row set once and consume it several
+times (LSH bucket rows: hot count + pair pass; jaccard shingle rows:
+hot count + pair pass + per-doc sizes; quality scored rows: threshold
+histogram + bucket attach). Two honest ways to make that reuse cheap:
+
+- ``materialize()``: the rows live (spillable) in the object store and
+  every consumer reads them for free. Right at bench scale — but the
+  intermediate is O(corpus), so at 100 TB it means the object store
+  carries a corpus-sized working set for the pipeline's whole lifetime.
+- spool to scratch parquet: one streaming write, then each consumer is
+  a fresh lazy read — COLUMN-PRUNED where the consumer wants fewer
+  columns, which a materialized dataset cannot offer. The object store
+  only ever holds in-flight blocks. Right at corpus scale; costs one
+  local-scratch write + a re-read per consumer.
+
+``pin_reusable`` picks by ``spool_dir`` (None -> materialize), matching
+``extraction_pipeline(spool_dir=)``'s contract: the caller owns the
+scratch directory's lifetime and must not delete it before the LAST
+consumer has executed. Reference analog: the stage-directory IR economy
+of /root/reference/src/layout/detector.py:168-205 (persist once, re-read
+cheaply).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data
+
+
+class ReusableRows:
+    """A multiply-consumable slim row set: ``read()`` returns a dataset
+    over the SAME rows each call — a no-op view in materialize mode, a
+    fresh (optionally column-pruned) parquet read in spool mode.
+    ``n_rows`` is free in both modes (materialized count / footers)."""
+
+    def __init__(self, ds: ray.data.Dataset, n_rows: int, path: str | None = None):
+        self._ds = ds
+        self.n_rows = n_rows
+        self.path = path
+
+    def read(self, columns: list[str] | None = None) -> ray.data.Dataset:
+        if self.path is not None:
+            from ebook_ocr_ray.reads import read_parquet_clean
+
+            return read_parquet_clean(self.path, columns=columns)
+        if columns is None:
+            return self._ds
+        return self._ds.select_columns(columns)
+
+
+def pin_reusable(
+    ds: ray.data.Dataset,
+    spool_dir: str | None,
+    name: str,
+    schema: pa.Schema,
+) -> ReusableRows:
+    """Execute ``ds`` once and make its rows cheaply re-readable.
+
+    ``spool_dir=None``: ``materialize()`` (object-store residency,
+    bench-scale default — behavior unchanged from the pre-spool code).
+    Otherwise the rows stream into ``{spool_dir}/{name}`` parquet and
+    consumers re-read from disk. ``schema`` covers the zero-row case
+    (an empty write leaves no files to read back). A non-empty target
+    subdirectory is refused: write_parquet APPENDS (Ray 2.49
+    SaveMode.APPEND), so reuse would silently double the rows."""
+    if spool_dir is None:
+        m = ds.materialize()
+        return ReusableRows(m, m.count())
+
+    from ebook_ocr_ray.reads import parquet_num_rows, read_parquet_clean
+
+    sub = os.path.join(spool_dir, name)
+    if os.path.isdir(sub) and os.listdir(sub):
+        raise ValueError(
+            f"spool target {sub!r} is not empty — write_parquet appends, "
+            "so reuse would double the rows; pass a fresh scratch path"
+        )
+    os.makedirs(sub, exist_ok=True)
+    ds.write_parquet(sub)
+    n = parquet_num_rows(sub)
+    if n == 0:
+        return ReusableRows(ray.data.from_arrow(schema.empty_table()), 0)
+    return ReusableRows(read_parquet_clean(sub), n, path=sub)
