@@ -652,6 +652,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters_cascade": lambda sf: _sorted_frame(
             neardup.minhash_clusters_cascade(sf), ["doc_id"]
         ),
+        # fuzzy (normalized-text) cascade stage: the sf corpora hold no
+        # case/punct variants, so the equality contract reduces to the
+        # byte-exact one and the minhash oracle applies verbatim
+        "minhash_clusters_cascade_fuzzy": lambda sf: _sorted_frame(
+            neardup.minhash_clusters_cascade(sf, fuzzy=True), ["doc_id"]
+        ),
         "simhash_pairs": lambda sf: _sorted_frame(
             neardup.simhash_pairs(sf), ["id_a", "id_b"]
         ),
@@ -1028,6 +1034,11 @@ def oracle_sql() -> dict[str, str]:
         # its group's min id), so it shares the full-corpus oracle — the
         # decontaminate_join contract
         "minhash_clusters_cascade": _minhash_clusters_sql(),
+        # fuzzy stage: on corpora with NO normalization-only variants
+        # (true of every sf table — no case/punct perturbations exist)
+        # the fuzzy key partitions texts exactly like the byte-exact key,
+        # so the same theorem and the same oracle apply
+        "minhash_clusters_cascade_fuzzy": _minhash_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "jaccard_dup_pairs": _jaccard_dup_pairs_sql(),
         "dedup_spans": _dedup_spans_sql(),

@@ -67,15 +67,22 @@ def _text_keys(texts: list) -> np.ndarray:
     )
 
 
-def _snapshot_survivors(docs: ray.data.Dataset) -> ray.data.Dataset:
+def _snapshot_survivors(
+    docs: ray.data.Dataset, key_fn=None
+) -> ray.data.Dataset:
     """(key, doc_id) — min doc_id per text key within the snapshot (the
-    keyed survivor aggregate, no driver state)."""
+    keyed survivor aggregate, no driver state). ``key_fn`` maps a list of
+    texts to int63 keys; default is the byte-exact ``_text_keys``
+    (callers can pass a normalized-text key, e.g. the fuzzy-dedup recipe,
+    to get fuzzy survivor groups from the same machinery)."""
     from ebook_ocr_ray.groups import map_partitions_typed
+
+    key_fn = key_fn or _text_keys
 
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
-                "key": _text_keys(t["text"].to_pylist()),
+                "key": key_fn(t["text"].to_pylist()),
                 "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
             }
         )

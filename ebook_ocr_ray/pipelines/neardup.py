@@ -1345,15 +1345,53 @@ def jaccard_dup_pairs(
 # --------------------------------------------------------------------------
 
 
+def _fuzzy_text_keys(texts: list) -> "np.ndarray":
+    """int63 normalized-text keys — EXACTLY dedup_fuzzy_exact_ds's key
+    recipe (analytics.py): stable_hash64(fuzzy_normalize(text)). None
+    normalizes to '' like the fuzzy dedup does."""
+    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.pipelines.analytics import fuzzy_normalize
+
+    return np.fromiter(
+        (stable_hash64(fuzzy_normalize(t)) & ((1 << 63) - 1) for t in texts),
+        dtype=np.int64,
+        count=len(texts),
+    )
+
+
 def minhash_clusters_cascade(
     sf_dir: str,
     scratch_dir: str | None = None,
+    fuzzy: bool = False,
     **minhash_kwargs,
 ) -> ray.data.Dataset:
     """(doc_id, cluster_id) for every document via exact-dedup ->
     survivor spool -> minhash_clusters(survivors) -> keyed re-attach.
     ``scratch_dir`` holds the survivor spool (fresh tmp dir when None;
-    caller-owned lifetime otherwise, the extraction-spool contract)."""
+    caller-owned lifetime otherwise, the extraction-spool contract).
+
+    ``fuzzy=True`` collapses by NORMALIZED text (the dedup_fuzzy_exact
+    key: lower -> strip non-[a-z0-9 ] -> collapse spaces) instead of
+    byte identity, so case/punctuation-variant mirror farms — which
+    byte-exact dedup cannot touch and which saturate LSH buckets just
+    like byte mirrors — collapse pre-LSH too.
+
+    Equality contract vs plain minhash_clusters (value-identical output),
+    stated precisely. Byte-exact cascade: holds whenever no LSH bucket
+    overflows MAX_BUCKET in the plain run (identical texts share every
+    shingle, so exact-dup groups are sub-cliques of near-dup components
+    and each representative is its group's min id). Fuzzy cascade: holds
+    under the same no-overflow condition PLUS, for every
+    normalization-equal (but not byte-equal) pair, (a) the plain run
+    detects-and-verifies it as a near-dup edge (guaranteed when
+    normalization-equal => shingle-equal; otherwise requires raw Jaccard
+    >= threshold and a shared band), and (b) the variants contribute no
+    edge to any doc OUTSIDE their fuzzy group that their representative's
+    own text does not (again guaranteed by shingle-equality). Corpora
+    violating (a)/(b) — e.g. heavy per-variant rewrites — legitimately
+    diverge: the fuzzy cascade clusters normalization-equal docs that
+    plain LSH would miss, a strictly-better-recall outcome for mirror
+    farms, not an error."""
     import os
     import shutil
     import tempfile
@@ -1373,35 +1411,58 @@ def minhash_clusters_cascade(
             "appends); pass a fresh scratch path"
         )
     try:
-        # pass 1: exact survivors (the broadcast dup-groups-only filter)
-        # spooled as a documents table the untouched minhash path can read
-        dedup_exact_docs(sf_dir).write_parquet(table_dir)
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        key_fn = _fuzzy_text_keys if fuzzy else None   # None -> byte-exact
+
+        # pass 1: survivors spooled as a documents table the untouched
+        # minhash path can read. Byte-exact mode keeps the measured
+        # broadcast dup-groups-only filter (dedup_exact_docs); fuzzy mode
+        # derives survivors from the keyed survivor aggregate + a keyed
+        # semi-join back onto the snapshot for their full rows (the reps
+        # table is reused by pass 3 — computed once).
+        # reps materialized in BOTH modes: slim (two int64 per distinct
+        # text), and a lazy hash-repartition lineage cannot be unioned
+        # with the join's sentinel rows (shuffle-strategy context clash)
+        reps = _snapshot_survivors(docs, key_fn=key_fn).map_batches(
+            lambda t: t.rename_columns(["rkey", "rep"]), batch_format="pyarrow"
+        ).materialize()
+        if fuzzy:
+            surv_ids = reps.map_batches(
+                lambda t: pa.table({"sid": t["rep"].cast(pa.int64())}),
+                batch_format="pyarrow",
+            )
+            safe_join(
+                docs, surv_ids,
+                on="doc_id", right_on="sid", num_partitions=8,
+                left_schema=pa.schema(
+                    [("doc_id", pa.int64()), ("text", pa.string())]
+                ),
+                right_schema=pa.schema([("sid", pa.int64())]),
+            ).map_batches(
+                lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+            ).write_parquet(table_dir)
+        else:
+            dedup_exact_docs(sf_dir).write_parquet(table_dir)
 
         # pass 2: near-dup clusters over survivors only
         surv_clusters = minhash_clusters(scratch_dir, **minhash_kwargs).materialize()
 
-        # pass 3: every doc -> its exact representative (keyed survivor
-        # agg + hash join on the 63-bit text key; no driver state) -> the
+        # pass 3: every doc -> its representative (keyed survivor agg +
+        # hash join on the 63-bit key; no driver state) -> the
         # representative's cluster
-        docs = read_parquet_clean(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
-        # materialized: a lazy hash-repartition lineage cannot be unioned
-        # with the join's sentinel rows (shuffle-strategy context clash),
-        # and the rows are slim (two int64 per distinct text)
-        reps = _snapshot_survivors(docs).map_batches(
-            lambda t: t.rename_columns(["rkey", "rep"]), batch_format="pyarrow"
-        ).materialize()
-
         def key_rows(t: pa.Table) -> pa.Table:
-            # the SAME key recipe as _snapshot_survivors (one canonical
-            # string->int63 hash; any drift breaks the rep join silently)
+            # the SAME key recipe as the reps aggregate above (one
+            # canonical string->int63 hash per mode; any drift breaks
+            # the rep join silently)
             from ebook_ocr_ray.pipelines.incremental import _text_keys
 
+            kf = key_fn or _text_keys
             return pa.table(
                 {
                     "doc_id": t["doc_id"].cast(pa.int64()),
-                    "key": pa.array(_text_keys(t["text"].to_pylist()), pa.int64()),
+                    "key": pa.array(kf(t["text"].to_pylist()), pa.int64()),
                 }
             )
 

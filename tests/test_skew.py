@@ -277,6 +277,94 @@ class TestMinhashCascade:
         )
         pd.testing.assert_frame_equal(a, b)
 
+    def test_fuzzy_cascade_equals_plain_on_case_perturbed_mirrors(
+        self, ray_session, tmp_path
+    ):
+        """The fuzzy equality contract's positive case: variants differ
+        only by one word's case / trailing '!!', so every
+        normalization-equal pair keeps raw Jaccard >= threshold (plain
+        LSH still finds and verifies it) and variants have no external
+        edges their representative lacks — cascade(fuzzy=True), the
+        byte-exact cascade, and plain minhash_clusters must agree."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ebook_ocr_ray.pipelines import neardup
+
+        rows_id, rows_tx = [], []
+        for b in range(8):
+            words = [f"base{b}word{j}" for j in range(20)]
+            base = " ".join(words)
+            upper = " ".join([words[0].upper()] + words[1:])
+            variants = [base, upper, base + " !!", upper + " !!"]
+            for v, t in enumerate(variants):
+                rows_id.append(b * 100 + v)
+                rows_tx.append(t)
+        for s in range(10):                       # singletons stay alone
+            rows_id.append(10_000 + s)
+            rows_tx.append(" ".join(f"lone{s}tok{j}" for j in range(20)))
+        pq.write_table(
+            pa.table(
+                {"doc_id": pa.array(rows_id, pa.int64()),
+                 "text": pa.array(rows_tx, pa.string())}
+            ),
+            tmp_path / "documents.parquet",
+        )
+        sf = str(tmp_path)
+        plain = (
+            neardup.minhash_clusters(sf)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        exact_casc = (
+            neardup.minhash_clusters_cascade(sf)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        fuzzy_casc = (
+            neardup.minhash_clusters_cascade(sf, fuzzy=True)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(plain, exact_casc)
+        pd.testing.assert_frame_equal(plain, fuzzy_casc)
+        # and the clustering is the intended one: each group collapsed
+        # to its min id, singletons to themselves
+        grp = fuzzy_casc[fuzzy_casc.doc_id < 10_000]
+        assert (grp.cluster_id == (grp.doc_id // 100) * 100).all()
+        lone = fuzzy_casc[fuzzy_casc.doc_id >= 10_000]
+        assert (lone.cluster_id == lone.doc_id).all()
+
+    def test_fuzzy_cascade_collapses_case_mirror_farm(self, ray_session, tmp_path):
+        """Case-perturbed mirror farm (every copy uppercases a DIFFERENT
+        word, so byte-exact dedup collapses nothing): fuzzy=True must
+        collapse each farm to one survivor pre-LSH and re-attach every
+        copy to the farm minimum — the dup-saturation valve for
+        non-byte-identical mirrors."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ebook_ocr_ray.pipelines import neardup
+
+        rows_id, rows_tx = [], []
+        for i in range(6):
+            words = [f"farm{i}tok{j}" for j in range(20)]
+            for r in range(64):
+                w = list(words)
+                w[r % 20] = w[r % 20].upper()     # 64 distinct byte variants
+                rows_id.append(r * 1000 + i)
+                rows_tx.append(" ".join(w))
+        pq.write_table(
+            pa.table(
+                {"doc_id": pa.array(rows_id, pa.int64()),
+                 "text": pa.array(rows_tx, pa.string())}
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = neardup.minhash_clusters_cascade(
+            str(tmp_path), fuzzy=True
+        ).to_pandas()
+        assert len(out) == 64 * 6
+        assert (out.cluster_id == out.doc_id % 1000).all()
+
     def test_mirror_saturated_corpus(self, ray_session, tmp_path):
         """256 exact copies of each text: plain minhash faces C(256,2)
         pairs per clique; the cascade collapses to one survivor per text
