@@ -189,6 +189,34 @@ class TestNeighbors:
         assert list(zip(out.id_a, out.id_b)) == [(1, 2)]
         assert list(out.inter) == [3] and list(out.un) == [5]
 
+    def test_jaccard_df_cap_drops_stop_shingles(self, ray_session, tmp_path):
+        """The far side of JACCARD_DF_CAP: a posting list longer than the
+        cap is dropped BEFORE pair generation (bounded recall, logged in
+        the worker), removing its +1 from every affected pair's
+        intersection. Three docs sharing two shingles pair at the default
+        cap; with the cap below their df both shared shingles are
+        stop-shingles and no pair survives."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ebook_ocr_ray.pipelines import neardup
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                # shingles: {w1w2w3, w2w3w4, w3w4xI} — the first two are
+                # shared by ALL three docs (df=3), the last is private
+                "text": pa.array(
+                    [f"w1 w2 w3 w4 x{i}" for i in (1, 2, 3)], pa.string()
+                ),
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        full = neardup.jaccard_dup_pairs(str(tmp_path)).to_pandas()
+        assert len(full) == 3 and (full.inter == 2).all()  # inter=2, un=4
+        capped = neardup.jaccard_dup_pairs(str(tmp_path), df_cap=2).to_pandas()
+        assert len(capped) == 0                  # both shared shingles dropped
+
     def test_embedding_dup_pairs(self, ray_session, con):
         from ebook_ocr_ray.pipelines.neighbors import embedding_dup_pairs
         import __ray_entry__ as e

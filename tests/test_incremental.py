@@ -84,6 +84,31 @@ class TestIncrementalDedup:
         pd.testing.assert_frame_equal(a, b)
         assert list(a.doc_id) == [200 + i for i in range(10)]
 
+    def test_survivor_join_equals_broadcast(self, ray_session, tmp_path, monkeypatch):
+        """The far side of SURVIVOR_BROADCAST_MAX: surviving full rows are
+        fetched by a keyed join instead of the driver id broadcast —
+        value-identical output."""
+        import ebook_ocr_ray.pipelines.incremental as inc
+
+        idx = str(tmp_path / "idx")
+        inc.dedup_incremental_ds(
+            _ds([(i, f"hist {i}") for i in range(20)]), idx, update_index=True
+        ).count()
+        snap = _ds(
+            [(100 + i, f"hist {i}") for i in range(5)]
+            + [(200 + i, f"new {i}") for i in range(5)]
+            + [(300, "new 0")]                     # intra-snapshot dup
+        )
+        a = inc.dedup_incremental_ds(snap, idx).to_pandas().sort_values(
+            "doc_id"
+        ).reset_index(drop=True)
+        monkeypatch.setattr(inc, "SURVIVOR_BROADCAST_MAX", 0)  # force join
+        b = inc.dedup_incremental_ds(snap, idx).to_pandas().sort_values(
+            "doc_id"
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert list(a.doc_id) == [200 + i for i in range(5)]
+
     def test_query_wrapper_smoke(self, ray_session):
         from ebook_ocr_ray.pipelines.incremental import dedup_incremental
 
