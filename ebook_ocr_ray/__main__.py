@@ -127,7 +127,7 @@ def cmd_quality(args) -> int:
     ray = _ray_session(args.num_cpus)
     from ebook_ocr_ray.pipelines.quality import quality_buckets
 
-    quality_buckets(args.sf_dir).write_parquet(args.out)
+    quality_buckets(args.sf_dir, spool_dir=args.spool_dir).write_parquet(args.out)
     print(json.dumps({"out": args.out}))
     ray.shutdown()
     return 0
@@ -162,11 +162,24 @@ def cmd_consolidate(args) -> int:
 
 
 def cmd_neardup(args) -> int:
-    """MinHash+LSH near-dup clusters over the documents table."""
+    """MinHash+LSH near-dup clusters over the documents table. --cascade
+    collapses exact duplicates pre-LSH (mirror-saturated corpora);
+    --fuzzy widens that collapse to the normalization key; --spool-dir
+    keeps the O(corpus) bucket rows on scratch disk instead of in the
+    object store."""
     ray = _ray_session(args.num_cpus)
-    from ebook_ocr_ray.pipelines.neardup import minhash_clusters
+    from ebook_ocr_ray.pipelines.neardup import minhash_clusters, minhash_clusters_cascade
 
-    ds = minhash_clusters(args.sf_dir, jaccard_threshold=args.threshold)
+    if args.cascade or args.fuzzy:
+        ds = minhash_clusters_cascade(
+            args.sf_dir, fuzzy=args.fuzzy,
+            jaccard_threshold=args.threshold, spool_dir=args.spool_dir,
+        )
+    else:
+        ds = minhash_clusters(
+            args.sf_dir, jaccard_threshold=args.threshold,
+            spool_dir=args.spool_dir,
+        )
     ds.write_parquet(args.out)
     print(json.dumps({"out": args.out}))
     ray.shutdown()
@@ -226,6 +239,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("quality", help="CCNet-style quality tiers -> parquet")
     p.add_argument("--sf-dir", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--spool-dir", default=None,
+                   help="scratch dir: scored rows spool to disk, not object store")
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_quality)
 
@@ -241,6 +256,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--out", required=True)
     p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--cascade", action="store_true",
+                   help="collapse exact duplicates before LSH")
+    p.add_argument("--fuzzy", action="store_true",
+                   help="cascade on the normalized-text key (implies --cascade)")
+    p.add_argument("--spool-dir", default=None,
+                   help="scratch dir: bucket rows spool to disk, not object store")
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_neardup)
 
