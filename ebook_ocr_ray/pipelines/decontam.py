@@ -123,8 +123,7 @@ def decontaminate_ds_join(
     a test. The trade: the corpus's shingle rows shuffle (slim — one
     int64 + one short string each), which is exactly what paying for a
     too-big broadcast side buys back."""
-    from ray.data.aggregate import Count, Sum
-
+    from ebook_ocr_ray.groups import map_partitions_typed
     from ebook_ocr_ray.joins import safe_join
 
     def corpus_rows(batch: pa.Table) -> pa.Table:
@@ -156,12 +155,21 @@ def decontaminate_ds_join(
             }
         )
 
-    # global distinct on the bench side: keyed aggregate, no driver state
-    bench_distinct = (
-        bench.map_batches(bench_rows, batch_format="pyarrow")
-        .groupby(["gkey", "shingle_b"])
-        .aggregate(Count(alias_name="_c"))
-        .map_batches(lambda t: t.select(["gkey", "shingle_b"]), batch_format="pyarrow")
+    # global distinct on the bench side: hash-partitioned per-partition
+    # drop_duplicates (no driver state). The sentinel-backed repartition
+    # replaces the sort-based groupby().Count, whose empty output
+    # partitions log a schema-less-RefBundle warning per block.
+    bench_distinct = map_partitions_typed(
+        bench.map_batches(bench_rows, batch_format="pyarrow"),
+        "gkey",
+        lambda df: df.drop_duplicates(["gkey", "shingle_b"])[
+            ["gkey", "shingle_b"]
+        ].astype({"gkey": "int64"}),
+        schema=pa.schema([("gkey", pa.int64()), ("shingle_b", pa.string())]),
+        empty_fn=lambda: pa.schema(
+            [("gkey", pa.int64()), ("shingle_b", pa.string())]
+        ).empty_table(),
+        num_partitions=4,
     )
 
     joined = safe_join(
@@ -182,10 +190,19 @@ def decontaminate_ds_join(
         agg = df.groupby("doc_id", sort=False).size().rename("h").reset_index()
         return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
-    counts = (
-        joined.map_batches(hit_partial, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("h", alias_name="n_hits"))
+    def hit_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", sort=False)["h"].sum().rename("n_hits").reset_index()
+        return out.astype({"doc_id": "int64", "n_hits": "int64"})
+
+    counts = map_partitions_typed(
+        joined.map_batches(hit_partial, batch_format="pyarrow"),
+        "doc_id",
+        hit_reduce,
+        schema=pa.schema([("doc_id", pa.int64()), ("h", pa.int64())]),
+        empty_fn=lambda: pa.schema(
+            [("doc_id", pa.int64()), ("n_hits", pa.int64())]
+        ).empty_table(),
+        num_partitions=4,
     )
 
     doc_ids = docs.map_batches(
@@ -212,7 +229,15 @@ def decontaminate_ds_join(
             }
         )
 
-    return out.map_batches(finish, batch_format="pyarrow")
+    final = out.map_batches(finish, batch_format="pyarrow")
+    # the planner plans the WHOLE DAG with the FINAL dataset's context,
+    # and this chain's final join descends from the sort-default doc_ids
+    # side — the keyed repartitions inside the typed reduces (above) need
+    # the hash strategy visible at the root or planning raises
+    from ray.data.context import ShuffleStrategy
+
+    final.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return final
 
 
 def decontaminate(
