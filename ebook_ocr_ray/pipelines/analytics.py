@@ -218,16 +218,23 @@ def orders_by_region(sf_dir: str) -> ray.data.Dataset:
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
-    return (
+    from ebook_ocr_ray.groups import typed_keyed_sum
+
+    # typed_keyed_sum, not groupby().aggregate(Sum): 5 regions over many
+    # blocks guarantees empty sort partitions and their schema-less
+    # RefBundle warnings (the heading_pattern_stats fix, same shape)
+    return typed_keyed_sum(
         orders.map_batches(
             RegionTag, fn_constructor_args=(lookup_ref,), batch_format="pyarrow", concurrency=(1, 8)
-        )
-        .groupby("region")
-        .aggregate(
-            Sum("n_orders", alias_name="n_orders"), Sum("total_cents", alias_name="total_cents")
-        )
-        .sort("region")
-    )
+        ),
+        key_cols=["region"],
+        sum_cols=["n_orders", "total_cents"],
+        partials_schema=pa.schema(
+            [("region", pa.string()), ("n_orders", pa.int64()),
+             ("total_cents", pa.int64())]
+        ),
+        num_partitions=4,
+    ).sort("region")
 
 
 def priority_revenue(sf_dir: str) -> ray.data.Dataset:
@@ -755,16 +762,46 @@ def top_docs_per_source(sf_dir: str, k: int = 3) -> ray.data.Dataset:
             .groupby("source", sort=False).head(k)
         )
 
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["n_chars", "doc_id"], ascending=[False, True],
-                              kind="mergesort").head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["source", "doc_id", "n_chars", "rank"]]
+    # final reduce via the sentinel-backed hash path on an int63 surrogate
+    # of the source (string keys can't hash-repartition directly; a
+    # surrogate collision just co-locates two sources, and the in-frame
+    # groupby keeps them separate). The sort-based map_groups this
+    # replaces warned one schema-less RefBundle per empty partition
+    # (20 sources over 64+ blocks guarantees empties).
+    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.groups import map_partitions_typed
 
-    return (
-        docs.map_batches(partial_topk, batch_format="pandas")
-        .groupby("source")
-        .map_groups(final_topk, batch_format="pandas")
+    def add_skey(t: pa.Table) -> pa.Table:
+        keys = [
+            stable_hash64(s) & ((1 << 63) - 1) for s in t["source"].to_pylist()
+        ]
+        return t.append_column("skey", pa.array(keys, pa.int64()))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                            kind="mergesort")
+        g = df.groupby("source", sort=False).head(k).copy()
+        g["rank"] = g.groupby("source", sort=False).cumcount() + 1
+        return g[["source", "doc_id", "n_chars", "rank"]].astype(
+            {"doc_id": "int64", "n_chars": "int64", "rank": "int64"}
+        )
+
+    keyed = docs.map_batches(partial_topk, batch_format="pandas").map_batches(
+        add_skey, batch_format="pyarrow"
+    )
+    return map_partitions_typed(
+        keyed,
+        "skey",
+        finalize,
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("source", pa.string()),
+             ("n_chars", pa.int64()), ("skey", pa.int64())]
+        ),
+        empty_fn=lambda: pa.schema(
+            [("source", pa.string()), ("doc_id", pa.int64()),
+             ("n_chars", pa.int64()), ("rank", pa.int64())]
+        ).empty_table(),
+        num_partitions=4,
     )
 
 
@@ -943,13 +980,38 @@ def tfidf_top_terms(
             }
         )
 
+    from ebook_ocr_ray.groups import map_partitions_typed
+
+    def add_tkey(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "tkey", pa.array(_term_hash64(t[col].to_pylist()), pa.int64())
+            )
+
+        return fn
+
     n_docs = docs.count()
-    df_ds = (
-        docs.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
-        .materialize()
-    )
+    # keyed Sums over the term surrogate hash instead of sort aggregates
+    # (which warn one schema-less RefBundle per empty sort partition); a
+    # surrogate collision only co-locates two terms — the in-partition
+    # pandas groupby over the TRUE string key keeps them separate
+    df_ds = map_partitions_typed(
+        docs.map_batches(df_partial, batch_format="pyarrow").map_batches(
+            add_tkey("term"), batch_format="pyarrow"
+        ),
+        "tkey",
+        lambda d: d.groupby("term", sort=False)["df"]
+        .sum()
+        .reset_index()
+        .astype({"df": "int64"}),
+        schema=pa.schema(
+            [("term", pa.string()), ("df", pa.int64()), ("tkey", pa.int64())]
+        ),
+        empty_fn=lambda: pa.schema(
+            [("term", pa.string()), ("df", pa.int64())]
+        ).empty_table(),
+        num_partitions=num_partitions,
+    ).materialize()
     n_terms = df_ds.count()
     if n_terms == 0:                              # empty corpus: the empty
         return ray.data.from_arrow(               # aggregate frame loses its
@@ -963,10 +1025,32 @@ def tfidf_top_terms(
             )
         )
 
-    tf_tbl = (
-        docs.map_batches(tf_partial, batch_format="pyarrow")
-        .groupby(["source", "term"])
-        .aggregate(Sum("tf", alias_name="tf"))
+    def add_stkey(t: pa.Table) -> pa.Table:
+        pairs = [
+            f"{s}\x1f{w}"
+            for s, w in zip(t["source"].to_pylist(), t["term"].to_pylist())
+        ]
+        return t.append_column(
+            "tkey", pa.array(_term_hash64(pairs), pa.int64())
+        )
+
+    tf_tbl = map_partitions_typed(
+        docs.map_batches(tf_partial, batch_format="pyarrow").map_batches(
+            add_stkey, batch_format="pyarrow"
+        ),
+        "tkey",
+        lambda d: d.groupby(["source", "term"], sort=False)["tf"]
+        .sum()
+        .reset_index()
+        .astype({"tf": "int64"}),
+        schema=pa.schema(
+            [("source", pa.string()), ("term", pa.string()),
+             ("tf", pa.int64()), ("tkey", pa.int64())]
+        ),
+        empty_fn=lambda: pa.schema(
+            [("source", pa.string()), ("term", pa.string()), ("tf", pa.int64())]
+        ).empty_table(),
+        num_partitions=num_partitions,
     )
 
     use_join = df_strategy == "join" or (
@@ -1039,12 +1123,29 @@ def tfidf_top_terms(
 
         scored = tf_tbl.map_batches(score, batch_format="pyarrow")
 
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["tfidf", "term"], ascending=[False, True],
-                              kind="mergesort").head(k).reset_index(drop=True)
-        return g[["source", "term", "tf", "tfidf"]]
+    def final_topk_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["tfidf", "term"], ascending=[False, True],
+                            kind="mergesort")
+        g = df.groupby("source", sort=False).head(k)
+        return g[["source", "term", "tf", "tfidf"]].astype(
+            {"tf": "int64", "tfidf": "float64"}
+        )
 
-    return scored.groupby("source").map_groups(final_topk, batch_format="pandas")
+    return map_partitions_typed(
+        scored.map_batches(add_tkey("source"), batch_format="pyarrow"),
+        "tkey",
+        final_topk_partition,
+        schema=pa.schema(
+            [("source", pa.string()), ("term", pa.string()),
+             ("tf", pa.int64()), ("tfidf", pa.float64()),
+             ("tkey", pa.int64())]
+        ),
+        empty_fn=lambda: pa.schema(
+            [("source", pa.string()), ("term", pa.string()),
+             ("tf", pa.int64()), ("tfidf", pa.float64())]
+        ).empty_table(),
+        num_partitions=4,
+    )
 
 
 # --------------------------------------------------------------------------
