@@ -219,3 +219,59 @@ class TestBatchSketchProperties:
             np.testing.assert_array_equal(sigs[i], minhash_signature(t, k=3))
             assert keys[i].tolist() == [k for _, k in lsh_band_keys(sigs[i])]
             assert int(prints[i]) == simhash64(t)
+
+
+class TestRound4Properties:
+    @settings(max_examples=100, deadline=None)
+    @given(text=WORDS)
+    def test_fuzzy_normalize_idempotent_and_perturbation_invariant(self, text):
+        """The fuzzy-dedup key contract: normalization is idempotent, and
+        the cascade's target perturbations (case flips, punctuation
+        insertion, space runs, trailing junk) never change the key."""
+        from ebook_ocr_ray.pipelines.analytics import fuzzy_normalize
+        from ebook_ocr_ray.pipelines.neardup import _fuzzy_text_keys
+
+        base = fuzzy_normalize(text)
+        assert fuzzy_normalize(base) == base
+        variants = [
+            text.upper(),
+            text + "  !!",
+            text.replace(" ", "   ", 1),
+            "  " + text + ".",
+        ]
+        keys = _fuzzy_text_keys([text] + variants)
+        assert len(set(keys.tolist())) == 1
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=40),
+        d=st.integers(min_value=1, max_value=16),
+        off=st.integers(min_value=0, max_value=10),
+        data=st.data(),
+    )
+    def test_embedding_matrix_equals_rowwise_decode(self, n, d, off, data):
+        """flatten->reshape decode is value-identical to the to_pylist
+        path on arbitrary shapes, offsets and layouts."""
+        import numpy as np
+        import pyarrow as pa
+
+        from ebook_ocr_ray.pipelines.neighbors import embedding_matrix
+
+        vals = data.draw(
+            st.lists(
+                st.floats(allow_nan=False, allow_infinity=False, width=32),
+                min_size=n * d,
+                max_size=n * d,
+            )
+        )
+        m = np.asarray(vals, dtype=np.float64).reshape(n, d)
+        cols = [
+            pa.array(list(m)),
+            pa.FixedSizeListArray.from_arrays(pa.array(m.ravel()), d),
+        ]
+        for col in cols:
+            sl = col.slice(min(off, n - 1), max(1, n - off))
+            for c in (col, sl):
+                got = embedding_matrix(c)
+                want = np.asarray(c.to_pylist(), dtype=np.float64)
+                np.testing.assert_array_equal(got, want)
