@@ -316,6 +316,8 @@ def candidate_pair_dataset(
     except for the star-fallback hub of an over-cap bucket, whose degree
     is that bucket's size (the same logged bounded-recall event) — slim
     int pairs, never a driver collect."""
+    from ebook_ocr_ray.groups import map_partitions_typed
+
     cap = MAX_BUCKET if max_bucket is None else max_bucket
     schema = pa.schema(
         [("doc_id", pa.int64()), ("band", pa.int32()), ("key", pa.int64())]
@@ -329,20 +331,42 @@ def candidate_pair_dataset(
             pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
         )
 
-    collected = filtered.groupby(["band", "key"]).aggregate(
-        _make_collect_records_agg(["doc_id"])
-    )
+    # Pair generation by ONE hash repartition on the mixed bucket key +
+    # a per-partition numpy kernel over boundary-scanned slices — the
+    # one-int64-key hash-collection rule this codebase measures as the
+    # winner over sort aggregates at every scale (BASELINE.md r3). The
+    # bkey is only the SHUFFLE key; group boundaries re-scan the exact
+    # (band, key) pair, so a bkey collision merely co-locates two buckets
+    # and can never merge their pair sets.
+    def add_bkey(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bkey",
+            pa.array(
+                _bucket_join_key(
+                    t["band"].to_numpy(zero_copy_only=False),
+                    t["key"].to_numpy(zero_copy_only=False),
+                ),
+                pa.int64(),
+            ),
+        )
 
-    def expand(batch: pa.Table) -> pa.Table:
+    def expand_partition(df: pd.DataFrame) -> pd.DataFrame:
+        band = df["band"].to_numpy(dtype=np.int64, copy=False)
+        key = df["key"].to_numpy(dtype=np.int64, copy=False)
+        doc = df["doc_id"].to_numpy(dtype=np.int64, copy=False)
+        order = np.lexsort((doc, key, band))
+        band, key, doc = band[order], key[order], doc[order]
+        # exact-bucket boundaries on the sorted (band, key) columns
+        new = np.r_[True, (band[1:] != band[:-1]) | (key[1:] != key[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(band)]
         out_a, out_b = [], []
-        for band, key, rec in zip(
-            batch["band"].to_pylist(), batch["key"].to_pylist(),
-            batch["recs"].to_pylist(),
-        ):
-            # np.unique (not sort): a doc_id duplicated in the input table
-            # would otherwise appear twice in the blob and emit self-pairs
-            # (id_a == id_b) into the edge set
-            ids = np.unique(np.frombuffer(rec, dtype="<u8").astype(np.int64))
+        for s, e in zip(starts, ends):
+            ids = doc[s:e]
+            # de-dup within the bucket (sorted, so a boundary scan): a
+            # doc_id duplicated in the input table would otherwise emit
+            # self-pairs (id_a == id_b) into the edge set
+            ids = ids[np.r_[True, ids[1:] != ids[:-1]]]
             if len(ids) < 2:
                 continue
             head = ids[:cap]
@@ -354,45 +378,47 @@ def candidate_pair_dataset(
                     "near-dup bucket over cap: band=%s key=%s size=%d > %d — "
                     "star fallback — bounded recall: tail-tail pairs whose "
                     "only shared bucket is this one are NOT generated "
-                    "(see MAX_BUCKET)", band, key, len(ids), cap,
+                    "(see MAX_BUCKET)", band[s], key[s], len(ids), cap,
                 )
                 tail = ids[cap:]
                 out_a.append(np.full(len(tail), ids[0], dtype=np.int64))
                 out_b.append(tail)
         if not out_a:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ("id_a", "id_b")}
             )
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
-            }
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
-    pairs = collected.map_batches(expand, batch_format="pyarrow")
+    pairs = map_partitions_typed(
+        filtered.map_batches(add_bkey, batch_format="pyarrow"),
+        "bkey",
+        expand_partition,
+        schema=pa.schema(list(schema) + [pa.field("bkey", pa.int64())]),
+        empty_fn=lambda: pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("id_a", "id_b")}
+        ),
+        num_partitions=num_partitions,
+    )
 
-    def uniq_neighbors(batch: pa.Table) -> pa.Table:
-        out_a, out_b = [], []
-        for a, rec in zip(batch["id_a"].to_pylist(), batch["recs"].to_pylist()):
-            bs = np.unique(np.frombuffer(rec, dtype="<u8").astype(np.int64))
-            out_a.append(np.full(len(bs), a, dtype=np.int64))
-            out_b.append(bs)
-        if not out_a:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-            )
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
-            }
-        )
+    # Cross-band pair dedup: hash-partition by id_a co-locates every
+    # occurrence of a pair, so a partition-local drop_duplicates is
+    # globally exact — fully vectorized, no record blobs, no sort
+    # aggregate (and none of the sort path's schema-less empty bundles).
+    def dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+        return out.astype({"id_a": "int64", "id_b": "int64"})
 
-    return (
-        pairs.groupby("id_a")
-        .aggregate(_make_collect_records_agg(["id_b"]))
-        .map_batches(uniq_neighbors, batch_format="pyarrow")
+    return map_partitions_typed(
+        pairs,
+        "id_a",
+        dedup_partition,
+        schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
+        empty_fn=lambda: pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("id_a", "id_b")}
+        ),
+        num_partitions=num_partitions,
     )
 
 
