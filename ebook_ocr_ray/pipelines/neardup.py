@@ -1014,29 +1014,36 @@ def simhash_pairs(
             }
         )
 
-    def expand(batch: pa.Table) -> pa.Table:
-        """Vectorized pair expansion over a BATCH of collected buckets
-        (same shape as candidate_pair_dataset's expand, plus the hamming
-        filter on bit-cast prints)."""
+    def expand_partition(df: pd.DataFrame) -> pd.DataFrame:
+        """Pair expansion over hash-co-located buckets (same kernel shape
+        as candidate_pair_dataset's, plus the hamming filter on prints):
+        boundary-scan the exact (band, key) pair after a lexsort, so the
+        shuffle key's collisions can never merge two buckets."""
+        band = df["band"].to_numpy(dtype=np.int64, copy=False)
+        key = df["key"].to_numpy(dtype=np.int64, copy=False)
+        doc = df["doc_id"].to_numpy(dtype=np.int64, copy=False)
+        prints_all = df["print"].to_numpy(dtype=np.uint64, copy=False)
+        order = np.lexsort((doc, key, band))
+        band, key, doc = band[order], key[order], doc[order]
+        prints_all = prints_all[order]
+        new = np.r_[True, (band[1:] != band[:-1]) | (key[1:] != key[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(band)]
         out_a, out_b, out_h = [], [], []
-        for band, key, rec in zip(
-            batch["band"].to_pylist(), batch["key"].to_pylist(),
-            batch["recs"].to_pylist(),
-        ):
-            r = np.frombuffer(rec, dtype="<u8").reshape(-1, 2)
-            if len(r) < 2:
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
                 continue
-            order = np.argsort(r[:, 0], kind="stable")
-            ids = r[order, 0].astype(np.int64)
-            prints = r[order, 1]                       # uint64 simhash prints
-            ai, bi = np.triu_indices(min(len(ids), max_bucket), 1)
-            if len(ids) > max_bucket:
+            ids = doc[s:e]
+            prints = prints_all[s:e]
+            ai, bi = np.triu_indices(min(n, max_bucket), 1)
+            if n > max_bucket:
                 # star fallback beyond the all-pairs cap (see MAX_BUCKET)
                 logger.warning(
                     "simhash bucket over cap: band=%s key=%s size=%d > %d — "
-                    "star fallback", band, key, len(ids), max_bucket,
+                    "star fallback", band[s], key[s], n, max_bucket,
                 )
-                tail = np.arange(max_bucket, len(ids))
+                tail = np.arange(max_bucket, n)
                 ai = np.concatenate([ai, np.zeros(len(tail), dtype=np.int64)])
                 bi = np.concatenate([bi, tail])
             ham = _hamming64_vec(prints[ai], prints[bi])
@@ -1045,15 +1052,14 @@ def simhash_pairs(
             out_b.append(ids[bi][keep])
             out_h.append(ham[keep])
         if not out_a:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "hamming": pa.array([], pa.int64())}
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ("id_a", "id_b", "hamming")}
             )
-        return pa.table(
+        return pd.DataFrame(
             {
-                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
-                "hamming": pa.array(np.concatenate(out_h), pa.int64()),
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
             }
         )
 
@@ -1086,42 +1092,53 @@ def simhash_pairs(
             )
         )
 
-    collected = filtered.groupby(["band", "key"]).aggregate(
-        _make_collect_records_agg(["doc_id", "print"])
-    )
+    # same two-stage hash-partition shape as candidate_pair_dataset:
+    # bucket co-location + per-partition expansion kernel, then pair
+    # dedup by source id. A pair's hamming is a function of the two full
+    # prints — identical in every band it co-occurs in — so keeping any
+    # one occurrence per (id_a, id_b) IS the Min.
+    from ebook_ocr_ray.groups import map_partitions_typed
 
-    def uniq_neighbors(batch: pa.Table) -> pa.Table:
-        """Cross-band pair dedup via the same collect-by-source-node
-        record blobs as candidate_pair_dataset (one int64 shuffle key
-        instead of a two-column keyed aggregate). A pair's hamming is a
-        function of the two full prints — identical in every band it
-        co-occurs in — so keeping the first occurrence per unique id_b
-        IS the Min."""
-        out_a, out_b, out_h = [], [], []
-        for a, rec in zip(batch["id_a"].to_pylist(), batch["recs"].to_pylist()):
-            r = np.frombuffer(rec, dtype="<u8").reshape(-1, 2)
-            bs, idx = np.unique(r[:, 0], return_index=True)
-            out_a.append(np.full(len(bs), a, dtype=np.int64))
-            out_b.append(bs.astype(np.int64))
-            out_h.append(r[idx, 1].astype(np.int64))
-        if not out_a:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "hamming": pa.array([], pa.int64())}
-            )
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
-                "hamming": pa.array(np.concatenate(out_h), pa.int64()),
-            }
+    def add_bkey(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bkey",
+            pa.array(
+                _bucket_join_key(
+                    t["band"].to_numpy(zero_copy_only=False),
+                    t["key"].to_numpy(zero_copy_only=False),
+                ),
+                pa.int64(),
+            ),
         )
 
-    return (
-        collected.map_batches(expand, batch_format="pyarrow")
-        .groupby("id_a")
-        .aggregate(_make_collect_records_agg(["id_b", "hamming"]))
-        .map_batches(uniq_neighbors, batch_format="pyarrow")
+    pairs = map_partitions_typed(
+        filtered.map_batches(add_bkey, batch_format="pyarrow"),
+        "bkey",
+        expand_partition,
+        schema=pa.schema(list(schema) + [pa.field("bkey", pa.int64())]),
+        empty_fn=lambda: pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("id_a", "id_b", "hamming")}
+        ),
+        num_partitions=num_partitions,
+    )
+
+    def dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b", "hamming"]]
+        return out.astype(
+            {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+        )
+
+    return map_partitions_typed(
+        pairs,
+        "id_a",
+        dedup_partition,
+        schema=pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())]
+        ),
+        empty_fn=lambda: pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("id_a", "id_b", "hamming")}
+        ),
+        num_partitions=num_partitions,
     )
 
 
