@@ -148,6 +148,29 @@ def _dedup_pages_bloom(sf_dir: str):
     )
 
 
+def _dedup_url(sf_dir: str):
+    """Canonical-URL dedup: crawls of one page under messy URL variants
+    (uppercase scheme/host + www. + trailing slash; tracking query +
+    fragment) collapse to the earliest crawl of the normalized URL."""
+    from ebook_ocr_ray.pipelines.extraction import dedup_url, pages_dataset
+
+    return _sorted_frame(
+        dedup_url(pages_dataset(sf_dir, with_url_variants=True)), ["url_norm"]
+    )
+
+
+def _gopher_quality(sf_dir: str):
+    from ebook_ocr_ray.pipelines.quality import gopher_quality
+
+    return gopher_quality(sf_dir)
+
+
+def _anchor_text_stats(sf_dir: str):
+    from ebook_ocr_ray.pipelines.linkgraph import anchor_text_stats
+
+    return anchor_text_stats(sf_dir)
+
+
 def _sequence_dedup_pages(sf_dir: str):
     from ebook_ocr_ray.pipelines.extraction import pages_dataset, prepare_pages, sequence_dedup
 
@@ -565,6 +588,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "media_audio_features": _media_audio_features,
         "media_frame_index": _media_frame_index,
+        # round-4 additions (also never driver-recorded yet)
+        "dedup_url": _dedup_url,
+        "gopher_quality": lambda sf: _sorted_frame(_gopher_quality(sf), ["doc_id"]),
+        "anchor_text_stats": lambda sf: _sorted_frame(
+            _anchor_text_stats(sf), ["site", "href"]
+        ),
         # extraction family (closed-form oracles)
         "extract_docs": _extract_docs,
         "extract_html": lambda sf: _extract_docs(sf, kind="html"),
@@ -1021,8 +1050,96 @@ def _decontaminate_sql() -> str:
     """
 
 
+def _dedup_url_sql() -> str:
+    """Replays pages synthesis (base crawl + the two URL-variant recrawls
+    for doc_id % 6 == 1, sources/pages.py URL_VARIANT_EVERY) and the exact
+    normalization rewrite chain of extraction.URL_NORM_REWRITES — same
+    regexes, same order, RE2 on both sides."""
+    return f"""
+        WITH crawls AS (
+            SELECT {_URL_SQL} AS url, {_TS_SQL} AS warc_ts FROM documents
+            UNION ALL
+            SELECT 'HTTP://WWW.SITE-' || (doc_id % 20) || '.EXAMPLE/DOC/'
+                       || doc_id || '/',
+                   {_TS_SQL} + INTERVAL 1 DAY
+            FROM documents WHERE doc_id % 6 = 1
+            UNION ALL
+            SELECT {_URL_SQL} || '?utm_source=feed&ref=rss#frag',
+                   {_TS_SQL} + INTERVAL 2 DAY
+            FROM documents WHERE doc_id % 6 = 1
+        ), norm AS (
+            SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       lower(url), '^https?://', ''), '^www\\.', ''),
+                       '[?#].*$', ''), '/$', '') AS url_norm,
+                   url, warc_ts
+            FROM crawls
+        )
+        SELECT url_norm, url, warc_ts,
+               CAST(COUNT(*) OVER (PARTITION BY url_norm) AS BIGINT) AS n_crawls
+        FROM norm
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY url_norm
+                                   ORDER BY warc_ts, url) = 1
+        ORDER BY url_norm
+    """
+
+
+def _gopher_quality_sql() -> str:
+    """Replays quality.gopher_rule_stats: same split-on-single-space
+    tokenization (string_split, not regex — '' yields one empty token on
+    both sides), same integer cross-multiplied thresholds, stoplist
+    shared from textstats.STOPWORDS."""
+    return f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ), wc AS (
+            SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2
+        ), per AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_words,
+                   CAST(SUM(c * length(w)) AS BIGINT) AS sum_wlen,
+                   CAST(COALESCE(SUM(CASE WHEN w IN ({_STOPLIST_SQL})
+                                          THEN c END), 0) AS BIGINT) AS n_stop,
+                   CAST(MAX(c) AS BIGINT) AS top_n
+            FROM wc GROUP BY doc_id
+        )
+        SELECT doc_id, n_words, sum_wlen, n_stop, top_n,
+               CAST(CASE WHEN n_words >= 40
+                          AND 3 * n_words <= sum_wlen
+                          AND sum_wlen <= 10 * n_words
+                          AND n_stop >= 2
+                          AND 5 * top_n <= n_words
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM per ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_url": _dedup_url_sql(),
+        "gopher_quality": _gopher_quality_sql(),
+        # same closed-form link table as the outlinks oracle, rolled up
+        # per (site, href) target
+        "anchor_text_stats": """
+            WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 3),
+            idx AS (SELECT doc_id, unnest(range(0, 12)) AS link_idx FROM docs),
+            links AS (
+                SELECT 'site-' || (doc_id % 20) AS site,
+                       CASE link_idx WHEN 0 THEN '/' WHEN 1 THEN '/about'
+                            WHEN 2 THEN '/news' WHEN 3 THEN '/contact'
+                            WHEN 10 THEN '/privacy' WHEN 11 THEN '/terms'
+                            ELSE '/t/' || (link_idx - 4) END AS href,
+                       CASE link_idx WHEN 0 THEN 'Home' WHEN 1 THEN 'About'
+                            WHEN 2 THEN 'News' WHEN 3 THEN 'Contact'
+                            WHEN 10 THEN 'privacy' WHEN 11 THEN 'terms'
+                            ELSE 'tag-' || ((doc_id + link_idx - 4) % 50) END
+                           AS anchor_text
+                FROM idx
+            )
+            SELECT site, href,
+                   CAST(COUNT(*) AS BIGINT) AS n_links,
+                   CAST(COUNT(DISTINCT anchor_text) AS BIGINT) AS n_anchor_texts
+            FROM links GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "decontaminate": _decontaminate_sql(),
         # the keyed semi-join fallback is output-identical by contract,
         # so it shares the broadcast path's closed-form oracle

@@ -61,6 +61,7 @@ def pages_dataset(
     with_duplicates: bool = False,
     with_versions: bool = False,
     with_oversized: bool = False,
+    with_url_variants: bool = False,
     kind: str | None = None,
     repeat: int = 1,
 ) -> ray.data.Dataset:
@@ -97,7 +98,8 @@ def pages_dataset(
         pages_from_documents_batch,
         batch_format="pyarrow",
         fn_kwargs={"with_duplicates": with_duplicates, "with_versions": with_versions,
-                   "with_oversized": with_oversized},
+                   "with_oversized": with_oversized,
+                   "with_url_variants": with_url_variants},
     )
 
 
@@ -774,3 +776,129 @@ def outlinks(sf_dir: str) -> ray.data.Dataset:
         )
 
     return pages.map_batches(links_batch, batch_format="pyarrow")
+
+
+# --- canonical-URL dedup ----------------------------------------------------
+
+# The four normalization rewrites, applied in order. Shared verbatim (as
+# regex/replacement strings) with the SQL oracle so Python and DuckDB can
+# never drift: lowercase first, then strip scheme, leading www., query +
+# fragment, and a single trailing slash.
+URL_NORM_REWRITES: tuple[tuple[str, str], ...] = (
+    ("^https?://", ""),
+    (r"^www\.", ""),
+    ("[?#].*$", ""),
+    ("/$", ""),
+)
+
+
+def normalize_urls(urls: pa.ChunkedArray | pa.Array) -> pa.Array | pa.ChunkedArray:
+    """Vectorized canonical form of a crawl URL column (lowercase, no
+    scheme, no leading www., no query/fragment, no trailing slash) —
+    pyarrow.compute kernels only, no per-row Python."""
+    import pyarrow.compute as pc
+
+    u = pc.utf8_lower(urls)
+    for pat, rep in URL_NORM_REWRITES:
+        u = pc.replace_substring_regex(u, pattern=pat, replacement=rep)
+    return u
+
+
+def dedup_url(
+    pages: ray.data.Dataset, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Canonical-URL dedup over the pages table: crawls whose URLs
+    normalize to the same canonical form (scheme/case/www./tracking-query/
+    trailing-slash variants of one page) collapse to their earliest crawl.
+    The Common-Crawl-side complement of content dedup — a page recrawled
+    under `?utm_source=...` has a distinct payload timestamp but is the
+    same document, and URL canonicalization catches it without hashing
+    the payload at all.
+
+        pages (url, warc_ts)                 # column-pruned: payload never read
+          -> map_batches(normalize + batch combine)   # slim partial rows
+          -> hash-partition on surrogate key -> per-partition min/count
+          -> (url_norm, url, warc_ts, n_crawls)       # survivor = earliest crawl
+
+    Scale shape: the shuffle carries one ~80-byte row per distinct
+    url_norm per input block (pre-combined inside map_batches), never the
+    payload; the reduce is map_partitions_typed (sentinel-backed, typed
+    empties, no sort). Survivor order is total: (warc_ts, url) lexicographic
+    on a zero-padded composite key, the same rule as exact content dedup
+    (_survivor_key). url_norm cardinality is ~corpus-sized, so size
+    ``num_partitions`` to the cluster at scale (the default suits the
+    bench corpora; each partition holds its slice's url_norms in one
+    pandas frame)."""
+    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.groups import map_partitions_typed
+
+    slim = pages.select_columns(["url", "warc_ts"])
+
+    def norm_partial(t: pa.Table) -> pa.Table:
+        norm = normalize_urls(t["url"])
+        ts_us = t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = _survivor_key(ts_us, t["url"].to_pylist())
+        df = pd.DataFrame(
+            {"url_norm": norm.to_pandas(), "key": keys}
+        )
+        agg = (
+            df.groupby("url_norm", sort=False)
+            .agg(n_crawls=("key", "size"), min_key=("key", "min"))
+            .reset_index()
+        )
+        agg["skey"] = [
+            stable_hash64(u) & ((1 << 63) - 1) for u in agg["url_norm"]
+        ]
+        agg["n_crawls"] = agg["n_crawls"].astype("int64")
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    partial_schema = pa.schema(
+        [
+            ("url_norm", pa.string()),
+            ("n_crawls", pa.int64()),
+            ("min_key", pa.string()),
+            ("skey", pa.int64()),
+        ]
+    )
+
+    def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("url_norm", sort=False)
+            .agg(n_crawls=("n_crawls", "sum"), min_key=("min_key", "min"))
+            .reset_index()
+        )
+        out["n_crawls"] = out["n_crawls"].astype("int64")
+        return out
+
+    def empty_fn() -> pa.Table:
+        return pa.schema(
+            [
+                ("url_norm", pa.string()),
+                ("n_crawls", pa.int64()),
+                ("min_key", pa.string()),
+            ]
+        ).empty_table()
+
+    reduced = map_partitions_typed(
+        slim.map_batches(norm_partial, batch_format="pyarrow"),
+        "skey",
+        reduce_fn,
+        schema=partial_schema,
+        empty_fn=empty_fn,
+        num_partitions=num_partitions,
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        keys = t["min_key"].to_pylist()
+        ts = [int(k.split("|", 1)[0]) for k in keys]
+        urls = [k.split("|", 1)[1] for k in keys]
+        return pa.table(
+            {
+                "url_norm": t["url_norm"],
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                "n_crawls": t["n_crawls"],
+            }
+        )
+
+    return reduced.map_batches(unpack, batch_format="pyarrow")

@@ -346,3 +346,87 @@ def _pagerank_keyed(
     return out.map_batches(
         lambda t: t.select(["url", "rank"]), batch_format="pyarrow"
     )
+
+
+# --- inlink anchor-text aggregation ------------------------------------------
+
+def anchor_text_stats(sf_dir: str, num_partitions: int = 4) -> ray.data.Dataset:
+    """Per link target: inlink count and distinct-anchor-text count —
+    the anchor-text index step of a web corpus pipeline (inlink anchors
+    are a classic relevance/label signal; aggregating them per target is
+    the standard join-free way to attach them to documents).
+
+        outlinks (url, href, anchor_text)            # slim columns only
+          -> map_batches: (site, href, anchor_text, n)   per-batch combine
+          -> hash-partition on target surrogate key
+          -> per-partition: n_links = sum(n), n_anchor_texts = distinct
+
+    Targets here are site-relative (every synthesized href is), so the
+    target identity is (site, href). One slim-row shuffle, partials
+    pre-combined map-side; distinct anchors per (site, href) are bounded
+    by the site's template vocabulary, so per-partition frames stay small
+    at any corpus size."""
+    import re as _re
+
+    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.groups import map_partitions_typed
+    from ebook_ocr_ray.pipelines.extraction import outlinks
+
+    _site_re = _re.compile(r"^https?://([^/]+)/")
+
+    links = outlinks(sf_dir).select_columns(["url", "href", "anchor_text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sites = [
+            _site_re.match(u).group(1).split(".")[0]
+            for u in t["url"].to_pylist()
+        ]
+        df = pd.DataFrame(
+            {
+                "site": sites,
+                "href": t["href"].to_pylist(),
+                "anchor_text": t["anchor_text"].to_pylist(),
+            }
+        )
+        agg = (
+            df.groupby(["site", "href", "anchor_text"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        agg["skey"] = [
+            stable_hash64(f"{s}\x1f{h}") & ((1 << 63) - 1)
+            for s, h in zip(agg["site"], agg["href"])
+        ]
+        agg["n"] = agg["n"].astype("int64")
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["site", "href"], sort=False)
+            .agg(
+                n_links=("n", "sum"),
+                n_anchor_texts=("anchor_text", "nunique"),
+            )
+            .reset_index()
+        )
+        for c in ("n_links", "n_anchor_texts"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    schema = pa.schema(
+        [("site", pa.string()), ("href", pa.string()),
+         ("anchor_text", pa.string()), ("n", pa.int64()),
+         ("skey", pa.int64())]
+    )
+    return map_partitions_typed(
+        links.map_batches(partial, batch_format="pyarrow"),
+        "skey",
+        reduce_fn,
+        schema=schema,
+        empty_fn=lambda: pa.schema(
+            [("site", pa.string()), ("href", pa.string()),
+             ("n_links", pa.int64()), ("n_anchor_texts", pa.int64())]
+        ).empty_table(),
+        num_partitions=num_partitions,
+    )

@@ -247,3 +247,84 @@ def quality_buckets(sf_dir: str, spool_dir: str | None = None) -> ray.data.Datas
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
     )
     return quality_buckets_ds(docs, spool_dir=spool_dir)
+
+
+# --- Gopher-style rule filter ------------------------------------------------
+
+# Integer thresholds (Rae et al. 2021, "Scaling Language Models" §A1.1
+# adapted to this corpus's scale): word-count floor, mean-word-length
+# band expressed as cross-multiplied integers (3 <= sum_wlen/n_words <= 10
+# compared as 3*n <= sum <= 10*n — no float boundary), a stopword floor,
+# and a top-word concentration cap (most frequent word <= 20% of tokens,
+# compared as 5*top_n <= n_words).
+GOPHER_MIN_WORDS = 40
+GOPHER_MEAN_WLEN_MIN = 3      # lower bound numerator (x1)
+GOPHER_MEAN_WLEN_MAX = 10     # upper bound numerator (x1)
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_TOP_WORD_DEN = 5       # top word must be <= 1/5 of all tokens
+
+
+def gopher_rule_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc Gopher-rule metrics + the keep verdict, fully vectorized:
+    one pandas explode per batch (C-level split/explode/groupby), no
+    per-row Python. Purely map-side — embarrassingly parallel, no
+    shuffle at any corpus size. Output: (doc_id, n_words, sum_wlen,
+    n_stop, top_n, keep) with keep as int64 0/1 so the value hash is
+    dtype-stable against the SQL oracle."""
+    from ebook_ocr_ray.functions.textstats import STOPWORDS
+
+    stop = sorted(STOPWORDS)
+
+    def rules(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+             "text": t["text"].to_pandas().fillna("")}
+        )
+        words = df.set_index("doc_id")["text"].str.split(" ").explode()
+        wc = (
+            words.groupby([words.index, words.rename("w")], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+            .rename(columns={"level_0": "doc_id"})
+        )
+        wc["wlen"] = wc["w"].str.len() * wc["c"]
+        wc["is_stop"] = wc["w"].isin(stop)
+        per = (
+            wc.groupby("doc_id", sort=False)
+            .agg(
+                n_words=("c", "sum"),
+                sum_wlen=("wlen", "sum"),
+                top_n=("c", "max"),
+            )
+            .reset_index()
+        )
+        stops = (
+            wc.loc[wc["is_stop"]]
+            .groupby("doc_id", sort=False)["c"]
+            .sum()
+            .rename("n_stop")
+        )
+        per = per.merge(stops, on="doc_id", how="left")
+        per["n_stop"] = per["n_stop"].fillna(0).astype("int64")
+        for c in ("n_words", "sum_wlen", "top_n"):
+            per[c] = per[c].astype("int64")
+        keep = (
+            (per.n_words >= GOPHER_MIN_WORDS)
+            & (GOPHER_MEAN_WLEN_MIN * per.n_words <= per.sum_wlen)
+            & (per.sum_wlen <= GOPHER_MEAN_WLEN_MAX * per.n_words)
+            & (per.n_stop >= GOPHER_MIN_STOPWORDS)
+            & (GOPHER_TOP_WORD_DEN * per.top_n <= per.n_words)
+        )
+        per["keep"] = keep.astype("int64")
+        out = per[["doc_id", "n_words", "sum_wlen", "n_stop", "top_n", "keep"]]
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return docs.map_batches(rules, batch_format="pyarrow")
+
+
+def gopher_quality(sf_dir: str) -> ray.data.Dataset:
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return gopher_rule_stats(docs)

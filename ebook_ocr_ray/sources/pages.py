@@ -43,6 +43,8 @@ DUP_EVERY = 10         # doc_id % 10 == 0 -> an exact-duplicate later crawl
 VERSION_EVERY = 5      # doc_id % 5 == 0 -> a 3-version crawl chain
 VERSION_SUFFIX = " updated revision content"
 OVERSIZE_EVERY = 97    # doc_id % 97 == 96 -> oversized payload (skew row)
+URL_VARIANT_EVERY = 6  # doc_id % 6 == 1 -> two messy-URL recrawls
+URL_VARIANT_QUERY = "?utm_source=feed&ref=rss#frag"
 
 
 def page_url(doc_id: int) -> str:
@@ -200,13 +202,17 @@ def pages_from_documents_batch(
     with_duplicates: bool = False,
     with_versions: bool = False,
     with_oversized: bool = False,
+    with_url_variants: bool = False,
 ) -> pa.Table:
     """map_batches(batch_format="pyarrow") body: documents rows -> pages
     rows (1->N flat map). ``with_duplicates`` adds an exact-duplicate
     recrawl one day later for every DUP_EVERY-th doc. ``with_versions``
     adds a 3-version chain for every VERSION_EVERY-th doc: an identical
     recrawl at +1 day (sequence-dedup must drop it) and a changed revision
-    at +2 days (must survive)."""
+    at +2 days (must survive). ``with_url_variants`` adds, for every
+    URL_VARIANT_EVERY-th doc, two later recrawls of the SAME page under
+    messy URLs (uppercase scheme/host + www. + trailing slash; tracking
+    query + fragment) — the canonical-URL dedup fixture."""
     urls: list[str] = []
     tss: list[_dt.datetime] = []
     payloads: list[bytes] = []
@@ -220,8 +226,9 @@ def pages_from_documents_batch(
         ts: _dt.datetime,
         payload: bytes,
         url_suffix: str = "",
+        url_override: str | None = None,
     ) -> None:
-        urls.append(page_url(doc_id) + url_suffix)
+        urls.append(url_override if url_override is not None else page_url(doc_id) + url_suffix)
         tss.append(ts)
         payloads.append(payload)
         texts.append(text)
@@ -242,6 +249,18 @@ def pages_from_documents_batch(
                 page_ts(doc_id, dup=True),
                 synth_oversized_html(doc_id, text),
                 url_suffix="/big",
+            )
+        if with_url_variants and doc_id % URL_VARIANT_EVERY == 1:
+            base = page_url(doc_id)
+            messy = "HTTP://WWW." + base[len("https://"):].upper() + "/"
+            emit(
+                doc_id, text, lang,
+                page_ts(doc_id, dup=True), payload, url_override=messy,
+            )
+            emit(
+                doc_id, text, lang,
+                page_ts(doc_id) + _dt.timedelta(seconds=2 * DUP_TS_OFFSET_S),
+                payload, url_override=base + URL_VARIANT_QUERY,
             )
         if with_versions and doc_id % VERSION_EVERY == 0:
             emit(doc_id, text, lang, page_ts(doc_id, dup=True), payload)

@@ -1,0 +1,190 @@
+"""Round-4 web-corpus operators: canonical-URL dedup, Gopher-rule
+quality filter, inlink anchor-text aggregation."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+
+
+class TestNormalizeUrls:
+    def test_rewrite_chain(self):
+        from ebook_ocr_ray.pipelines.extraction import normalize_urls
+
+        urls = pa.array(
+            [
+                "https://site-1.example/doc/1",
+                "HTTP://WWW.SITE-1.EXAMPLE/DOC/1/",
+                "https://site-1.example/doc/1?utm_source=feed&ref=rss#frag",
+                "http://site-2.example/",          # root: trailing slash only
+                "https://www.other.example/a?x=1",
+                "https://site-3.example/doc/3#sec",
+            ]
+        )
+        got = normalize_urls(urls).to_pylist()
+        assert got == [
+            "site-1.example/doc/1",
+            "site-1.example/doc/1",
+            "site-1.example/doc/1",
+            "site-2.example",
+            "other.example/a",
+            "site-3.example/doc/3",
+        ]
+
+    def test_www_stripped_only_at_start(self):
+        from ebook_ocr_ray.pipelines.extraction import normalize_urls
+
+        got = normalize_urls(pa.array(["https://a.example/www.b"])).to_pylist()
+        assert got == ["a.example/www.b"]
+
+
+class TestDedupUrl:
+    def _pages(self, ray_session, rows):
+        import ray
+
+        urls, tss = zip(*rows)
+        t = pa.table(
+            {
+                "url": pa.array(list(urls), pa.string()),
+                "warc_ts": pa.array(list(tss), pa.timestamp("us")),
+                # payload columns present but never read by dedup_url
+                "html": pa.array([b""] * len(rows), pa.binary()),
+                "text": pa.array([""] * len(rows), pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+            }
+        )
+        return ray.data.from_arrow(t)
+
+    def test_variants_collapse_to_earliest(self, ray_session):
+        from ebook_ocr_ray.pipelines.extraction import dedup_url
+
+        pages = self._pages(
+            ray_session,
+            [
+                ("https://site-1.example/doc/7", _ts(7)),
+                ("HTTP://WWW.SITE-1.EXAMPLE/DOC/7/", _ts(86407)),
+                ("https://site-1.example/doc/7?utm_source=feed#f", _ts(2 * 86400)),
+                ("https://site-2.example/doc/8", _ts(8)),
+            ],
+        )
+        df = dedup_url(pages, num_partitions=2).to_pandas().sort_values("url_norm")
+        assert df.url_norm.tolist() == [
+            "site-1.example/doc/7", "site-2.example/doc/8"
+        ]
+        assert df.n_crawls.tolist() == [3, 1]
+        # survivor = earliest crawl's ORIGINAL url + ts
+        assert df.url.tolist()[0] == "https://site-1.example/doc/7"
+        assert df.warc_ts.tolist()[0] == _ts(7)
+
+    def test_tie_breaks_on_url(self, ray_session):
+        from ebook_ocr_ray.pipelines.extraction import dedup_url
+
+        pages = self._pages(
+            ray_session,
+            [
+                ("https://site-1.example/doc/9?b=2", _ts(5)),
+                ("https://site-1.example/doc/9?a=1", _ts(5)),
+            ],
+        )
+        df = dedup_url(pages, num_partitions=2).to_pandas()
+        assert len(df) == 1
+        assert df.url.iloc[0] == "https://site-1.example/doc/9?a=1"
+
+    def test_fixture_counts(self, ray_session):
+        """with_url_variants plants exactly two extra crawls per
+        doc_id % 6 == 1 doc, and dedup_url collapses all of them."""
+        from ebook_ocr_ray.pipelines.extraction import dedup_url, pages_dataset
+
+        pages = pages_dataset(SF_SMOKE, with_url_variants=True)
+        df = dedup_url(pages, num_partitions=2).to_pandas()
+        import pyarrow.parquet as pq
+
+        n_docs = pq.read_metadata(f"{SF_SMOKE}/documents.parquet").num_rows
+        assert len(df) == n_docs
+        assert (df.n_crawls == 3).sum() == len(
+            [i for i in range(n_docs) if i % 6 == 1]
+        )
+        # every survivor is the clean base url (earliest crawl)
+        assert df.url.str.startswith("https://site-").all()
+
+
+class TestGopherRules:
+    def _stats(self, ray_session, texts):
+        import ray
+
+        from ebook_ocr_ray.pipelines.quality import gopher_rule_stats
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        return (
+            gopher_rule_stats(ray.data.from_arrow(t))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_truth_table(self, ray_session):
+        good = ("the data " + "word " * 48).strip()        # 50 words, stopword x1...
+        short = "the quick data row"                        # < 40 words
+        no_stop = ("data row " * 25).strip()                # no stopwords
+        top_heavy = ("the of " + "spam " * 48).strip()      # 'spam' 48/50 > 20%
+        df = self._stats(ray_session, [good, short, no_stop, top_heavy])
+        # 'good': 50 words, 'word' x48 is ALSO top-heavy -> keep=0; use metrics
+        assert df.n_words.tolist() == [50, 4, 50, 50]
+        assert df.n_stop.tolist() == [1, 1, 0, 2]
+        assert df.top_n.tolist() == [48, 1, 25, 48]
+        assert df.keep.tolist() == [0, 0, 0, 0]
+
+    def test_keep_fires(self, ray_session):
+        words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+        text = "the a " + " ".join(words[i % 10] + str(i) for i in range(48))
+        df = self._stats(ray_session, [text])
+        assert df.n_words.iloc[0] == 50
+        assert df.n_stop.iloc[0] == 2
+        assert df.keep.iloc[0] == 1
+
+    def test_empty_text(self, ray_session):
+        df = self._stats(ray_session, [""])
+        assert df.n_words.iloc[0] == 1      # split(' ') of '' = [''] both sides
+        assert df.sum_wlen.iloc[0] == 0
+        assert df.keep.iloc[0] == 0
+
+    def test_mean_word_length_bounds(self, ray_session):
+        # 40 single-char words + the/a: mean < 3 -> dropped by length band
+        thin = "the a " + " ".join(["x"] * 48)
+        df = self._stats(ray_session, [thin])
+        assert df.keep.iloc[0] == 0
+        assert 3 * df.n_words.iloc[0] > df.sum_wlen.iloc[0]
+
+
+class TestAnchorTextStats:
+    def test_counts(self, ray_session):
+        from ebook_ocr_ray.pipelines.linkgraph import anchor_text_stats
+
+        df = (
+            anchor_text_stats(SF_SMOKE, num_partitions=2)
+            .to_pandas()
+            .sort_values(["site", "href"])
+            .reset_index(drop=True)
+        )
+        # chrome links: every html page of a site carries '/about' once
+        # with the fixed anchor 'About'
+        about = df[df.href == "/about"]
+        assert (about.n_anchor_texts == 1).all()
+        # tag links '/t/k' carry doc-dependent anchors 'tag-(doc+k)%50':
+        # more inlinks than distinct anchors once a site has >1 page
+        tags = df[df.href.str.startswith("/t/")]
+        assert (tags.n_anchor_texts <= tags.n_links).all()
+        assert (tags.n_anchor_texts <= 50).all()
+        # totals: 12 links per html page, split across 12 hrefs per site
+        assert int(df.n_links.sum()) % 12 == 0
