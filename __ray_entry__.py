@@ -171,6 +171,18 @@ def _anchor_text_stats(sf_dir: str):
     return anchor_text_stats(sf_dir)
 
 
+def _crawl_delta(sf_dir: str):
+    """CDX-style snapshot diff: per-url added/removed/changed/same across
+    the two deterministic crawl snapshots (sources/pages.py
+    snapshot_pages_batch)."""
+    from ebook_ocr_ray.pipelines.extraction import crawl_delta, snapshot_pages
+
+    return _sorted_frame(
+        crawl_delta(snapshot_pages(sf_dir, "a"), snapshot_pages(sf_dir, "b")),
+        ["url"],
+    )
+
+
 def _sequence_dedup_pages(sf_dir: str):
     from ebook_ocr_ray.pipelines.extraction import pages_dataset, prepare_pages, sequence_dedup
 
@@ -594,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_stats": lambda sf: _sorted_frame(
             _anchor_text_stats(sf), ["site", "href"]
         ),
+        "crawl_delta": _crawl_delta,
         # extraction family (closed-form oracles)
         "extract_docs": _extract_docs,
         "extract_html": lambda sf: _extract_docs(sf, kind="html"),
@@ -1117,6 +1130,24 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dedup_url": _dedup_url_sql(),
         "gopher_quality": _gopher_quality_sql(),
+        # closed form of the snapshot fixture: payload equality is exactly
+        # text equality (synth_payload embeds the text byte-for-byte), so
+        # 'changed' is exactly the VERSION_SUFFIX rule; removal wins over
+        # revision by construction (sources/pages.py snapshot_pages_batch)
+        "crawl_delta": f"""
+            SELECT url, status FROM (
+                SELECT {_URL_SQL} AS url,
+                       CASE WHEN doc_id % 13 = 5 THEN 'removed'
+                            WHEN doc_id % 5 = 0 THEN 'changed'
+                            ELSE 'same' END AS status
+                FROM documents
+                UNION ALL
+                SELECT 'https://site-' || ((doc_id + 50000000) % 20)
+                           || '.example/doc/' || (doc_id + 50000000) AS url,
+                       'added' AS status
+                FROM documents WHERE doc_id % 17 = 2
+            ) ORDER BY url
+        """,
         # same closed-form link table as the outlinks oracle, rolled up
         # per (site, href) target
         "anchor_text_stats": """

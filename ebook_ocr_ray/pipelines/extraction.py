@@ -902,3 +902,70 @@ def dedup_url(
         )
 
     return reduced.map_batches(unpack, batch_format="pyarrow")
+
+
+# --- crawl-snapshot diff ------------------------------------------------------
+
+def snapshot_pages(sf_dir: str, which: str) -> ray.data.Dataset:
+    """One of the two deterministic crawl snapshots (sources/pages.py
+    snapshot_pages_batch) as a pages Dataset."""
+    from ebook_ocr_ray.sources.pages import snapshot_pages_batch
+
+    return load_documents(sf_dir).map_batches(
+        snapshot_pages_batch, batch_format="pyarrow", fn_kwargs={"which": which}
+    )
+
+
+def crawl_delta(
+    pages_a: ray.data.Dataset,
+    pages_b: ray.data.Dataset,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Per-url status across two crawl snapshots — added / removed /
+    changed / same — the CDX-style snapshot diff that drives incremental
+    recrawl pipelines (extract only what changed, retire what vanished).
+
+        each snapshot -> map_batches: (url, md5(payload))   # slim, map-side
+          -> ONE full-outer hash join on url
+          -> status from hash null-ness / equality          # vectorized
+
+    The payload is hashed where it is read and never enters the shuffle;
+    the join moves two ~70-byte rows per url. Content equality is exactly
+    payload-byte equality (same md5 key as exact dedup, prepare_batch)."""
+    import hashlib as _hl
+
+    def slim(tag: str):
+        def fn(t: pa.Table) -> pa.Table:
+            shas = [
+                _hl.md5(p).hexdigest() if p is not None else ""
+                for p in t["html"].to_pylist()
+            ]
+            return pa.table(
+                {"url": t["url"], f"sha_{tag}": pa.array(shas, pa.string())}
+            )
+
+        return fn
+
+    a = pages_a.map_batches(slim("a"), batch_format="pyarrow")
+    b = pages_b.map_batches(slim("b"), batch_format="pyarrow")
+    joined = a.join(
+        b, join_type="full_outer", num_partitions=num_partitions, on=("url",)
+    )
+
+    def status(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sa, sb = t["sha_a"], t["sha_b"]
+        eq = pc.fill_null(pc.equal(sa, sb), False)
+        out = pc.if_else(
+            pc.is_null(sa),
+            pa.scalar("added"),
+            pc.if_else(
+                pc.is_null(sb),
+                pa.scalar("removed"),
+                pc.if_else(eq, pa.scalar("same"), pa.scalar("changed")),
+            ),
+        )
+        return pa.table({"url": t["url"], "status": out})
+
+    return joined.map_batches(status, batch_format="pyarrow")

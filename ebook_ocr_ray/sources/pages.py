@@ -282,3 +282,57 @@ def pages_from_documents_batch(
         ],
         schema=PAGES_SCHEMA,
     )
+
+
+# --- crawl-snapshot synthesis (CDX-diff fixture) -----------------------------
+
+SNAPSHOT_REMOVE_EVERY = 13   # doc_id % 13 == 5 -> page gone in snapshot B
+SNAPSHOT_CHANGE_EVERY = 5    # doc_id % 5 == 0 -> revised content in B
+SNAPSHOT_ADD_EVERY = 17      # doc_id % 17 == 2 -> publishes a NEW page in B
+SNAPSHOT_ADD_OFFSET = 50_000_000
+
+
+def snapshot_pages_batch(batch: pa.Table, which: str) -> pa.Table:
+    """Two deterministic crawl snapshots of one corpus, for snapshot
+    diffing. Snapshot "a": every doc at its base crawl. Snapshot "b"
+    (one day later): pages of doc_id % 13 == 5 are GONE (removed),
+    doc_id % 5 == 0 pages carry revised content (VERSION_SUFFIX appended
+    — a distinct payload), and doc_id % 17 == 2 docs additionally publish
+    a NEW page under doc_id + SNAPSHOT_ADD_OFFSET. Removal wins over
+    revision (a removed page has no revised crawl)."""
+    assert which in ("a", "b")
+    urls: list[str] = []
+    tss: list[_dt.datetime] = []
+    payloads: list[bytes] = []
+    texts: list[str] = []
+    langs: list[str] = []
+
+    def emit(doc_id: int, text: str, lang: str, ts: _dt.datetime) -> None:
+        urls.append(page_url(doc_id))
+        tss.append(ts)
+        payloads.append(synth_payload(doc_id, text))
+        texts.append(text)
+        langs.append(lang)
+
+    for doc_id, text, lang in zip(
+        batch["doc_id"].to_pylist(), batch["text"].to_pylist(), batch["lang"].to_pylist()
+    ):
+        if which == "a":
+            emit(doc_id, text, lang, page_ts(doc_id))
+            continue
+        ts_b = page_ts(doc_id, dup=True)
+        if doc_id % SNAPSHOT_REMOVE_EVERY != 5:
+            t = text + VERSION_SUFFIX if doc_id % SNAPSHOT_CHANGE_EVERY == 0 else text
+            emit(doc_id, t, lang, ts_b)
+        if doc_id % SNAPSHOT_ADD_EVERY == 2:
+            emit(doc_id + SNAPSHOT_ADD_OFFSET, text, lang, ts_b)
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.timestamp("us")),
+            pa.array(payloads, pa.binary()),
+            pa.array(texts, pa.string()),
+            pa.array(langs, pa.string()),
+        ],
+        schema=PAGES_SCHEMA,
+    )

@@ -167,6 +167,45 @@ class TestGopherRules:
         assert 3 * df.n_words.iloc[0] > df.sum_wlen.iloc[0]
 
 
+class TestCrawlDelta:
+    def test_statuses(self, ray_session):
+        from ebook_ocr_ray.pipelines.extraction import crawl_delta, snapshot_pages
+
+        df = (
+            crawl_delta(
+                snapshot_pages(SF_SMOKE, "a"), snapshot_pages(SF_SMOKE, "b")
+            )
+            .to_pandas()
+            .set_index("url")
+        )
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(f"{SF_SMOKE}/documents.parquet").num_rows
+        from ebook_ocr_ray.sources.pages import SNAPSHOT_ADD_OFFSET, page_url
+
+        for doc_id in range(n):
+            want = (
+                "removed" if doc_id % 13 == 5
+                else "changed" if doc_id % 5 == 0
+                else "same"
+            )
+            assert df.loc[page_url(doc_id), "status"] == want, doc_id
+            added_url = page_url(doc_id + SNAPSHOT_ADD_OFFSET)
+            if doc_id % 17 == 2:
+                assert df.loc[added_url, "status"] == "added"
+            else:
+                assert added_url not in df.index
+        assert len(df) == n + len([i for i in range(n) if i % 17 == 2])
+
+    def test_identical_snapshots_all_same(self, ray_session):
+        from ebook_ocr_ray.pipelines.extraction import crawl_delta, snapshot_pages
+
+        df = crawl_delta(
+            snapshot_pages(SF_SMOKE, "a"), snapshot_pages(SF_SMOKE, "a")
+        ).to_pandas()
+        assert (df.status == "same").all()
+
+
 class TestAnchorTextStats:
     def test_counts(self, ray_session):
         from ebook_ocr_ray.pipelines.linkgraph import anchor_text_stats
