@@ -275,3 +275,87 @@ class TestRound4Properties:
                 got = embedding_matrix(c)
                 want = np.asarray(c.to_pylist(), dtype=np.float64)
                 np.testing.assert_array_equal(got, want)
+
+
+class TestUrlNormalizationProperties:
+    URL = st.builds(
+        lambda scheme, www, host, path, q, frag, slash: (
+            scheme + www + host + path + q + frag + slash
+        ),
+        scheme=st.sampled_from(["https://", "http://", "HTTP://", "HTTPS://"]),
+        www=st.sampled_from(["", "www.", "WWW."]),
+        host=st.from_regex(r"[a-z0-9-]{1,12}\.example", fullmatch=True),
+        path=st.from_regex(r"(/[a-z0-9]{1,8}){0,3}", fullmatch=True),
+        q=st.sampled_from(["", "?a=1", "?utm_source=feed&b=2"]),
+        frag=st.sampled_from(["", "#frag"]),
+        slash=st.sampled_from(["", "/"]),
+    )
+
+    @given(url=URL)
+    @settings(max_examples=200, deadline=None)
+    def test_idempotent(self, url):
+        """normalize(normalize(u)) == normalize(u): a canonical form must
+        be a fixed point, or re-normalizing a stored url_norm would change
+        keys between runs."""
+        import pyarrow as pa
+
+        from ebook_ocr_ray.pipelines.extraction import normalize_urls
+
+        once = normalize_urls(pa.array([url])).to_pylist()[0]
+        twice = normalize_urls(pa.array([once])).to_pylist()[0]
+        assert once == twice
+
+    @given(url=URL)
+    @settings(max_examples=200, deadline=None)
+    def test_no_scheme_query_fragment_or_trailing_slash(self, url):
+        import pyarrow as pa
+
+        from ebook_ocr_ray.pipelines.extraction import normalize_urls
+
+        norm = normalize_urls(pa.array([url])).to_pylist()[0]
+        assert "://" not in norm
+        assert "?" not in norm and "#" not in norm
+        assert not norm.endswith("/")
+        assert not norm.startswith("www.")
+        assert norm == norm.lower()
+
+
+class TestGopherRuleProperties:
+    @given(
+        words=st.lists(
+            st.text(alphabet="abcdef", min_size=1, max_size=8),
+            min_size=1,
+            max_size=60,
+        ),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_permutation_invariant(self, ray_session, words, seed):
+        """Every Gopher metric is a bag-of-words statistic: shuffling word
+        order must not change any output column. One Ray run per example:
+        original and shuffled doc share a batch."""
+        import random
+
+        import pyarrow as pa
+        import ray
+
+        from ebook_ocr_ray.pipelines.quality import gopher_rule_stats
+
+        shuffled = list(words)
+        random.Random(seed).shuffle(shuffled)
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    [" ".join(words), " ".join(shuffled)], pa.string()
+                ),
+            }
+        )
+        df = (
+            gopher_rule_stats(ray.data.from_arrow(t))
+            .to_pandas()
+            .sort_values("doc_id")
+            .drop(columns=["doc_id"])
+            .reset_index(drop=True)
+        )
+        assert df.iloc[0].to_dict() == df.iloc[1].to_dict()
