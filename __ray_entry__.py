@@ -1142,8 +1142,8 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'same' END AS status
                 FROM documents
                 UNION ALL
-                SELECT 'https://site-' || ((doc_id + 50000000) % 20)
-                           || '.example/doc/' || (doc_id + 50000000) AS url,
+                SELECT 'https://site-' || ((doc_id + 1000000000000) % 20)
+                           || '.example/doc/' || (doc_id + 1000000000000) AS url,
                        'added' AS status
                 FROM documents WHERE doc_id % 17 = 2
             ) ORDER BY url

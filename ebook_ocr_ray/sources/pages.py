@@ -289,7 +289,7 @@ def pages_from_documents_batch(
 SNAPSHOT_REMOVE_EVERY = 13   # doc_id % 13 == 5 -> page gone in snapshot B
 SNAPSHOT_CHANGE_EVERY = 5    # doc_id % 5 == 0 -> revised content in B
 SNAPSHOT_ADD_EVERY = 17      # doc_id % 17 == 2 -> publishes a NEW page in B
-SNAPSHOT_ADD_OFFSET = 50_000_000
+SNAPSHOT_ADD_OFFSET = 10**12   # beyond any amplified doc-id space
 
 
 def snapshot_pages_batch(batch: pa.Table, which: str) -> pa.Table:
