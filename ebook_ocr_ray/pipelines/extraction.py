@@ -846,11 +846,18 @@ def dedup_url(
             .agg(n_crawls=("key", "size"), min_key=("key", "min"))
             .reset_index()
         )
-        agg["skey"] = [
-            stable_hash64(u) & ((1 << 63) - 1) for u in agg["url_norm"]
-        ]
-        agg["n_crawls"] = agg["n_crawls"].astype("int64")
-        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+        skeys = [stable_hash64(u) & ((1 << 63) - 1) for u in agg["url_norm"]]
+        # explicit types: from_pandas infers `null` for empty object
+        # columns, which re-creates the schema-mismatch bundles that
+        # groups.py exists to eliminate
+        return pa.table(
+            {
+                "url_norm": pa.array(agg["url_norm"], pa.string()),
+                "n_crawls": pa.array(agg["n_crawls"].astype("int64"), pa.int64()),
+                "min_key": pa.array(agg["min_key"], pa.string()),
+                "skey": pa.array(skeys, pa.int64()),
+            }
+        )
 
     partial_schema = pa.schema(
         [

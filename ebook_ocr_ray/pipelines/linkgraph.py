@@ -394,12 +394,20 @@ def anchor_text_stats(sf_dir: str, num_partitions: int = 4) -> ray.data.Dataset:
             .rename("n")
             .reset_index()
         )
-        agg["skey"] = [
+        skeys = [
             stable_hash64(f"{s}\x1f{h}") & ((1 << 63) - 1)
             for s, h in zip(agg["site"], agg["href"])
         ]
-        agg["n"] = agg["n"].astype("int64")
-        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+        # explicit types (empty object columns infer null under from_pandas)
+        return pa.table(
+            {
+                "site": pa.array(agg["site"], pa.string()),
+                "href": pa.array(agg["href"], pa.string()),
+                "anchor_text": pa.array(agg["anchor_text"], pa.string()),
+                "n": pa.array(agg["n"].astype("int64"), pa.int64()),
+                "skey": pa.array(skeys, pa.int64()),
+            }
+        )
 
     def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
         out = (

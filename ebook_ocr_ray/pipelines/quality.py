@@ -275,7 +275,14 @@ def gopher_rule_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     stop = sorted(STOPWORDS)
 
+    out_schema = pa.schema(
+        [(c, pa.int64())
+         for c in ("doc_id", "n_words", "sum_wlen", "n_stop", "top_n", "keep")]
+    )
+
     def rules(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
         df = pd.DataFrame(
             {"doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
              "text": t["text"].to_pandas().fillna("")}
@@ -317,8 +324,14 @@ def gopher_rule_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
             & (GOPHER_TOP_WORD_DEN * per.top_n <= per.n_words)
         )
         per["keep"] = keep.astype("int64")
-        out = per[["doc_id", "n_words", "sum_wlen", "n_stop", "top_n", "keep"]]
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        # explicit types: an empty batch must still emit the declared
+        # int64 schema (from_pandas would infer nulls)
+        return pa.table(
+            {
+                c: pa.array(per[c], pa.int64())
+                for c in ("doc_id", "n_words", "sum_wlen", "n_stop", "top_n", "keep")
+            }
+        )
 
     return docs.map_batches(rules, batch_format="pyarrow")
 

@@ -114,6 +114,63 @@ class TestDedupUrl:
         assert df.url.str.startswith("https://site-").all()
 
 
+class TestEmptyInputs:
+    """Empty batches must still emit the declared schema (from_pandas
+    would infer `null` for empty object columns — the schema-mismatch
+    bundle class groups.py exists to eliminate)."""
+
+    def test_dedup_url_empty(self, ray_session):
+        import ray
+
+        from ebook_ocr_ray.pipelines.extraction import dedup_url
+        from ebook_ocr_ray.sources.pages import PAGES_SCHEMA
+
+        # fully empty input: must not crash, yields zero rows
+        assert (
+            dedup_url(
+                ray.data.from_arrow(PAGES_SCHEMA.empty_table()), num_partitions=2
+            ).count()
+            == 0
+        )
+        # 1 row + 4 partitions: three partitions are sentinel-only and
+        # exercise empty_fn; their typed empties must merge cleanly with
+        # the populated partition's schema
+        t = pa.table(
+            {
+                "url": pa.array(["https://site-1.example/doc/1"], pa.string()),
+                "warc_ts": pa.array([_ts(1)], pa.timestamp("us")),
+                "html": pa.array([b""], pa.binary()),
+                "text": pa.array([""], pa.string()),
+                "lang": pa.array(["en"], pa.string()),
+            }
+        )
+        df = dedup_url(ray.data.from_arrow(t), num_partitions=4).to_pandas()
+        assert list(df.columns) == ["url_norm", "url", "warc_ts", "n_crawls"]
+        assert df.url_norm.tolist() == ["site-1.example/doc/1"]
+
+    def test_gopher_empty(self, ray_session):
+        import ray
+
+        from ebook_ocr_ray.pipelines.quality import gopher_rule_stats
+
+        t = pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string())]
+        ).empty_table()
+        assert gopher_rule_stats(ray.data.from_arrow(t)).count() == 0
+        # one empty and one populated batch in a single dataset: the
+        # empty batch's typed table must merge with the populated schema
+        full = pa.table(
+            {"doc_id": pa.array([0], pa.int64()),
+             "text": pa.array(["the a word"], pa.string())}
+        )
+        ds = ray.data.from_arrow([t, full])
+        df = gopher_rule_stats(ds).to_pandas()
+        assert list(df.columns) == [
+            "doc_id", "n_words", "sum_wlen", "n_stop", "top_n", "keep"
+        ]
+        assert len(df) == 1 and df.n_words.iloc[0] == 3
+
+
 class TestGopherRules:
     def _stats(self, ray_session, texts):
         import ray
