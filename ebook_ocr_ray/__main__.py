@@ -133,6 +133,44 @@ def cmd_quality(args) -> int:
     return 0
 
 
+def cmd_dedup_url(args) -> int:
+    """Canonical-URL dedup over the pages table -> parquet."""
+    ray = _ray_session(args.num_cpus)
+    from ebook_ocr_ray.pipelines.extraction import dedup_url, pages_dataset
+
+    pages = pages_dataset(args.sf_dir, with_url_variants=args.with_url_variants)
+    dedup_url(pages, num_partitions=args.num_partitions).write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_gopher(args) -> int:
+    """Gopher-rule quality metrics + keep verdicts -> parquet."""
+    ray = _ray_session(args.num_cpus)
+    from ebook_ocr_ray.pipelines.quality import gopher_quality
+
+    gopher_quality(args.sf_dir).write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_crawl_delta(args) -> int:
+    """CDX-style diff of the two synthetic crawl snapshots -> parquet."""
+    ray = _ray_session(args.num_cpus)
+    from ebook_ocr_ray.pipelines.extraction import crawl_delta, snapshot_pages
+
+    crawl_delta(
+        snapshot_pages(args.sf_dir, "a"),
+        snapshot_pages(args.sf_dir, "b"),
+        num_partitions=args.num_partitions,
+    ).write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_dedup_spans(args) -> int:
     """Duplicated-span removal over the documents table -> parquet."""
     ray = _ray_session(args.num_cpus)
@@ -243,6 +281,28 @@ def main(argv: list[str] | None = None) -> int:
                    help="scratch dir: scored rows spool to disk, not object store")
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_quality)
+
+    p = sub.add_parser("dedup-url", help="canonical-URL dedup -> parquet")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--out", required=True)
+    p.add_argument("--with-url-variants", action="store_true",
+                   help="plant the deterministic messy-URL recrawls")
+    p.add_argument("--num-partitions", type=int, default=8)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_dedup_url)
+
+    p = sub.add_parser("gopher", help="Gopher-rule quality filter -> parquet")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_gopher)
+
+    p = sub.add_parser("crawl-delta", help="snapshot diff (CDX-style) -> parquet")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-partitions", type=int, default=8)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_crawl_delta)
 
     p = sub.add_parser("dedup-spans", help="duplicated-span removal -> parquet")
     p.add_argument("--sf-dir", required=True)
