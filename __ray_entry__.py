@@ -1081,9 +1081,9 @@ def _dedup_url_sql() -> str:
                    {_TS_SQL} + INTERVAL 2 DAY
             FROM documents WHERE doc_id % 6 = 1
         ), norm AS (
-            SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                       lower(url), '^https?://', ''), '^www\\.', ''),
-                       '[?#].*$', ''), '/$', '') AS url_norm,
+            SELECT regexp_replace(regexp_replace(regexp_replace(
+                       lower(url), '^(https?://|www\\.)+', ''),
+                       '[?#].*$', ''), '/+$', '') AS url_norm,
                    url, warc_ts
             FROM crawls
         )
@@ -1103,7 +1103,10 @@ def _gopher_quality_sql() -> str:
     shared from textstats.STOPWORDS."""
     return f"""
         WITH words AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            -- COALESCE matches the engine's fillna(''): a NULL-text doc
+            -- must emit one empty-token row on BOTH sides, not vanish
+            SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS w
+            FROM documents
         ), wc AS (
             SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2
         ), per AS (

@@ -780,15 +780,19 @@ def outlinks(sf_dir: str) -> ray.data.Dataset:
 
 # --- canonical-URL dedup ----------------------------------------------------
 
-# The four normalization rewrites, applied in order. Shared verbatim (as
+# The normalization rewrites, applied in order. Shared verbatim (as
 # regex/replacement strings) with the SQL oracle so Python and DuckDB can
-# never drift: lowercase first, then strip scheme, leading www., query +
-# fragment, and a single trailing slash.
+# never drift: lowercase first, then ONE greedy strip of any interleaved
+# scheme/www. prefix chain, then query + fragment, then trailing slashes.
+# The combined `(https?://|www\.)+` prefix pattern (not two separate
+# anchored strips) is what makes the form IDEMPOTENT — two sequential
+# strips would leave 'https://x' behind on inputs like
+# 'https://www.https://x', and 'www.www.host' would change keys when
+# re-normalized (property-tested in test_property.py).
 URL_NORM_REWRITES: tuple[tuple[str, str], ...] = (
-    ("^https?://", ""),
-    (r"^www\.", ""),
+    (r"^(https?://|www\.)+", ""),
     ("[?#].*$", ""),
-    ("/$", ""),
+    ("/+$", ""),
 )
 
 
@@ -938,15 +942,13 @@ def crawl_delta(
 
     The payload is hashed where it is read and never enters the shuffle;
     the join moves two ~70-byte rows per url. Content equality is exactly
-    payload-byte equality (same md5 key as exact dedup, prepare_batch)."""
-    import hashlib as _hl
+    payload-byte equality (payload_sha — the same function exact dedup
+    keys on)."""
+    from ebook_ocr_ray.stages.extract import payload_sha
 
     def slim(tag: str):
         def fn(t: pa.Table) -> pa.Table:
-            shas = [
-                _hl.md5(p).hexdigest() if p is not None else ""
-                for p in t["html"].to_pylist()
-            ]
+            shas = payload_sha(t["html"].to_pylist())
             return pa.table(
                 {"url": t["url"], f"sha_{tag}": pa.array(shas, pa.string())}
             )

@@ -366,21 +366,18 @@ def anchor_text_stats(sf_dir: str, num_partitions: int = 4) -> ray.data.Dataset:
     pre-combined map-side; distinct anchors per (site, href) are bounded
     by the site's template vocabulary, so per-partition frames stay small
     at any corpus size."""
-    import re as _re
-
     from ebook_ocr_ray.functions.textstats import stable_hash64
     from ebook_ocr_ray.groups import map_partitions_typed
     from ebook_ocr_ray.pipelines.extraction import outlinks
-
-    _site_re = _re.compile(r"^https?://([^/]+)/")
+    from ebook_ocr_ray.stages.extract import site_of
 
     links = outlinks(sf_dir).select_columns(["url", "href", "anchor_text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        sites = [
-            _site_re.match(u).group(1).split(".")[0]
-            for u in t["url"].to_pylist()
-        ]
+        # site_of (urlsplit-based) rather than a path-slash regex: a
+        # root url without a trailing slash must map to its site, not
+        # crash the map task
+        sites = [site_of(u) for u in t["url"].to_pylist()]
         df = pd.DataFrame(
             {
                 "site": sites,

@@ -293,7 +293,6 @@ def gopher_rule_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
             .size()
             .rename("c")
             .reset_index()
-            .rename(columns={"level_0": "doc_id"})
         )
         wc["wlen"] = wc["w"].str.len() * wc["c"]
         wc["is_stop"] = wc["w"].isin(stop)

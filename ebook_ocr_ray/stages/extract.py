@@ -47,6 +47,14 @@ def site_of(url: str) -> str:
     return host.split(".", 1)[0] if host else ""
 
 
+def payload_sha(payloads: list[bytes | None]) -> list[str]:
+    """THE payload content key: md5 hex, '' for a null payload. Shared by
+    exact dedup (prepare_batch) and crawl_delta — their cross-operator
+    equality contract ('same content' means the same thing everywhere)
+    holds because both call this one function."""
+    return [hashlib.md5(p).hexdigest() if p is not None else "" for p in payloads]
+
+
 def prepare_batch(batch: pa.Table, num_partitions: int = DEFAULT_NUM_PARTITIONS) -> pa.Table:
     """Annotate pages rows with routing/dedup metadata. Stateless; the md5
     over payload bytes is the exact-dedup key (analog of the frame
@@ -54,7 +62,7 @@ def prepare_batch(batch: pa.Table, num_partitions: int = DEFAULT_NUM_PARTITIONS)
     its exact-hash form)."""
     urls = batch["url"].to_pylist()
     payloads = batch["html"].to_pylist()
-    shas = [hashlib.md5(p).hexdigest() if p is not None else "" for p in payloads]
+    shas = payload_sha(payloads)
     kinds = ["pdf" if p is not None and is_pdf_payload(p) else "html" for p in payloads]
     parts = [url_partition(u, num_partitions) for u in urls]
     sites = [site_of(u) for u in urls]

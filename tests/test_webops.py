@@ -43,6 +43,25 @@ class TestNormalizeUrls:
         got = normalize_urls(pa.array(["https://a.example/www.b"])).to_pylist()
         assert got == ["a.example/www.b"]
 
+    def test_pathological_prefixes_and_slashes(self):
+        """The greedy combined prefix strip and /+$ make the form a true
+        fixed point even on stacked www./scheme prefixes and repeated
+        trailing slashes (code-review finding: two separate anchored
+        strips were not idempotent)."""
+        from ebook_ocr_ray.pipelines.extraction import normalize_urls
+
+        got = normalize_urls(
+            pa.array(
+                [
+                    "https://www.www.site.example/x",
+                    "https://a.example/path//",
+                    "HTTPS://WWW.HTTPS://a.example/x",
+                    "http:///",
+                ]
+            )
+        ).to_pylist()
+        assert got == ["site.example/x", "a.example/path", "a.example/x", ""]
+
 
 class TestDedupUrl:
     def _pages(self, ray_session, rows):
