@@ -183,6 +183,19 @@ def _crawl_delta(sf_dir: str):
     )
 
 
+def _crawl_history(sf_dir: str):
+    """CDX index build: per url the crawl count, distinct payload count
+    and first/last crawl ts, over the duplicates+versions fixture."""
+    from ebook_ocr_ray.pipelines.extraction import crawl_history, pages_dataset
+
+    return _sorted_frame(
+        crawl_history(
+            pages_dataset(sf_dir, with_duplicates=True, with_versions=True)
+        ),
+        ["url"],
+    )
+
+
 def _sequence_dedup_pages(sf_dir: str):
     from ebook_ocr_ray.pipelines.extraction import pages_dataset, prepare_pages, sequence_dedup
 
@@ -607,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _anchor_text_stats(sf), ["site", "href"]
         ),
         "crawl_delta": _crawl_delta,
+        "crawl_history": _crawl_history,
         # extraction family (closed-form oracles)
         "extract_docs": _extract_docs,
         "extract_html": lambda sf: _extract_docs(sf, kind="html"),
@@ -1133,6 +1147,31 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dedup_url": _dedup_url_sql(),
         "gopher_quality": _gopher_quality_sql(),
+        # crawl set replayed from the duplicates+versions fixture rules
+        # (DUP_EVERY / VERSION_EVERY); `rev` is the payload-identity
+        # surrogate — payloads are equal exactly when (doc_id, revision
+        # flag) are, so COUNT(DISTINCT rev) == the engine's distinct-md5
+        "crawl_history": f"""
+            WITH crawls AS (
+                SELECT {_URL_SQL} AS url, {_TS_SQL} AS ts, 0 AS rev
+                FROM documents
+                UNION ALL
+                SELECT {_URL_SQL}, {_TS_SQL} + INTERVAL 1 DAY, 0
+                FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT {_URL_SQL}, {_TS_SQL} + INTERVAL 1 DAY, 0
+                FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT {_URL_SQL}, {_TS_SQL} + INTERVAL 2 DAY, 1
+                FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT url,
+                   CAST(COUNT(*) AS BIGINT) AS n_crawls,
+                   CAST(COUNT(DISTINCT rev) AS BIGINT) AS n_payloads,
+                   MIN(ts) AS first_ts,
+                   MAX(ts) AS last_ts
+            FROM crawls GROUP BY url ORDER BY url
+        """,
         # closed form of the snapshot fixture: payload equality is exactly
         # text equality (synth_payload embeds the text byte-for-byte), so
         # 'changed' is exactly the VERSION_SUFFIX rule; removal wins over

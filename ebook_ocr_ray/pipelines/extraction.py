@@ -978,3 +978,97 @@ def crawl_delta(
         return pa.table({"url": t["url"], "status": out})
 
     return joined.map_batches(status, batch_format="pyarrow")
+
+
+def crawl_history(
+    pages: ray.data.Dataset, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Per-url crawl index (the CDX index-build step): how many crawls a
+    url has, how many DISTINCT payloads they carried, and the first/last
+    crawl timestamps — the table a recrawl scheduler and an incremental
+    extractor both key on.
+
+        pages (url, warc_ts, html)
+          -> map_batches: (url, sha, n, min_ts, max_ts)   # payload hashed
+             map-side (payload_sha, the exact-dedup key), combined per
+             (url, sha) inside the batch
+          -> hash-partition on url surrogate key
+          -> per-partition: n_crawls = sum, n_payloads = distinct sha,
+             first_ts/last_ts = min/max
+
+    The shuffle carries one slim row per distinct (url, payload) per
+    input block — bounded by the url's revision count, never the payload
+    bytes."""
+    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.groups import map_partitions_typed
+    from ebook_ocr_ray.stages.extract import payload_sha
+
+    def partial(t: pa.Table) -> pa.Table:
+        shas = payload_sha(t["html"].to_pylist())
+        ts_us = t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"url": t["url"].to_pylist(), "sha": shas, "ts": ts_us}
+        )
+        agg = (
+            df.groupby(["url", "sha"], sort=False)
+            .agg(n=("ts", "size"), min_ts=("ts", "min"), max_ts=("ts", "max"))
+            .reset_index()
+        )
+        skeys = [stable_hash64(u) & ((1 << 63) - 1) for u in agg["url"]]
+        return pa.table(
+            {
+                "url": pa.array(agg["url"], pa.string()),
+                "sha": pa.array(agg["sha"], pa.string()),
+                "n": pa.array(agg["n"].astype("int64"), pa.int64()),
+                "min_ts": pa.array(agg["min_ts"].astype("int64"), pa.int64()),
+                "max_ts": pa.array(agg["max_ts"].astype("int64"), pa.int64()),
+                "skey": pa.array(skeys, pa.int64()),
+            }
+        )
+
+    def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("url", sort=False)
+            .agg(
+                n_crawls=("n", "sum"),
+                n_payloads=("sha", "nunique"),
+                first_ts=("min_ts", "min"),
+                last_ts=("max_ts", "max"),
+            )
+            .reset_index()
+        )
+        for c in ("n_crawls", "n_payloads", "first_ts", "last_ts"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    schema = pa.schema(
+        [("url", pa.string()), ("sha", pa.string()), ("n", pa.int64()),
+         ("min_ts", pa.int64()), ("max_ts", pa.int64()), ("skey", pa.int64())]
+    )
+    reduced = map_partitions_typed(
+        pages.select_columns(["url", "warc_ts", "html"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        "skey",
+        reduce_fn,
+        schema=schema,
+        empty_fn=lambda: pa.schema(
+            [("url", pa.string()), ("n_crawls", pa.int64()),
+             ("n_payloads", pa.int64()), ("first_ts", pa.int64()),
+             ("last_ts", pa.int64())]
+        ).empty_table(),
+        num_partitions=num_partitions,
+    )
+
+    def cast_ts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "n_crawls": t["n_crawls"],
+                "n_payloads": t["n_payloads"],
+                "first_ts": t["first_ts"].cast(pa.timestamp("us")),
+                "last_ts": t["last_ts"].cast(pa.timestamp("us")),
+            }
+        )
+
+    return reduced.map_batches(cast_ts, batch_format="pyarrow")

@@ -282,6 +282,35 @@ class TestCrawlDelta:
         assert (df.status == "same").all()
 
 
+class TestCrawlHistory:
+    def test_counts_and_spans(self, ray_session):
+        from ebook_ocr_ray.pipelines.extraction import crawl_history, pages_dataset
+
+        df = (
+            crawl_history(
+                pages_dataset(
+                    SF_SMOKE, with_duplicates=True, with_versions=True
+                ),
+                num_partitions=2,
+            )
+            .to_pandas()
+            .set_index("url")
+        )
+        import pyarrow.parquet as pq
+
+        from ebook_ocr_ray.sources.pages import page_url
+
+        n = pq.read_metadata(f"{SF_SMOKE}/documents.parquet").num_rows
+        assert len(df) == n
+        for doc_id in (0, 5, 7, 10):      # %10==0 / %5 only / neither / both
+            row = df.loc[page_url(doc_id)]
+            want_crawls = 1 + (doc_id % 10 == 0) + 2 * (doc_id % 5 == 0)
+            assert row.n_crawls == want_crawls, doc_id
+            assert row.n_payloads == (2 if doc_id % 5 == 0 else 1), doc_id
+        # first crawl is always the base ts; last is +2d for versioned docs
+        assert (df.first_ts <= df.last_ts).all()
+
+
 class TestAnchorTextStats:
     def test_counts(self, ray_session):
         from ebook_ocr_ray.pipelines.linkgraph import anchor_text_stats
