@@ -171,6 +171,20 @@ def cmd_crawl_delta(args) -> int:
     return 0
 
 
+def cmd_crawl_history(args) -> int:
+    """Per-url crawl index (CDX build) -> parquet."""
+    ray = _ray_session(args.num_cpus)
+    from ebook_ocr_ray.pipelines.extraction import crawl_history, pages_dataset
+
+    pages = pages_dataset(
+        args.sf_dir, with_duplicates=True, with_versions=True
+    )
+    crawl_history(pages, num_partitions=args.num_partitions).write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_dedup_spans(args) -> int:
     """Duplicated-span removal over the documents table -> parquet."""
     ray = _ray_session(args.num_cpus)
@@ -296,6 +310,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_gopher)
+
+    p = sub.add_parser("crawl-history", help="per-url crawl index -> parquet")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-partitions", type=int, default=8)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_crawl_history)
 
     p = sub.add_parser("crawl-delta", help="snapshot diff (CDX-style) -> parquet")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
