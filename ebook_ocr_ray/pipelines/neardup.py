@@ -95,6 +95,39 @@ def _bucket_join_key(band: np.ndarray, key: np.ndarray) -> np.ndarray:
     return (h & np.uint64((1 << 63) - 1)).astype(np.int64)
 
 
+def _add_bkey(t: pa.Table) -> pa.Table:
+    """THE bkey column builder — hot-filter join, LSH pair expansion and
+    simhash pair expansion must shuffle on the identical key, so they all
+    call this one helper (three drifting copies would silently
+    desynchronize the hot filter from the pair kernels)."""
+    return t.append_column(
+        "bkey",
+        pa.array(
+            _bucket_join_key(
+                t["band"].to_numpy(zero_copy_only=False),
+                t["key"].to_numpy(zero_copy_only=False),
+            ),
+            pa.int64(),
+        ),
+    )
+
+
+# Pair-stage partition sizing: map_partitions_typed hands each partition
+# to ONE task as ONE in-memory frame, so the partition count must track
+# input volume or a dup-heavy corpus concentrates O(total_pairs /
+# num_partitions) rows in one heap. One partition per PAIR_PARTITION_ROWS
+# bucket rows (floor: the caller's num_partitions; cap: MAX_PAIR_PARTITIONS
+# so tiny-per-partition shuffles don't drown in actor spin-up).
+PAIR_PARTITION_ROWS = 250_000
+MAX_PAIR_PARTITIONS = 256
+
+
+def _pair_partitions(num_partitions: int, n_rows: int | None) -> int:
+    if not n_rows:
+        return num_partitions
+    return max(num_partitions, min(MAX_PAIR_PARTITIONS, n_rows // PAIR_PARTITION_ROWS + 1))
+
+
 def hot_filtered_buckets(
     buckets: ray.data.Dataset,
     bucket_schema: pa.Schema,
@@ -188,24 +221,12 @@ def hot_filtered_buckets(
 
     from ebook_ocr_ray.joins import safe_join
 
-    def add_key(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "bkey",
-            pa.array(
-                _bucket_join_key(
-                    t["band"].to_numpy(zero_copy_only=False),
-                    t["key"].to_numpy(zero_copy_only=False),
-                ),
-                pa.int64(),
-            ),
-        )
-
     def hot_renamed(t: pa.Table) -> pa.Table:
-        t = add_key(t)
+        t = _add_bkey(t)
         return t.rename_columns(["band_h", "key_h", "bkey"])
 
     joined = safe_join(
-        buckets.map_batches(add_key, batch_format="pyarrow"),
+        buckets.map_batches(_add_bkey, batch_format="pyarrow"),
         hot_ds.map_batches(hot_renamed, batch_format="pyarrow"),
         on="bkey",
         right_on="bkey",
@@ -302,23 +323,22 @@ def candidate_pair_dataset(
     Almost every bucket is a singleton (a document sharing no band key
     with anyone) and yields no pairs, so a vectorized keyed Count finds
     the multi-member buckets first (bounded by the actual near-dup
-    volume; broadcast or keyed semi-join per ``hot_strategy``). The
-    surviving rows collapse to ONE record-blob row per bucket via a
-    custom keyed aggregate, and pair expansion runs vectorized over
-    BATCHES of buckets — no per-group UDF anywhere, so a corpus where
-    every bucket is hot (100% dup fraction) costs seconds, not minutes.
-    Pairs co-occurring in several bands are deduped by collecting each
-    id_a's neighbor list with the same record-blob aggregate (ONE int64
-    shuffle key, one Python call per source node — measured 5x faster
-    than a two-column keyed Count over the raw pairs: 42s -> 8s on the
-    80k/100%-dup stress corpus) and np.unique-ing per node. Neighbor
-    blobs are bounded by candidate degree <= bands * (MAX_BUCKET - 1)
-    except for the star-fallback hub of an over-cap bucket, whose degree
-    is that bucket's size (the same logged bounded-recall event) — slim
-    int pairs, never a driver collect."""
+    volume; broadcast or keyed semi-join per ``hot_strategy``). Pair
+    generation is then ONE hash repartition on the mixed bucket key plus
+    a boundary-scanned numpy kernel per partition (lexsort, exact
+    (band, key) boundaries, triu pair expansion with the MAX_BUCKET star
+    fallback) — no per-group UDF, no record blobs, no sort aggregate.
+    Cross-band duplicates of a pair are removed by a second hash
+    repartition on id_a plus a partition-local drop_duplicates, which is
+    globally exact because canonical (id_a < id_b) orientation means
+    every occurrence of a pair co-locates. Pair-stage partition counts
+    scale with input rows (_pair_partitions) so no partition ever holds
+    more than ~PAIR_PARTITION_ROWS buckets' pairs in one heap — slim int
+    pairs end to end, never a driver collect."""
     from ebook_ocr_ray.groups import map_partitions_typed
 
     cap = MAX_BUCKET if max_bucket is None else max_bucket
+    pair_parts = _pair_partitions(num_partitions, n_rows)
     schema = pa.schema(
         [("doc_id", pa.int64()), ("band", pa.int32()), ("key", pa.int64())]
     )
@@ -331,25 +351,9 @@ def candidate_pair_dataset(
             pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
         )
 
-    # Pair generation by ONE hash repartition on the mixed bucket key +
-    # a per-partition numpy kernel over boundary-scanned slices — the
-    # one-int64-key hash-collection rule this codebase measures as the
-    # winner over sort aggregates at every scale (BASELINE.md r3). The
-    # bkey is only the SHUFFLE key; group boundaries re-scan the exact
-    # (band, key) pair, so a bkey collision merely co-locates two buckets
-    # and can never merge their pair sets.
-    def add_bkey(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "bkey",
-            pa.array(
-                _bucket_join_key(
-                    t["band"].to_numpy(zero_copy_only=False),
-                    t["key"].to_numpy(zero_copy_only=False),
-                ),
-                pa.int64(),
-            ),
-        )
-
+    # The bkey is only the SHUFFLE key; group boundaries re-scan the
+    # exact (band, key) pair, so a bkey collision merely co-locates two
+    # buckets and can never merge their pair sets.
     def expand_partition(df: pd.DataFrame) -> pd.DataFrame:
         band = df["band"].to_numpy(dtype=np.int64, copy=False)
         key = df["key"].to_numpy(dtype=np.int64, copy=False)
@@ -392,14 +396,14 @@ def candidate_pair_dataset(
         )
 
     pairs = map_partitions_typed(
-        filtered.map_batches(add_bkey, batch_format="pyarrow"),
+        filtered.map_batches(_add_bkey, batch_format="pyarrow"),
         "bkey",
         expand_partition,
         schema=pa.schema(list(schema) + [pa.field("bkey", pa.int64())]),
         empty_fn=lambda: pd.DataFrame(
             {c: pd.Series(dtype="int64") for c in ("id_a", "id_b")}
         ),
-        num_partitions=num_partitions,
+        num_partitions=pair_parts,
     )
 
     # Cross-band pair dedup: hash-partition by id_a co-locates every
@@ -418,7 +422,7 @@ def candidate_pair_dataset(
         empty_fn=lambda: pd.DataFrame(
             {c: pd.Series(dtype="int64") for c in ("id_a", "id_b")}
         ),
-        num_partitions=num_partitions,
+        num_partitions=pair_parts,
     )
 
 
@@ -977,8 +981,11 @@ def simhash_pairs(
 
     Buckets are capped at ``max_bucket`` rows (deterministic lowest-id
     keep, logged) so one degenerate band key cannot go quadratic, and
-    pairs found in several bands are deduped by a keyed aggregate — the
-    result stays a Dataset end to end."""
+    pairs found in several bands are deduped by a hash repartition on
+    id_a plus a partition-local drop_duplicates (globally exact: a
+    pair's canonical orientation co-locates every occurrence, and its
+    hamming is identical in every band) — the result stays a Dataset end
+    to end."""
     tables = max_hamming + 1
     max_bucket = MAX_BUCKET if max_bucket is None else max_bucket
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -1031,11 +1038,17 @@ def simhash_pairs(
         ends = np.r_[starts[1:], len(band)]
         out_a, out_b, out_h = [], [], []
         for s, e in zip(starts, ends):
-            n = e - s
-            if n < 2:
-                continue
             ids = doc[s:e]
             prints = prints_all[s:e]
+            # de-dup within the bucket (ids sorted by the lexsort): a
+            # doc_id duplicated in the input table would otherwise emit
+            # self-pairs at hamming 0 — same guard as the LSH kernel
+            uniq = np.r_[True, ids[1:] != ids[:-1]]
+            ids = ids[uniq]
+            prints = prints[uniq]
+            n = len(ids)
+            if n < 2:
+                continue
             ai, bi = np.triu_indices(min(n, max_bucket), 1)
             if n > max_bucket:
                 # star fallback beyond the all-pairs cap (see MAX_BUCKET)
@@ -1099,27 +1112,16 @@ def simhash_pairs(
     # one occurrence per (id_a, id_b) IS the Min.
     from ebook_ocr_ray.groups import map_partitions_typed
 
-    def add_bkey(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "bkey",
-            pa.array(
-                _bucket_join_key(
-                    t["band"].to_numpy(zero_copy_only=False),
-                    t["key"].to_numpy(zero_copy_only=False),
-                ),
-                pa.int64(),
-            ),
-        )
-
+    pair_parts = _pair_partitions(num_partitions, buckets.n_rows)
     pairs = map_partitions_typed(
-        filtered.map_batches(add_bkey, batch_format="pyarrow"),
+        filtered.map_batches(_add_bkey, batch_format="pyarrow"),
         "bkey",
         expand_partition,
         schema=pa.schema(list(schema) + [pa.field("bkey", pa.int64())]),
         empty_fn=lambda: pd.DataFrame(
             {c: pd.Series(dtype="int64") for c in ("id_a", "id_b", "hamming")}
         ),
-        num_partitions=num_partitions,
+        num_partitions=pair_parts,
     )
 
     def dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
@@ -1138,7 +1140,7 @@ def simhash_pairs(
         empty_fn=lambda: pd.DataFrame(
             {c: pd.Series(dtype="int64") for c in ("id_a", "id_b", "hamming")}
         ),
-        num_partitions=num_partitions,
+        num_partitions=pair_parts,
     )
 
 

@@ -284,6 +284,23 @@ class TestNearDup:
         assert (10, 11) in set(zip(out.id_a, out.id_b))
         assert out[out.hamming == 0].shape[0] >= 1
 
+    def test_simhash_duplicated_doc_id_no_self_pairs(self, ray_session, tmp_path):
+        """A doc_id duplicated in the input table must not pair with
+        itself (hamming 0) — the simhash kernel carries the same
+        within-bucket dedup guard as the LSH kernel."""
+        base = "identical words in this document repeated enough times to matter " * 5
+        rows = [
+            {"doc_id": 10, "text": base.strip()},
+            {"doc_id": 10, "text": base.strip()},     # exact duplicate ROW
+            {"doc_id": 11, "text": base.strip()},
+        ]
+        pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+        from ebook_ocr_ray.pipelines.neardup import simhash_pairs
+
+        out = simhash_pairs(str(tmp_path)).to_pandas()
+        assert (out.id_a != out.id_b).all()
+        assert set(zip(out.id_a, out.id_b)) == {(10, 11)}
+
     def test_dedup_exact_docs(self, ray_session, con):
         from ebook_ocr_ray.pipelines.analytics import dedup_exact_docs
         import __ray_entry__ as e
