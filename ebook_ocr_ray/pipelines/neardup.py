@@ -100,6 +100,8 @@ def _add_bkey(t: pa.Table) -> pa.Table:
     simhash pair expansion must shuffle on the identical key, so they all
     call this one helper (three drifting copies would silently
     desynchronize the hot filter from the pair kernels)."""
+    if "bkey" in t.column_names:     # join-path rows already carry it
+        return t
     return t.append_column(
         "bkey",
         pa.array(
@@ -247,7 +249,9 @@ def hot_filtered_buckets(
             pa.compute.equal(t["band"], t["band_h"]),
             pa.compute.equal(t["key"], t["key_h"]),
         )
-        return t.filter(keep).select(bucket_schema.names)
+        # keep bkey: the pair kernels shuffle on it next, and _add_bkey
+        # is a no-op when the column is already present
+        return t.filter(keep).select(list(bucket_schema.names) + ["bkey"])
 
     return joined.map_batches(exact, batch_format="pyarrow")
 
