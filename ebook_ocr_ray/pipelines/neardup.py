@@ -1278,6 +1278,14 @@ def jaccard_dup_pairs(
         empty_fn=lambda: pd.DataFrame(
             {c: pd.Series(dtype="int64") for c in ("id_a", "id_b", "c")}
         ),
+        # FIXED count, unlike the LSH/simhash pair stages: their n_rows
+        # (docs x bands) tracks pair volume, but total shingle rows do
+        # not — the hot filter leaves only SHARED shingles (a tiny
+        # fraction) and JACCARD_DF_CAP bounds each posting list, so
+        # scaling partitions by srows.n_rows over-partitions ~10x
+        # (measured 39.9s -> 151.4s at 320k docs / 17M shingle rows on
+        # this boot). Memory per partition is bounded by the df-capped
+        # slice, not the corpus.
         num_partitions=8,
     )
 
