@@ -115,6 +115,16 @@ def stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
 
 
+def stable_hash63(s: str) -> int:
+    """THE 63-bit string surrogate for int64 hash-partition keys:
+    stable_hash64 with the sign bit cleared. Every operator that routes
+    a string key through an int64 shuffle (url dedup, crawl history,
+    shingle rows, boilerplate lines, decontam shingles, link keys, span
+    hashes, ...) calls this one helper so the mask/hash can never drift
+    between operators."""
+    return stable_hash64(s) & ((1 << 63) - 1)
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Stable 64-bit hashes of k-word shingles."""
     hs = [stable_hash64(s) for s in word_shingles(text, k)]

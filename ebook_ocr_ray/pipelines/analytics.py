@@ -35,6 +35,7 @@ from ebook_ocr_ray.functions.textstats import (
     md5_fingerprint,
     quality_score,
     rolling_fingerprint,
+    stable_hash63,
     stable_hash64,
 )
 
@@ -628,7 +629,7 @@ def dedup_fuzzy_exact_ds(
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         keys = np.fromiter(
             (
-                stable_hash64(fuzzy_normalize(txt)) & ((1 << 63) - 1)
+                stable_hash63(fuzzy_normalize(txt))
                 for txt in t["text"].to_pylist()
             ),
             dtype=np.int64,
@@ -768,12 +769,12 @@ def top_docs_per_source(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     # groupby keeps them separate). The sort-based map_groups this
     # replaces warned one schema-less RefBundle per empty partition
     # (20 sources over 64+ blocks guarantees empties).
-    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
     from ebook_ocr_ray.groups import map_partitions_typed
 
     def add_skey(t: pa.Table) -> pa.Table:
         keys = [
-            stable_hash64(s) & ((1 << 63) - 1) for s in t["source"].to_pylist()
+            stable_hash63(s) for s in t["source"].to_pylist()
         ]
         return t.append_column("skey", pa.array(keys, pa.int64()))
 

@@ -64,10 +64,10 @@ def _site_key_col(t: pa.Table, col: str = "site") -> pa.Array:
     hash (textstats.stable_hash64) masked positive (NEVER Python's
     process-salted str hash) for the keyed totals join. Collisions are
     tolerated: the post-join filter re-checks exact site equality."""
-    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
 
     return pa.array(
-        [stable_hash64(s) & ((1 << 63) - 1) for s in t[col].to_pylist()],
+        [stable_hash63(s) for s in t[col].to_pylist()],
         pa.int64(),
     )
 
@@ -156,12 +156,12 @@ BOILERPLATE_BROADCAST_MAX = 1_000_000
 
 
 def _line_hashes_by_site(mined_df) -> dict[str, np.ndarray]:
-    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
 
     out: dict[str, np.ndarray] = {}
     for site, grp in mined_df.groupby("site", sort=False):
         hs = np.fromiter(
-            (stable_hash64(ln) & ((1 << 63) - 1) for ln in grp["line"]),
+            (stable_hash63(ln) for ln in grp["line"]),
             dtype=np.int64,
             count=len(grp),
         )
@@ -177,7 +177,7 @@ def _strip_blocks(
     canonical 63-bit hash (a cross-line collision is deterministic and
     ~n/2^63; the oracle's string-exact replay proves it never fires at
     oracle scale)."""
-    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
 
     kept, stripped = [], 0
     for block in parse_blocks(payload.decode("utf-8", errors="replace")):
@@ -186,7 +186,7 @@ def _strip_blocks(
         text = block.text.strip()
         if not text:
             continue
-        h = stable_hash64(text) & ((1 << 63) - 1)
+        h = stable_hash63(text)
         if len(hot_sorted):
             i = np.searchsorted(hot_sorted, h)
             if i < len(hot_sorted) and hot_sorted[i] == h:
@@ -268,7 +268,7 @@ def _strip_boilerplate_join(
     """Keyed path: per-site line-hash record blobs join onto the pages by
     hashed site; each page strips against its own blob. Pages move once
     (the _join_pair_texts discipline); no driver state."""
-    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
     from ebook_ocr_ray.joins import safe_join
     from ebook_ocr_ray.pipelines.neardup import _make_collect_records_agg
 
@@ -278,7 +278,7 @@ def _strip_boilerplate_join(
                 "skey": _site_key_col(t),
                 "lhash": pa.array(
                     [
-                        stable_hash64(ln) & ((1 << 63) - 1)
+                        stable_hash63(ln)
                         for ln in t["line"].to_pylist()
                     ],
                     pa.int64(),

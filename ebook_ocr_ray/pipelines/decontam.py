@@ -94,10 +94,10 @@ def _shingle_key64(shingles: list[str]) -> np.ndarray:
     canonical stable hash (textstats.stable_hash64) masked positive, so
     every operator's string->int63 key is one recipe. Collisions are
     handled by the post-join exact re-check, not assumed away."""
-    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
 
     return np.array(
-        [stable_hash64(s) & ((1 << 63) - 1) for s in shingles],
+        [stable_hash63(s) for s in shingles],
         dtype=np.int64,
     )
 

@@ -833,7 +833,7 @@ def dedup_url(
     ``num_partitions`` to the cluster at scale (the default suits the
     bench corpora; each partition holds its slice's url_norms in one
     pandas frame)."""
-    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
     from ebook_ocr_ray.groups import map_partitions_typed
 
     slim = pages.select_columns(["url", "warc_ts"])
@@ -850,7 +850,7 @@ def dedup_url(
             .agg(n_crawls=("key", "size"), min_key=("key", "min"))
             .reset_index()
         )
-        skeys = [stable_hash64(u) & ((1 << 63) - 1) for u in agg["url_norm"]]
+        skeys = [stable_hash63(u) for u in agg["url_norm"]]
         # explicit types: from_pandas infers `null` for empty object
         # columns, which re-creates the schema-mismatch bundles that
         # groups.py exists to eliminate
@@ -999,7 +999,7 @@ def crawl_history(
     The shuffle carries one slim row per distinct (url, payload) per
     input block — bounded by the url's revision count, never the payload
     bytes."""
-    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
     from ebook_ocr_ray.groups import map_partitions_typed
     from ebook_ocr_ray.stages.extract import payload_sha
 
@@ -1014,7 +1014,7 @@ def crawl_history(
             .agg(n=("ts", "size"), min_ts=("ts", "min"), max_ts=("ts", "max"))
             .reset_index()
         )
-        skeys = [stable_hash64(u) & ((1 << 63) - 1) for u in agg["url"]]
+        skeys = [stable_hash63(u) for u in agg["url"]]
         return pa.table(
             {
                 "url": pa.array(agg["url"], pa.string()),

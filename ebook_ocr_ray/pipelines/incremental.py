@@ -55,11 +55,11 @@ _NULL_TEXT = "\x00text-null"
 
 
 def _text_keys(texts: list) -> np.ndarray:
-    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
 
     return np.fromiter(
         (
-            stable_hash64(_NULL_TEXT if t is None else t) & _MASK63
+            stable_hash63(_NULL_TEXT if t is None else t)
             for t in texts
         ),
         dtype=np.int64,

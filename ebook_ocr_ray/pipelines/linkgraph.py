@@ -56,7 +56,7 @@ def _resolve(src: str, href: str) -> str:
 
 def _edges_dataset(sf_dir: str) -> ray.data.Dataset:
     """DISTINCT (src, dst) edge rows with 63-bit url keys."""
-    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
     from ebook_ocr_ray.pipelines.extraction import outlinks
 
     def to_edges(t: pa.Table) -> pa.Table:
@@ -69,8 +69,8 @@ def _edges_dataset(sf_dir: str) -> ray.data.Dataset:
             seen.add((src, dst))
             srcs.append(src)
             dsts.append(dst)
-            sk.append(stable_hash64(src) & _MASK63)
-            dk.append(stable_hash64(dst) & _MASK63)
+            sk.append(stable_hash63(src))
+            dk.append(stable_hash63(dst))
         return pa.table(
             {
                 "src": pa.array(srcs, pa.string()),
@@ -366,7 +366,7 @@ def anchor_text_stats(sf_dir: str, num_partitions: int = 4) -> ray.data.Dataset:
     pre-combined map-side; distinct anchors per (site, href) are bounded
     by the site's template vocabulary, so per-partition frames stay small
     at any corpus size."""
-    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
     from ebook_ocr_ray.groups import map_partitions_typed
     from ebook_ocr_ray.pipelines.extraction import outlinks
     from ebook_ocr_ray.stages.extract import site_of
@@ -392,7 +392,7 @@ def anchor_text_stats(sf_dir: str, num_partitions: int = 4) -> ray.data.Dataset:
             .reset_index()
         )
         skeys = [
-            stable_hash64(f"{s}\x1f{h}") & ((1 << 63) - 1)
+            stable_hash63(f"{s}\x1f{h}")
             for s, h in zip(agg["site"], agg["href"])
         ]
         # explicit types (empty object columns infer null under from_pandas)

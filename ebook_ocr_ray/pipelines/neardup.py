@@ -116,18 +116,24 @@ def _add_bkey(t: pa.Table) -> pa.Table:
 
 # Pair-stage partition sizing: map_partitions_typed hands each partition
 # to ONE task as ONE in-memory frame, so the partition count must track
-# input volume or a dup-heavy corpus concentrates O(total_pairs /
-# num_partitions) rows in one heap. One partition per PAIR_PARTITION_ROWS
-# bucket rows (floor: the caller's num_partitions; cap: MAX_PAIR_PARTITIONS
-# so tiny-per-partition shuffles don't drown in actor spin-up).
-PAIR_PARTITION_ROWS = 250_000
+# the volume that actually reaches the pair kernels. That is the HOT
+# (multi-member) bucket count, not raw bucket rows — a 256M-row clean
+# corpus has almost no hot buckets and must keep the small default
+# (over-partitioning near-empty shuffles measured ~4x wall on jaccard),
+# while a mirror farm's hot count grows with its pair volume. One
+# partition per HOT_BUCKETS_PER_PARTITION hot buckets (floor: the
+# caller's num_partitions; cap: MAX_PAIR_PARTITIONS).
+HOT_BUCKETS_PER_PARTITION = 50_000
 MAX_PAIR_PARTITIONS = 256
 
 
-def _pair_partitions(num_partitions: int, n_rows: int | None) -> int:
-    if not n_rows:
+def _pair_partitions(num_partitions: int, n_hot_buckets: int | None) -> int:
+    if not n_hot_buckets:
         return num_partitions
-    return max(num_partitions, min(MAX_PAIR_PARTITIONS, n_rows // PAIR_PARTITION_ROWS + 1))
+    return max(
+        num_partitions,
+        min(MAX_PAIR_PARTITIONS, n_hot_buckets // HOT_BUCKETS_PER_PARTITION + 1),
+    )
 
 
 def hot_filtered_buckets(
@@ -136,10 +142,13 @@ def hot_filtered_buckets(
     hot_strategy: str = "auto",
     num_partitions: int = 8,
     n_rows: int | None = None,
-) -> ray.data.Dataset | None:
+    with_hot_count: bool = False,
+) -> "ray.data.Dataset | None | tuple[ray.data.Dataset | None, int]":
     """Reduce bucket rows to those in multi-member buckets (the only rows
     that can generate candidate pairs). Returns None when every bucket is
-    a singleton. The hot (band, key) set is broadcast while it fits
+    a singleton; with ``with_hot_count=True`` returns ``(filtered,
+    n_hot_buckets)`` — the hot count is computed here anyway and is the
+    right base for pair-stage partition sizing (_pair_partitions). The hot (band, key) set is broadcast while it fits
     (``ray.put`` + per-batch Arrow semi-join) and flips to a keyed
     semi-join on a mixed 63-bit key — with post-join exact (band, key)
     re-check — beyond HOT_BROADCAST_MAX; ``hot_strategy`` forces
@@ -211,15 +220,19 @@ def hot_filtered_buckets(
         num_partitions=count_parts,
     ).materialize()
     n_hot = hot_ds.count()
+
+    def _ret(ds):
+        return (ds, n_hot) if with_hot_count else ds
+
     if n_hot == 0:
-        return None
+        return _ret(None)
 
     use_join = hot_strategy == "join" or (
         hot_strategy == "auto" and n_hot > HOT_BROADCAST_MAX
     )
     if not use_join:
         hot_ref = ray.put(_hot_bucket_table(hot_ds.to_pandas()))
-        return buckets.map_batches(_only_hot_fn(hot_ref), batch_format="pyarrow")
+        return _ret(buckets.map_batches(_only_hot_fn(hot_ref), batch_format="pyarrow"))
 
     from ebook_ocr_ray.joins import safe_join
 
@@ -253,7 +266,7 @@ def hot_filtered_buckets(
         # is a no-op when the column is already present
         return t.filter(keep).select(list(bucket_schema.names) + ["bkey"])
 
-    return joined.map_batches(exact, batch_format="pyarrow")
+    return _ret(joined.map_batches(exact, batch_format="pyarrow"))
 
 
 # byte-wise popcount table: vectorized hamming over uint64 prints on
@@ -342,14 +355,14 @@ def candidate_pair_dataset(
     from ebook_ocr_ray.groups import map_partitions_typed
 
     cap = MAX_BUCKET if max_bucket is None else max_bucket
-    pair_parts = _pair_partitions(num_partitions, n_rows)
     schema = pa.schema(
         [("doc_id", pa.int64()), ("band", pa.int32()), ("key", pa.int64())]
     )
-    filtered = hot_filtered_buckets(
+    filtered, n_hot = hot_filtered_buckets(
         buckets, schema, hot_strategy, num_partitions=num_partitions,
-        n_rows=n_rows,
+        n_rows=n_rows, with_hot_count=True,
     )
+    pair_parts = _pair_partitions(num_partitions, n_hot)
     if filtered is None:
         return ray.data.from_arrow(
             pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
@@ -1097,9 +1110,10 @@ def simhash_pairs(
         schema=schema,
     )
     # vectorized multi-member-bucket prefilter (see hot_filtered_buckets)
-    filtered = hot_filtered_buckets(
+    filtered, n_hot = hot_filtered_buckets(
         buckets.read(), schema, hot_strategy, num_partitions=num_partitions,
         n_rows=buckets.n_rows,              # free in both modes
+        with_hot_count=True,
     )
     if filtered is None:
         return ray.data.from_arrow(
@@ -1116,7 +1130,7 @@ def simhash_pairs(
     # one occurrence per (id_a, id_b) IS the Min.
     from ebook_ocr_ray.groups import map_partitions_typed
 
-    pair_parts = _pair_partitions(num_partitions, buckets.n_rows)
+    pair_parts = _pair_partitions(num_partitions, n_hot)
     pairs = map_partitions_typed(
         filtered.map_batches(_add_bkey, batch_format="pyarrow"),
         "bkey",
@@ -1186,7 +1200,7 @@ def jaccard_dup_pairs(
     intersection by 1; at 63 bits that is ~n^2/2^64 and DETERMINISTIC —
     the driver's value-hash equality against the string-exact SQL oracle
     is the proof it never fires at oracle scale."""
-    from ebook_ocr_ray.functions.textstats import stable_hash64, word_shingles
+    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64, word_shingles
     from ebook_ocr_ray.groups import typed_keyed_sum
     from ebook_ocr_ray.joins import safe_join
 
@@ -1204,7 +1218,7 @@ def jaccard_dup_pairs(
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             sh = set(word_shingles(t or "", k))
             ids.extend([d] * len(sh))
-            keys.extend(stable_hash64(s) & ((1 << 63) - 1) for s in sorted(sh))
+            keys.extend(stable_hash63(s) for s in sorted(sh))
         return pa.table(
             {
                 "band": pa.array(np.zeros(len(ids), dtype=np.int32), pa.int32()),
@@ -1406,11 +1420,11 @@ def _fuzzy_text_keys(texts: list) -> "np.ndarray":
     """int63 normalized-text keys — EXACTLY dedup_fuzzy_exact_ds's key
     recipe (analytics.py): stable_hash64(fuzzy_normalize(text)). None
     normalizes to '' like the fuzzy dedup does."""
-    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
     from ebook_ocr_ray.pipelines.analytics import fuzzy_normalize
 
     return np.fromiter(
-        (stable_hash64(fuzzy_normalize(t)) & ((1 << 63) - 1) for t in texts),
+        (stable_hash63(fuzzy_normalize(t)) for t in texts),
         dtype=np.int64,
         count=len(texts),
     )

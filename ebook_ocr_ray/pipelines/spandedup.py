@@ -66,14 +66,14 @@ HOT_SPAN_BROADCAST_MAX = 1_000_000
 def _span_hashes(text: str | None, k: int) -> np.ndarray:
     """63-bit stable hashes of the k-word spans of ``text`` in position
     order (index i hashes words[i:i+k]). Shorter-than-k docs -> empty."""
-    from ebook_ocr_ray.functions.textstats import stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
 
     words = (text or "").split(" ")
     n = len(words)
     if n < k:
         return np.empty(0, dtype=np.int64)
     return np.fromiter(
-        (stable_hash64(" ".join(words[i : i + k])) & _MASK63 for i in range(n - k + 1)),
+        (stable_hash63(" ".join(words[i : i + k])) for i in range(n - k + 1)),
         dtype=np.int64,
         count=n - k + 1,
     )

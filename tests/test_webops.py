@@ -302,12 +302,23 @@ class TestCrawlHistory:
 
         n = pq.read_metadata(f"{SF_SMOKE}/documents.parquet").num_rows
         assert len(df) == n
+        import datetime as dt
+
+        from ebook_ocr_ray.sources.pages import DUP_TS_OFFSET_S, page_ts
+
         for doc_id in (0, 5, 7, 10):      # %10==0 / %5 only / neither / both
             row = df.loc[page_url(doc_id)]
             want_crawls = 1 + (doc_id % 10 == 0) + 2 * (doc_id % 5 == 0)
             assert row.n_crawls == want_crawls, doc_id
             assert row.n_payloads == (2 if doc_id % 5 == 0 else 1), doc_id
-        # first crawl is always the base ts; last is +2d for versioned docs
+            # exact ts values, not just ordering: first crawl is the base
+            # ts; last is +2d for versioned docs, +1d for plain dups
+            assert row.first_ts == page_ts(doc_id), doc_id
+            want_last = page_ts(doc_id) + dt.timedelta(
+                seconds=(2 if doc_id % 5 == 0 else 1 if doc_id % 10 == 0 else 0)
+                * DUP_TS_OFFSET_S
+            )
+            assert row.last_ts == want_last, doc_id
         assert (df.first_ts <= df.last_ts).all()
 
 
