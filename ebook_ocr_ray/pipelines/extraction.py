@@ -722,17 +722,13 @@ def extraction_pipeline(
         )
 
     if dedup and spool_dir is not None:
-        import os as _os
+        # one shared guard (state/spool.py): refuses dirty dirs AND
+        # arbitrates concurrent claimers atomically — write_parquet
+        # appends (Ray 2.49 SaveMode.APPEND), so either would silently
+        # double the corpus and make every page a byte-identical dup
+        from ebook_ocr_ray.state.spool import claim_spool_target
 
-        # write_parquet APPENDS by default (Ray 2.49 SaveMode.APPEND): a
-        # reused scratch dir would silently double the corpus and make
-        # every page a byte-identical dup — refuse dirty dirs outright
-        if _os.path.isdir(spool_dir) and _os.listdir(spool_dir):
-            raise ValueError(
-                f"spool_dir {spool_dir!r} is not empty — reusing a spool "
-                "directory appends a second copy of the corpus; pass a "
-                "fresh scratch path"
-            )
+        claim_spool_target(spool_dir)
         prepared_factory().write_parquet(spool_dir)
         slim = read_parquet_clean(
             spool_dir, columns=["content_sha", "warc_ts", "url"]

@@ -143,6 +143,7 @@ def hot_filtered_buckets(
     num_partitions: int = 8,
     n_rows: int | None = None,
     with_hot_count: bool = False,
+    count_buckets: ray.data.Dataset | None = None,
 ) -> "ray.data.Dataset | None | tuple[ray.data.Dataset | None, int]":
     """Reduce bucket rows to those in multi-member buckets (the only rows
     that can generate candidate pairs). Returns None when every bucket is
@@ -157,7 +158,13 @@ def hot_filtered_buckets(
     ``n_rows``: bucket-row count hint (free when the caller already
     materialized the buckets) — sizes the hash-count shuffle to the data
     so a bench-scale corpus doesn't pay 16 aggregator actors' spin-up
-    for a few thousand rows. Omitted -> the cpu-count default."""
+    for a few thousand rows. Omitted -> the cpu-count default.
+
+    ``count_buckets``: an optional (band, key)-only view of the SAME
+    rows for the count pass — in spool mode a column-pruned parquet
+    re-read, so the count never drags payload-adjacent columns
+    (simhash's 8-byte print, doc_id) off disk. Must contain exactly the
+    same (band, key) multiset as ``buckets``."""
     from ray.data.aggregate import Count
 
     if hot_strategy not in ("auto", "broadcast", "join"):
@@ -207,7 +214,9 @@ def hot_filtered_buckets(
         else max(1, min(min(max(8, cpus), 16), n_rows // 1_000_000 + 1))
     )
     hot_ds = map_partitions_typed(
-        buckets.map_batches(count_partial, batch_format="pyarrow"),
+        (count_buckets if count_buckets is not None else buckets).map_batches(
+            count_partial, batch_format="pyarrow"
+        ),
         "bkey",
         hot_in_partition,
         schema=pa.schema(
@@ -333,6 +342,7 @@ def candidate_pair_dataset(
     hot_strategy: str = "auto",
     num_partitions: int = 8,
     n_rows: int | None = None,
+    count_buckets: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """groupby (band, key) -> DISTINCT unordered candidate pairs as a
     Dataset.
@@ -360,7 +370,7 @@ def candidate_pair_dataset(
     )
     filtered, n_hot = hot_filtered_buckets(
         buckets, schema, hot_strategy, num_partitions=num_partitions,
-        n_rows=n_rows, with_hot_count=True,
+        n_rows=n_rows, with_hot_count=True, count_buckets=count_buckets,
     )
     pair_parts = _pair_partitions(num_partitions, n_hot)
     if filtered is None:
@@ -904,6 +914,9 @@ def minhash_clusters(
     candidates = candidate_pair_dataset(
         buckets.read(), hot_strategy=hot_strategy, num_partitions=num_partitions,
         n_rows=buckets.n_rows,              # free in both modes
+        # (band, key)-only view for the count pass: a pruned parquet
+        # re-read in spool mode, a free projection when materialized
+        count_buckets=buckets.read(columns=["band", "key"]),
     ).materialize()                                              # slim int pairs
 
     def _adaptive(n_rows: int) -> int:
@@ -1114,6 +1127,8 @@ def simhash_pairs(
         buckets.read(), schema, hot_strategy, num_partitions=num_partitions,
         n_rows=buckets.n_rows,              # free in both modes
         with_hot_count=True,
+        # count pass never needs the 8-byte print or doc_id columns
+        count_buckets=buckets.read(columns=["band", "key"]),
     )
     if filtered is None:
         return ray.data.from_arrow(
@@ -1271,7 +1286,8 @@ def jaccard_dup_pairs(
         schema=bucket_schema,
     )
     filtered = hot_filtered_buckets(
-        srows.read(), bucket_schema, n_rows=srows.n_rows
+        srows.read(), bucket_schema, n_rows=srows.n_rows,
+        count_buckets=srows.read(columns=["band", "key"]),
     )
     if filtered is None:  # every shingle is a singleton: no pairs at all
         return ray.data.from_arrow(

@@ -43,11 +43,12 @@ def staging_dir(final_dir: str, kind: str = "build") -> str:
     """Create and return a fresh process-private sibling staging dir for
     ``final_dir`` (``{final}.{kind}.{token}``). The token is unique per
     call (not just per pid): repeated builds from one process must never
-    collide, and a leftover dir from a crashed run is never reused."""
+    collide, and a leftover dir from a crashed run is never reused —
+    note that means a build that crashes BEFORE publish leaks its
+    staging dir (intentional: leak, never delete another run's work)."""
     final_dir = _normalize(final_dir)
     tmp = f"{final_dir}.{kind}.{uuid.uuid4().hex[:12]}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+    os.makedirs(tmp)
     return tmp
 
 
@@ -57,7 +58,10 @@ def publish_build(
     """Publish ``tmp_dir`` as ``final_dir`` by atomic rename, with
     lost-race and crashed-partial handling. Returns True when OUR build
     became the final dir, False when a complete final dir already existed
-    or a concurrent builder won (tmp is discarded either way).
+    or a concurrent builder won (tmp is discarded either way). Raises
+    RuntimeError when retries exhaust against persistent INCOMPLETE
+    churn — False always means "a complete artifact exists", never
+    "gave up".
 
     ``is_complete(final_dir)`` must check the build's completeness
     evidence (a marker file written into tmp BEFORE publish). Invariants:
@@ -88,10 +92,34 @@ def publish_build(
                 os.rename(final_dir, trash)
             except OSError:
                 continue  # someone else moved/published it — re-check
+            # TOCTOU guard: between the incompleteness check above and
+            # our rename, a concurrent winner may have published — in
+            # which case we just moved a COMPLETE build aside. We own
+            # ``trash`` exclusively (uuid name), so inspect it: a
+            # complete build is restored; if yet another winner landed
+            # in the meantime the trash copy is a redundant complete
+            # duplicate and may be discarded. Leak-never-lose: when we
+            # cannot prove a complete copy exists at final_dir, the
+            # trash copy stays on disk rather than being deleted.
+            if is_complete(trash):
+                try:
+                    os.rename(trash, final_dir)
+                except OSError:
+                    if is_complete(final_dir):
+                        shutil.rmtree(trash, ignore_errors=True)
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                return False
             shutil.rmtree(trash, ignore_errors=True)
-    # retries exhausted (pathological churn): prefer whatever exists
+    # retries exhausted (pathological churn of incomplete builds): this
+    # is an error, not a loser — returning False would be
+    # indistinguishable from "a complete winner exists" and callers
+    # would proceed against a crashed partial's files
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    return False
+    raise RuntimeError(
+        f"publish_build: could not publish into {final_dir!r} after 3 "
+        "attempts (persistent churn of incomplete builds); the staging "
+        "build was discarded and no complete artifact is known to exist"
+    )
 
 
 def publish_into(tmp_dir: str, parent_dir: str, name: str) -> str:

@@ -52,6 +52,35 @@ class ReusableRows:
         return self._ds.select_columns(columns)
 
 
+def claim_spool_target(path: str) -> None:
+    """Claim ``path`` as a fresh spool target, atomically. write_parquet
+    APPENDS (Ray 2.49 SaveMode.APPEND), so a reused — or concurrently
+    claimed — directory would silently double the rows. The dirty check
+    alone is check-then-act (two racing runs both see empty and both
+    write); an O_EXCL sibling claim file (``{path}.claim`` — OUTSIDE the
+    data dir, so parquet readers never see it) is the atomic arbiter:
+    exactly one claimer wins, everyone else gets the ValueError."""
+    path = os.path.normpath(path)
+    if os.path.isdir(path) and os.listdir(path):
+        raise ValueError(
+            f"spool target {path!r} is not empty — write_parquet appends, "
+            "so reuse would double the rows; pass a fresh scratch path"
+        )
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    try:
+        fd = os.open(f"{path}.claim", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise ValueError(
+            f"spool target {path!r} is already claimed ({path}.claim "
+            "exists: a concurrent run, or a crashed one's leftover) — "
+            "pass a fresh scratch path"
+        ) from None
+    os.makedirs(path, exist_ok=True)
+
+
 def pin_reusable(
     ds: ray.data.Dataset,
     spool_dir: str | None,
@@ -74,12 +103,7 @@ def pin_reusable(
     from ebook_ocr_ray.reads import parquet_num_rows, read_parquet_clean
 
     sub = os.path.join(spool_dir, name)
-    if os.path.isdir(sub) and os.listdir(sub):
-        raise ValueError(
-            f"spool target {sub!r} is not empty — write_parquet appends, "
-            "so reuse would double the rows; pass a fresh scratch path"
-        )
-    os.makedirs(sub, exist_ok=True)
+    claim_spool_target(sub)
     ds.write_parquet(sub)
     n = parquet_num_rows(sub)
     if n == 0:

@@ -78,6 +78,57 @@ class TestPublishBuild:
         assert self._complete(str(tmp_path / "art"))
 
 
+class TestPublishBuildRaces:
+    def test_toctou_winner_moved_aside_is_restored(self, tmp_path):
+        """If a concurrent winner publishes between the incompleteness
+        check and our rename-aside, the aside copy must be restored, not
+        deleted — 'a complete final dir is never deleted' must hold even
+        through the race window."""
+        import pytest
+
+        final = str(tmp_path / "index")
+        _touch(final, "data.parquet", "WINNER")
+        tmp = staging_dir(final)
+        _touch(tmp, "data.parquet", "LOSER")
+
+        calls = []
+
+        def pred(d):
+            # False for the pre-check and the post-OSError check, True
+            # from the trash inspection on: simulates a winner landing
+            # in the check->rename window
+            calls.append(d)
+            return len(calls) >= 3
+
+        assert publish_build(tmp, final, pred) is False
+        with open(os.path.join(final, "data.parquet")) as f:
+            assert f.read() == "WINNER"          # restored, not trashed
+        assert not os.path.exists(tmp)
+        # no trash dir leaked in the restored case
+        parent = os.path.dirname(final)
+        assert not [p for p in os.listdir(parent) if ".trash." in p]
+
+    def test_exhausted_retries_raise_not_false(self, tmp_path, monkeypatch):
+        """Persistent incomplete churn must raise — returning False would
+        be indistinguishable from 'a complete winner exists' and callers
+        would proceed against a crashed partial."""
+        import pytest
+
+        from ebook_ocr_ray.state import atomic
+
+        final = str(tmp_path / "index")
+        _touch(final, "partial.parquet")
+        tmp = staging_dir(final)
+        _touch(tmp, "data.parquet")
+
+        def always_fail(src, dst):
+            raise OSError("churn")
+
+        monkeypatch.setattr(atomic.os, "rename", always_fail)
+        with pytest.raises(RuntimeError, match="could not publish"):
+            publish_build(tmp, final, lambda d: False)
+
+
 class TestPublishInto:
     def test_all_or_nothing_subdir(self, tmp_path):
         parent = str(tmp_path / "index")

@@ -73,6 +73,30 @@ class TestPinReusable:
         assert r.read().schema().names == ["a"]
 
 
+class TestClaimSpoolTarget:
+    def test_second_claimer_refused(self, tmp_path):
+        """mkdir-free O_EXCL claim: exactly one of two racing runs may
+        write a given spool target — the second gets the ValueError
+        instead of silently appending a second copy of the rows."""
+        import pytest
+
+        from ebook_ocr_ray.state.spool import claim_spool_target
+
+        target = str(tmp_path / "rows")
+        claim_spool_target(target)               # first claim wins
+        assert os.path.isdir(target)
+        with pytest.raises(ValueError, match="already claimed"):
+            claim_spool_target(target)           # concurrent claim loses
+
+    def test_claim_file_outside_data_dir(self, tmp_path):
+        from ebook_ocr_ray.state.spool import claim_spool_target
+
+        target = str(tmp_path / "rows")
+        claim_spool_target(target)
+        assert os.listdir(target) == []           # data dir stays clean
+        assert os.path.exists(target + ".claim")  # arbiter is a sibling
+
+
 class TestSpoolEqualsMaterialize:
     """The done-contract for the round-4 spool work: every pipeline that
     grew a spool_dir option must be VALUE-identical across modes."""
