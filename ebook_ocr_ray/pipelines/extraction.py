@@ -111,10 +111,19 @@ def prepare_pages(
     )
 
 
+# Bias added to the int64 warc_ts before zero-padded formatting so the
+# composite survivor key sorts lexicographically == numerically for the
+# FULL int64 range: an unbiased negative (pre-1970) timestamp renders as
+# '-0000…', which sorts before every positive key AND orders two
+# negative values by reversed magnitude. t + 2^63 maps int64 onto
+# [0, 2^64), always exactly 20 digits.
+_TS_BIAS = 1 << 63
+
+
 def _survivor_key(ts_us: np.ndarray, urls: list[str]) -> list[str]:
     """Total order for picking the surviving crawl of a duplicate group:
     earliest warc_ts, then lexicographic url."""
-    return [f"{t:020d}|{u}" for t, u in zip(ts_us, urls)]
+    return [f"{int(t) + _TS_BIAS:020d}|{u}" for t, u in zip(ts_us, urls)]
 
 
 def _make_survivor_agg():
@@ -268,7 +277,10 @@ def dedup_apply(
         shas = batch["content_sha"].take(pa.array(idx)).to_pylist()
         for i, u, s in zip(idx, urls, shas):
             # tie groups are excluded here and resolved by the keyed pass
-            mask[i] = s not in ties and survivors[s] == f"{ts_us[i]:020d}|{u}"
+            mask[i] = (
+                s not in ties
+                and survivors[s] == f"{int(ts_us[i]) + _TS_BIAS:020d}|{u}"
+            )
         return batch.filter(pa.array(mask, pa.bool_()))
 
     out = prepared.map_batches(keep_survivors, batch_format="pyarrow")
@@ -726,10 +738,11 @@ def extraction_pipeline(
         # arbitrates concurrent claimers atomically — write_parquet
         # appends (Ray 2.49 SaveMode.APPEND), so either would silently
         # double the corpus and make every page a byte-identical dup
-        from ebook_ocr_ray.state.spool import claim_spool_target
+        from ebook_ocr_ray.state.spool import claim_spool_target, release_spool_claim
 
         claim_spool_target(spool_dir)
         prepared_factory().write_parquet(spool_dir)
+        release_spool_claim(spool_dir)
         slim = read_parquet_clean(
             spool_dir, columns=["content_sha", "warc_ts", "url"]
         )
@@ -841,12 +854,17 @@ def dedup_url(
         df = pd.DataFrame(
             {"url_norm": norm.to_pandas(), "key": keys}
         )
+        # dropna=False: a null url (hence null url_norm) must form a
+        # group like SQL GROUP BY does, not silently vanish
         agg = (
-            df.groupby("url_norm", sort=False)
+            df.groupby("url_norm", sort=False, dropna=False)
             .agg(n_crawls=("key", "size"), min_key=("key", "min"))
             .reset_index()
         )
-        skeys = [stable_hash63(u) for u in agg["url_norm"]]
+        skeys = [
+            stable_hash63(u if isinstance(u, str) else "\x00url-norm-null")
+            for u in agg["url_norm"]
+        ]
         # explicit types: from_pandas infers `null` for empty object
         # columns, which re-creates the schema-mismatch bundles that
         # groups.py exists to eliminate
@@ -870,7 +888,7 @@ def dedup_url(
 
     def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
         out = (
-            df.groupby("url_norm", sort=False)
+            df.groupby("url_norm", sort=False, dropna=False)
             .agg(n_crawls=("n_crawls", "sum"), min_key=("min_key", "min"))
             .reset_index()
         )
@@ -897,7 +915,7 @@ def dedup_url(
 
     def unpack(t: pa.Table) -> pa.Table:
         keys = t["min_key"].to_pylist()
-        ts = [int(k.split("|", 1)[0]) for k in keys]
+        ts = [int(k.split("|", 1)[0]) - _TS_BIAS for k in keys]
         urls = [k.split("|", 1)[1] for k in keys]
         return pa.table(
             {
@@ -1005,12 +1023,17 @@ def crawl_history(
         df = pd.DataFrame(
             {"url": t["url"].to_pylist(), "sha": shas, "ts": ts_us}
         )
+        # dropna=False: null-url rows keep their group (SQL GROUP BY
+        # semantics) instead of silently vanishing from the index
         agg = (
-            df.groupby(["url", "sha"], sort=False)
+            df.groupby(["url", "sha"], sort=False, dropna=False)
             .agg(n=("ts", "size"), min_ts=("ts", "min"), max_ts=("ts", "max"))
             .reset_index()
         )
-        skeys = [stable_hash63(u) for u in agg["url"]]
+        skeys = [
+            stable_hash63(u if isinstance(u, str) else "\x00url-null")
+            for u in agg["url"]
+        ]
         return pa.table(
             {
                 "url": pa.array(agg["url"], pa.string()),
@@ -1024,7 +1047,7 @@ def crawl_history(
 
     def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
         out = (
-            df.groupby("url", sort=False)
+            df.groupby("url", sort=False, dropna=False)
             .agg(
                 n_crawls=("n", "sum"),
                 n_payloads=("sha", "nunique"),

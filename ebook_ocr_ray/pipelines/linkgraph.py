@@ -385,8 +385,10 @@ def anchor_text_stats(sf_dir: str, num_partitions: int = 4) -> ray.data.Dataset:
                 "anchor_text": t["anchor_text"].to_pylist(),
             }
         )
+        # dropna=False: a null href/anchor_text keeps its group (SQL
+        # GROUP BY semantics) instead of silently vanishing
         agg = (
-            df.groupby(["site", "href", "anchor_text"], sort=False)
+            df.groupby(["site", "href", "anchor_text"], sort=False, dropna=False)
             .size()
             .rename("n")
             .reset_index()
@@ -408,7 +410,7 @@ def anchor_text_stats(sf_dir: str, num_partitions: int = 4) -> ray.data.Dataset:
 
     def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
         out = (
-            df.groupby(["site", "href"], sort=False)
+            df.groupby(["site", "href"], sort=False, dropna=False)
             .agg(
                 n_links=("n", "sum"),
                 n_anchor_texts=("anchor_text", "nunique"),

@@ -106,7 +106,18 @@ def publish_build(
                     os.rename(trash, final_dir)
                 except OSError:
                     if is_complete(final_dir):
+                        # another winner published meanwhile: the trash
+                        # copy is a redundant complete duplicate
                         shutil.rmtree(trash, ignore_errors=True)
+                        shutil.rmtree(tmp_dir, ignore_errors=True)
+                        return False
+                    # the restore lost to ANOTHER incomplete partial:
+                    # returning False here would violate the contract
+                    # ("False always means a complete artifact exists")
+                    # while the only complete build sits in trash. Keep
+                    # the trash copy (leak-never-lose) and retry the
+                    # whole publish — our tmp build is equally complete.
+                    continue
                 shutil.rmtree(tmp_dir, ignore_errors=True)
                 return False
             shutil.rmtree(trash, ignore_errors=True)

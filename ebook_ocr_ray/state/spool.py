@@ -75,10 +75,24 @@ def claim_spool_target(path: str) -> None:
     except FileExistsError:
         raise ValueError(
             f"spool target {path!r} is already claimed ({path}.claim "
-            "exists: a concurrent run, or a crashed one's leftover) — "
-            "pass a fresh scratch path"
+            "exists: a crashed run's leftover, or a concurrent claimer) "
+            "— pass a fresh scratch path"
         ) from None
     os.makedirs(path, exist_ok=True)
+
+
+def release_spool_claim(path: str) -> None:
+    """Release the O_EXCL claim after the spool WRITE completes. The
+    claim only arbitrates the write; once the data directory is
+    non-empty the dirty check in ``claim_spool_target`` is what refuses
+    reuse. Releasing means a user who cleans the data directory can
+    re-run with the same path without also hunting down the ``.claim``
+    sibling (a crashed run still leaves its claim behind, on purpose —
+    its directory state is unknown)."""
+    try:
+        os.remove(f"{os.path.normpath(path)}.claim")
+    except FileNotFoundError:
+        pass
 
 
 def pin_reusable(
@@ -105,6 +119,7 @@ def pin_reusable(
     sub = os.path.join(spool_dir, name)
     claim_spool_target(sub)
     ds.write_parquet(sub)
+    release_spool_claim(sub)
     n = parquet_num_rows(sub)
     if n == 0:
         return ReusableRows(ray.data.from_arrow(schema.empty_table()), 0)

@@ -144,3 +144,36 @@ class TestSpoolEqualsMaterialize:
         )
         pd.testing.assert_frame_equal(a, b)
         assert os.path.isdir(tmp_path / "scored_rows")
+
+
+class TestClaimRelease:
+    def test_claim_released_after_successful_spool(self, ray_session, tmp_path):
+        """A completed pin_reusable must release its .claim sibling: the
+        dirty-dir check owns reuse protection once data exists, and a
+        user who cleans the data directory can re-run with the same
+        path without hunting down the claim file."""
+        import shutil
+
+        import ray.data as rd
+
+        from ebook_ocr_ray.state.spool import pin_reusable
+
+        t = pa.table({"a": pa.array([1, 2], pa.int64())})
+        pin_reusable(rd.from_arrow(t), str(tmp_path), "rows", schema=t.schema)
+        assert not os.path.exists(str(tmp_path / "rows") + ".claim")
+        # dirty dir still refused (data present, claim gone)
+        with pytest.raises(ValueError, match="not empty"):
+            pin_reusable(rd.from_arrow(t), str(tmp_path), "rows", schema=t.schema)
+        # cleaning the data directory is now sufficient to re-run
+        shutil.rmtree(tmp_path / "rows")
+        r = pin_reusable(rd.from_arrow(t), str(tmp_path), "rows", schema=t.schema)
+        assert r.n_rows == 2
+
+    def test_crashed_claim_still_refused(self, tmp_path):
+        """A claim WITHOUT data (crashed run before/mid-write) still
+        refuses: its directory state is unknown."""
+        from ebook_ocr_ray.state.spool import claim_spool_target
+
+        claim_spool_target(str(tmp_path / "rows"))
+        with pytest.raises(ValueError, match="claimed"):
+            claim_spool_target(str(tmp_path / "rows"))

@@ -343,3 +343,86 @@ class TestAnchorTextStats:
         assert (tags.n_anchor_texts <= 50).all()
         # totals: 12 links per html page, split across 12 hrefs per site
         assert int(df.n_links.sum()) % 12 == 0
+
+
+class TestSurvivorKeyEdgeCases:
+    def test_key_order_matches_ts_url_order_for_full_int64(self):
+        """The zero-padded composite key must sort lexicographically ==
+        (warc_ts, url) numerically, INCLUDING pre-epoch (negative)
+        timestamps — the bias maps int64 onto [0, 2^64)."""
+        import numpy as np
+
+        from ebook_ocr_ray.pipelines.extraction import _survivor_key
+
+        rows = [
+            (-(2**62), "b"),   # deep pre-epoch
+            (-1, "a"),         # one microsecond pre-epoch
+            (-1, "b"),
+            (0, "a"),
+            (1, "a"),
+            (2**62, "a"),
+        ]
+        ts = np.array([r[0] for r in rows], dtype=np.int64)
+        keys = _survivor_key(ts, [r[1] for r in rows])
+        assert keys == sorted(keys)
+        assert all(len(k.split("|", 1)[0]) == 20 for k in keys)
+
+    def test_pre_epoch_survivor_wins(self, ray_session):
+        """dedup_url over a pre-epoch + post-epoch crawl pair of the same
+        canonical url: the earliest (pre-epoch) crawl survives."""
+        from ebook_ocr_ray.pipelines.extraction import dedup_url
+
+        pages = TestDedupUrl()._pages(
+            ray_session,
+            [
+                ("https://site-1.example/doc/7", dt.datetime(1950, 6, 1)),
+                ("https://site-1.example/doc/7/", dt.datetime(1990, 6, 1)),
+            ],
+        )
+        df = dedup_url(pages, num_partitions=2).to_pandas()
+        assert len(df) == 1
+        assert df.warc_ts.iloc[0] == dt.datetime(1950, 6, 1)
+        assert df.n_crawls.iloc[0] == 2
+
+
+class TestNullKeyGroups:
+    """SQL GROUP BY keeps a NULL group; the pandas partials must too
+    (dropna=False) — a null url must not silently vanish."""
+
+    def test_dedup_url_keeps_null_url_group(self, ray_session):
+        import ray
+
+        t = pa.table(
+            {
+                "url": pa.array(["https://site-1.example/doc/7", None], pa.string()),
+                "warc_ts": pa.array([_ts(7), _ts(8)], pa.timestamp("us")),
+            }
+        )
+        df = ray.data.from_arrow(t).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        ).to_pandas()
+        from ebook_ocr_ray.pipelines.extraction import dedup_url
+
+        out = dedup_url(ray.data.from_arrow(t), num_partitions=2).to_pandas()
+        assert len(out) == 2
+        assert out.url_norm.isna().sum() == 1
+        assert int(out.loc[out.url_norm.isna(), "n_crawls"].iloc[0]) == 1
+
+    def test_crawl_history_keeps_null_url_group(self, ray_session):
+        import ray
+
+        from ebook_ocr_ray.pipelines.extraction import crawl_history
+
+        t = pa.table(
+            {
+                "url": pa.array(["https://a", None, None], pa.string()),
+                "warc_ts": pa.array([_ts(1), _ts(2), _ts(3)], pa.timestamp("us")),
+                "html": pa.array([b"x", b"y", b"y"], pa.binary()),
+            }
+        )
+        out = crawl_history(ray.data.from_arrow(t), num_partitions=2).to_pandas()
+        assert len(out) == 2
+        null_row = out[out.url.isna()]
+        assert len(null_row) == 1
+        assert int(null_row.n_crawls.iloc[0]) == 2
+        assert int(null_row.n_payloads.iloc[0]) == 1
