@@ -1143,6 +1143,64 @@ def _gopher_quality_sql() -> str:
     """
 
 
+def _quality_buckets_sql(vocab_cap: int | None = None) -> str:
+    """Replays quality.quality_buckets INCLUDING the per-language
+    vocabulary cap (quality.py QUALITY_LM_VOCAB_CAP): model entries are
+    the top-cap bigrams per lang under the frozen rank (count DESC,
+    bigram ASC, mirrored by QUALIFY row_number); a bigram past the cap
+    scores at the lang's add-one default lp. Totals T and global vocab V
+    stay PRE-cap, so kept entries' probabilities are cap-independent.
+    The micro-nat CAST is the only float op; scoring / thresholds /
+    buckets are exact int64 in both engines. quantile_disc ==
+    sorted[ceil(q*n)-1], the token_quantiles convention."""
+    from ebook_ocr_ray.pipelines.quality import QUALITY_LM_VOCAB_CAP
+
+    cap = QUALITY_LM_VOCAB_CAP if vocab_cap is None else vocab_cap
+    return f"""
+        WITH docs AS (SELECT doc_id, lang, text FROM documents),
+        bg AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(range(1, length(text)),
+                        i -> substr(text, i, 2))) AS g
+          FROM docs WHERE length(text) >= 2),
+        model AS (SELECT lang, g, COUNT(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+        tot AS (SELECT lang, SUM(c)::BIGINT AS t FROM model
+                WHERE lang IS NOT NULL GROUP BY 1),
+        vocab AS (SELECT COUNT(DISTINCT g)::BIGINT AS v FROM bg),
+        model_q AS (
+          SELECT m.lang, m.g,
+                 CAST(-ln((m.c + 1)::DOUBLE / (tt.t + vocab.v)) * 1000000
+                      AS BIGINT) AS lp
+          FROM model m JOIN tot tt ON tt.lang = m.lang CROSS JOIN vocab
+          QUALIFY row_number() OVER (PARTITION BY m.lang
+                                     ORDER BY m.c DESC, m.g) <= {cap}),
+        dflt AS (
+          SELECT tt.lang,
+                 CAST(-ln(1.0 / (tt.t + vocab.v)) * 1000000 AS BIGINT) AS lp
+          FROM tot tt CROSS JOIN vocab),
+        scored AS (
+          SELECT b.doc_id, b.lang,
+                 SUM(coalesce(q.lp, d.lp)) // COUNT(*) AS ce_micro
+          FROM bg b
+          JOIN dflt d ON d.lang = b.lang
+          LEFT JOIN model_q q ON q.lang = b.lang AND q.g = b.g
+          GROUP BY 1, 2),
+        allscored AS (
+          SELECT d.doc_id, d.lang, coalesce(s.ce_micro, 0)::BIGINT AS ce_micro
+          FROM docs d LEFT JOIN scored s ON s.doc_id = d.doc_id),
+        th AS (
+          SELECT lang, quantile_disc(ce_micro // 1000, 1.0/3) AS t1,
+                 quantile_disc(ce_micro // 1000, 2.0/3) AS t2
+          FROM allscored GROUP BY lang)
+        SELECT a.doc_id, a.lang, a.ce_micro,
+               CASE WHEN a.ce_micro // 1000 <= th.t1 THEN 'head'
+                    WHEN a.ce_micro // 1000 <= th.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM allscored a JOIN th ON th.lang = a.lang
+        ORDER BY a.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_url": _dedup_url_sql(),
@@ -1260,44 +1318,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY h.doc_id
         """,
         # pipelines/quality.quality_buckets: CCNet-style two-pass LM
-        # bucketing. The model's micro-nat quantization (CAST AS BIGINT
-        # == Python round-half-even) is the only float op; scoring,
-        # thresholds and buckets are exact int64 arithmetic in both
-        # engines. quantile_disc == sorted[ceil(q*n)-1], the
-        # token_quantiles convention.
-        "quality_buckets": """
-            WITH docs AS (SELECT doc_id, lang, text FROM documents),
-            bg AS (
-              SELECT doc_id, lang,
-                     unnest(list_transform(range(1, length(text)),
-                            i -> substr(text, i, 2))) AS g
-              FROM docs WHERE length(text) >= 2),
-            model AS (SELECT lang, g, COUNT(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
-            tot AS (SELECT lang, SUM(c)::BIGINT AS t FROM model GROUP BY 1),
-            vocab AS (SELECT COUNT(DISTINCT g)::BIGINT AS v FROM bg),
-            model_q AS (
-              SELECT m.lang, m.g,
-                     CAST(-ln((m.c + 1)::DOUBLE / (tt.t + vocab.v)) * 1000000
-                          AS BIGINT) AS lp
-              FROM model m JOIN tot tt ON tt.lang = m.lang CROSS JOIN vocab),
-            scored AS (
-              SELECT b.doc_id, b.lang, SUM(q.lp) // COUNT(*) AS ce_micro
-              FROM bg b JOIN model_q q ON q.lang = b.lang AND q.g = b.g
-              GROUP BY 1, 2),
-            allscored AS (
-              SELECT d.doc_id, d.lang, coalesce(s.ce_micro, 0)::BIGINT AS ce_micro
-              FROM docs d LEFT JOIN scored s ON s.doc_id = d.doc_id),
-            th AS (
-              SELECT lang, quantile_disc(ce_micro // 1000, 1.0/3) AS t1,
-                     quantile_disc(ce_micro // 1000, 2.0/3) AS t2
-              FROM allscored GROUP BY lang)
-            SELECT a.doc_id, a.lang, a.ce_micro,
-                   CASE WHEN a.ce_micro // 1000 <= th.t1 THEN 'head'
-                        WHEN a.ce_micro // 1000 <= th.t2 THEN 'middle'
-                        ELSE 'tail' END AS bucket
-            FROM allscored a JOIN th ON th.lang = a.lang
-            ORDER BY a.doc_id
-        """,
+        # bucketing with the per-lang vocabulary cap — see
+        # _quality_buckets_sql for the mirrored semantics.
+        "quality_buckets": _quality_buckets_sql(),
         "text_profile": _text_profile_sql(),
         "distinct_terms_hll": _distinct_terms_hll_sql(),
         # Closed-form oracle for the ensemble metadata. The synthesized

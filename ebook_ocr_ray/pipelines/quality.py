@@ -18,8 +18,17 @@ Frozen semantics (mirrored exactly by the SQL oracle):
     arithmetic, so Python/DuckDB float-summation order can never flip a
     bucket (the one residual risk is a single model entry's -ln landing
     within one ulp of a .5 micro-nat boundary — measure-zero per entry,
-    and the model has at most charset^2 x langs entries, not one per
-    document),
+    and the model carries at most QUALITY_LM_VOCAB_CAP x langs entries,
+    not one per document),
+  * vocabulary cap: per lang only the QUALITY_LM_VOCAB_CAP most frequent
+    bigrams (rank: count DESC, bigram ASC) become model entries; a
+    bigram past the cap scores at the language's add-one default
+    lp(lang, unseen) = int_half_even(-ln(1 / (T + V)) * 1e6). T and V
+    are computed over the FULL pre-cap counts, so kept entries'
+    probabilities are unchanged by the cap — the cap only moves the
+    long tail onto the default slot (SQL mirror: QUALIFY row_number()
+    OVER (PARTITION BY lang ORDER BY c DESC, g) <= cap, LEFT JOIN +
+    coalesce(lp, default)),
   * document score: ce_micro = sum(lp over the doc's bigram
     OCCURRENCES) // n_bigrams (integer floor; 0 when the text is
     shorter than 2 chars),
@@ -33,8 +42,11 @@ Frozen semantics (mirrored exactly by the SQL oracle):
 Scale shape (the point of the operator):
 
     pass 1  per-batch bigram partial counts -> keyed sum
-            -> model table on the driver (bounded by charset^2 x langs,
-               corpus-size-INDEPENDENT) -> ray.put broadcast
+            -> top-cap-per-lang model selection (on the driver while the
+               count table is small, keyed/distributed past
+               MODEL_DRIVER_MAX rows — same results, far-side tested)
+            -> model table bounded by cap x langs, corpus-size- AND
+               charset-size-INDEPENDENT -> ray.put broadcast
     pass 2  score every doc against the broadcast model (slim int rows,
             materialized once — the neardup slim-row trade)
     pass 3  (lang, ce_milli) histogram -> keyed sum -> thresholds on
@@ -45,7 +57,6 @@ Scale shape (the point of the operator):
 from __future__ import annotations
 
 import math
-from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -57,6 +68,27 @@ from ebook_ocr_ray.reads import read_parquet_clean
 
 CE_QUANT = 1_000_000  # micro-nats
 _NULL_LANG = "\x00lang-null"   # threshold-table key for null-lang rows
+
+# Per-language cap on broadcast model entries. Latin-charset web text
+# (~10k observed bigrams per lang) never reaches it; CJK-scale charsets
+# (20k+ code points -> millions of observed bigrams) would otherwise
+# materialize a whole-corpus vocabulary on the driver and ship it to
+# every worker. Past the cap a bigram scores at the language's add-one
+# default lp; kept entries are unchanged (T, V stay pre-cap). Mirrored
+# exactly by the SQL oracle (QUALIFY row_number <= cap) and covered by
+# the wide-charset far-side test with the cap forced small.
+QUALITY_LM_VOCAB_CAP = 65_536
+
+# Driver-collect flip: while the keyed (lang, g, n) count table has at
+# most this many rows, the top-cap selection / lang totals / global
+# vocab run as one driver pandas pass (one collection of slim rows);
+# past it they run as keyed distributed stages with per-block local
+# top-cap pruning, so the driver only ever sees <= cap x langs rows.
+# Same results by construction; the far-side test forces the flip to 0.
+MODEL_DRIVER_MAX = 2_000_000
+
+_PAIR_SHIFT = 21                     # max code point 0x10FFFF < 2**21
+_PAIR_MASK = (1 << _PAIR_SHIFT) - 1
 
 
 def _quantize_lp(p_num: int, p_den: int) -> int:
@@ -70,69 +102,250 @@ def _bigrams(text: str | None) -> list[str]:
     return [t[i : i + 2] for i in range(len(t) - 1)]
 
 
-def train_bigram_model(docs: ray.data.Dataset) -> dict[str, dict]:
-    """Per-language add-one char-bigram model from (lang, text) rows.
-    Returns {lang: {"lp": {g: micro_nats}, "default": micro_nats}}; the
-    default covers bigrams unseen in that language (never exercised when
-    scoring the training corpus itself, which is what the oracle does)."""
-    from ebook_ocr_ray.groups import typed_keyed_sum
+def _g_code(g: str) -> int:
+    """Pack a 2-char bigram into one int64 pair code."""
+    return (ord(g[0]) << _PAIR_SHIFT) | ord(g[1])
 
-    def partial(t: pa.Table) -> pa.Table:
-        counts: Counter = Counter()
-        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
-            for g in _bigrams(txt):
-                counts[(lang, g)] += 1
-        langs = [k[0] for k in counts]
-        grams = [k[1] for k in counts]
-        return pa.table(
-            {
-                "lang": pa.array(langs, pa.string()),
-                "g": pa.array(grams, pa.string()),
-                "n": pa.array(list(counts.values()), pa.int64()),
-            }
-        )
 
-    model_df = typed_keyed_sum(
-        docs.map_batches(partial, batch_format="pyarrow"),
-        key_cols=["lang", "g"],
-        sum_cols=["n"],
-        partials_schema=pa.schema(
-            [("lang", pa.string()), ("g", pa.string()), ("n", pa.int64())]
-        ),
-        num_partitions=4,
-    ).to_pandas()
+def _g_str(code: int) -> str:
+    """Unpack an int64 pair code back to the 2-char bigram."""
+    return chr(code >> _PAIR_SHIFT) + chr(code & _PAIR_MASK)
 
-    vocab = int(model_df["g"].nunique())  # GLOBAL vocabulary (all langs)
+
+def _pair_code_arrays(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized bigram extraction for a list of texts: ONE utf-32
+    encode of the concatenation, pair codes formed by a shifted add over
+    the code-point array, boundary-spanning pairs masked out. Returns
+    (concatenated per-text pair codes in order, per-text pair counts)."""
+    lens = np.fromiter((len(t) for t in texts), np.int64, count=len(texts))
+    n_pairs = np.maximum(lens - 1, 0)
+    total = int(lens.sum())
+    if total < 2:
+        return np.empty(0, np.int64), n_pairs
+    codes = np.frombuffer(
+        "".join(texts).encode("utf-32-le"), dtype="<u4"
+    ).astype(np.int64)
+    pairs = (codes[:-1] << _PAIR_SHIFT) | codes[1:]
+    # a pair starting at a text's last char spans into the next text
+    bad = np.cumsum(lens)[:-1] - 1
+    mask = np.ones(len(pairs), dtype=bool)
+    mask[bad[(bad >= 0) & (bad < len(pairs))]] = False
+    return pairs[mask], n_pairs
+
+
+def _rows_by_lang(langs: list) -> dict:
+    out: dict = {}
+    for i, lang in enumerate(langs):
+        out.setdefault(lang, []).append(i)
+    return out
+
+
+_COUNTS_SCHEMA = pa.schema(
+    [("lang", pa.string()), ("g", pa.string()), ("n", pa.int64())]
+)
+
+
+def _count_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (lang, g, n) bigram counts, one np.unique per lang."""
+    texts = t["text"].to_pylist()
+    out_lang: list = []
+    out_g: list[str] = []
+    out_n: list[int] = []
+    for lang, rows in _rows_by_lang(t["lang"].to_pylist()).items():
+        pairs, _ = _pair_code_arrays([texts[i] or "" for i in rows])
+        if pairs.size == 0:
+            continue
+        uniq, cnt = np.unique(pairs, return_counts=True)
+        out_lang.extend([lang] * len(uniq))
+        out_g.extend(_g_str(int(p)) for p in uniq)
+        out_n.extend(int(c) for c in cnt)
+    return pa.table(
+        {
+            "lang": pa.array(out_lang, pa.string()),
+            "g": pa.array(out_g, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def _top_cap(df: pd.DataFrame, vocab_cap: int) -> pd.DataFrame:
+    """Per-lang top-cap rows under the frozen rank (n DESC, g ASC)."""
+    return (
+        df.sort_values(["n", "g"], ascending=[False, True], kind="mergesort")
+        .groupby("lang", sort=False)
+        .head(vocab_cap)
+    )
+
+
+def _assemble_model(
+    kept: pd.DataFrame, totals: dict, vocab: int
+) -> dict[str, dict]:
     model: dict[str, dict] = {}
-    for lang, grp in model_df.groupby("lang", sort=False):
-        total = int(grp["n"].sum())
-        den = total + vocab
+    for lang, grp in kept.groupby("lang", sort=False):
+        den = totals[lang] + vocab
         lp = {
             g: _quantize_lp(int(c) + 1, den)
             for g, c in zip(grp["g"], grp["n"])
         }
         model[lang] = {"lp": lp, "default": _quantize_lp(1, den)}
+    # a lang whose EVERY bigram fell past the cap (or that only has
+    # sub-2-char docs) still needs its default slot
+    for lang, total in totals.items():
+        model.setdefault(
+            lang, {"lp": {}, "default": _quantize_lp(1, total + vocab)}
+        )
     return model
 
 
-def _score_batch(t: pa.Table, model: dict[str, dict]) -> pa.Table:
+def train_bigram_model(
+    docs: ray.data.Dataset, vocab_cap: int = QUALITY_LM_VOCAB_CAP
+) -> dict[str, dict]:
+    """Per-language add-one char-bigram model from (lang, text) rows,
+    capped at ``vocab_cap`` entries per language (rank: count DESC,
+    bigram ASC; see module docstring). Returns
+    {lang: {"lp": {g: micro_nats}, "default": micro_nats}}; the default
+    covers bigrams unseen OR capped out in that language. Null-lang rows
+    contribute to the global vocabulary V but never become a model
+    (language-ID failures score 0, same as the SQL oracle)."""
+    from ebook_ocr_ray.groups import typed_keyed_sum
+
+    counts = typed_keyed_sum(
+        docs.map_batches(_count_partial, batch_format="pyarrow"),
+        key_cols=["lang", "g"],
+        sum_cols=["n"],
+        partials_schema=_COUNTS_SCHEMA,
+        num_partitions=4,
+    ).materialize()
+
+    if counts.count() <= MODEL_DRIVER_MAX:
+        model_df = counts.to_pandas()
+        vocab = int(model_df["g"].nunique())  # GLOBAL vocabulary, all langs
+        nn = model_df[model_df["lang"].notna()]
+        totals = {
+            lang: int(n) for lang, n in nn.groupby("lang", sort=False)["n"].sum().items()
+        }
+        return _assemble_model(_top_cap(nn, vocab_cap), totals, vocab)
+    return _train_model_distributed(counts, vocab_cap)
+
+
+def _train_model_distributed(
+    counts: ray.data.Dataset, vocab_cap: int
+) -> dict[str, dict]:
+    """Scale path of the model build: the driver never holds the full
+    count table. Each input row here is a FINAL (lang, g, n) count (the
+    keyed sum already ran), so the global per-lang top-cap set is
+    contained in the union of per-block top-cap sets — blocks prune
+    locally, then one keyed group-apply per lang picks the global cap.
+    Totals and the global distinct-bigram vocabulary reduce keyed."""
+    from ebook_ocr_ray.functions.textstats import stable_hash63
+    from ebook_ocr_ray.groups import map_groups_typed, typed_keyed_sum
+
+    # global vocabulary V: every input row is a distinct (lang, g), so
+    # distinct g = group count of a keyed groupby (bounded by charset^2)
+    vocab = int(counts.select_columns(["g"]).groupby("g").count().count())
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.is_valid(t["lang"]))
+        df = pd.DataFrame(
+            {"lang": t["lang"].to_pylist(),
+             "n": t["n"].to_numpy(zero_copy_only=False)}
+        )
+        agg = df.groupby("lang", sort=False)["n"].sum().reset_index()
+        return pa.table(
+            {"lang": pa.array(agg["lang"], pa.string()),
+             "n": pa.array(agg["n"], pa.int64())}
+        )
+
+    totals_df = typed_keyed_sum(
+        counts.map_batches(totals_partial, batch_format="pyarrow"),
+        key_cols=["lang"],
+        sum_cols=["n"],
+        partials_schema=pa.schema([("lang", pa.string()), ("n", pa.int64())]),
+        num_partitions=4,
+    ).to_pandas()
+    totals = {lang: int(n) for lang, n in zip(totals_df["lang"], totals_df["n"])}
+
+    local_schema = pa.schema(
+        [("skey", pa.int64()), ("lang", pa.string()),
+         ("g", pa.string()), ("n", pa.int64())]
+    )
+
+    def local_topcap(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.is_valid(t["lang"]))
+        kept = _top_cap(t.to_pandas(), vocab_cap)
+        return pa.table(
+            {
+                "skey": pa.array(
+                    [stable_hash63(lang) for lang in kept["lang"]], pa.int64()
+                ),
+                "lang": pa.array(kept["lang"], pa.string()),
+                "g": pa.array(kept["g"], pa.string()),
+                "n": pa.array(kept["n"], pa.int64()),
+            }
+        )
+
+    def global_topcap(df: pd.DataFrame) -> pd.DataFrame:
+        # in-group pandas groupby over the TRUE lang resolves any
+        # surrogate-hash collision between distinct langs
+        return _top_cap(df, vocab_cap)[["lang", "g", "n"]]
+
+    kept = map_groups_typed(
+        counts.map_batches(local_topcap, batch_format="pyarrow"),
+        "skey",
+        global_topcap,
+        schema=local_schema,
+        empty_fn=lambda: pd.DataFrame(
+            {"lang": pd.Series([], dtype=object),
+             "g": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64")}
+        ),
+        num_partitions=8,
+    ).to_pandas()
+    return _assemble_model(kept, totals, vocab)
+
+
+def _scoring_model(model: dict[str, dict]) -> dict:
+    """Numpy form of the broadcast model: per lang a SORTED int64
+    pair-code array + parallel lp array (searchsorted lookup)."""
+    out: dict = {}
+    for lang, m in model.items():
+        items = sorted((_g_code(g), lp) for g, lp in m["lp"].items())
+        out[lang] = {
+            "codes": np.fromiter((c for c, _ in items), np.int64, len(items)),
+            "lps": np.fromiter((v for _, v in items), np.int64, len(items)),
+            "default": m["default"],
+        }
+    return out
+
+
+def _score_batch(t: pa.Table, smodel: dict) -> pa.Table:
+    """Vectorized scoring: per (batch, lang) one pair-code extraction,
+    one searchsorted model lookup, per-doc sums via np.add.reduceat.
+    All int64 — c * lp sums stay exact."""
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     langs = t["lang"].to_pylist()
+    texts = t["text"].to_pylist()
     ces = np.zeros(len(ids), dtype=np.int64)
-    for i, (lang, txt) in enumerate(zip(langs, t["text"].to_pylist())):
-        bgs = _bigrams(txt)
-        if not bgs:
-            continue
-        m = model.get(lang)
+    for lang, rows in _rows_by_lang(langs).items():
+        m = smodel.get(lang)
         if m is None:
+            continue  # null lang / unseen lang scores 0 (oracle parity)
+        pairs, n_pairs = _pair_code_arrays([texts[i] or "" for i in rows])
+        if pairs.size == 0:
             continue
-        lp, default = m["lp"], m["default"]
-        # integer sum over occurrences: Counter collapses repeats so the
-        # inner loop runs per DISTINCT bigram; c * lp is exact int64
-        s = 0
-        for g, c in Counter(bgs).items():
-            s += c * lp.get(g, default)
-        ces[i] = s // len(bgs)
+        mcodes, mlps = m["codes"], m["lps"]
+        if mcodes.size:
+            pos = np.searchsorted(mcodes, pairs)
+            pos_c = np.minimum(pos, mcodes.size - 1)
+            hit = mcodes[pos_c] == pairs
+            lp = np.where(hit, mlps[pos_c], m["default"])
+        else:
+            lp = np.full(pairs.size, m["default"], np.int64)
+        nz = n_pairs > 0
+        offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+        offsets[1:] = np.cumsum(n_pairs[nz])[:-1]
+        sums = np.add.reduceat(lp, offsets)
+        ces[np.asarray(rows, dtype=np.int64)[nz]] = sums // n_pairs[nz]
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
@@ -199,7 +412,9 @@ def quality_thresholds(scored: ray.data.Dataset) -> dict[str, tuple[int, int]]:
 
 
 def quality_buckets_ds(
-    docs: ray.data.Dataset, spool_dir: str | None = None
+    docs: ray.data.Dataset,
+    spool_dir: str | None = None,
+    vocab_cap: int = QUALITY_LM_VOCAB_CAP,
 ) -> ray.data.Dataset:
     """(doc_id, lang, ce_micro, bucket) over (doc_id, lang, text) rows —
     see module docstring for the frozen semantics.
@@ -212,7 +427,7 @@ def quality_buckets_ds(
     extraction_pipeline spool contract; caller owns the dir lifetime)."""
     from ebook_ocr_ray.state.spool import pin_reusable
 
-    model_ref = ray.put(train_bigram_model(docs))
+    model_ref = ray.put(_scoring_model(train_bigram_model(docs, vocab_cap)))
 
     def score(t: pa.Table) -> pa.Table:
         return _score_batch(t, ray.get(model_ref))
@@ -231,22 +446,29 @@ def quality_buckets_ds(
 
     def bucket(t: pa.Table) -> pa.Table:
         th = ray.get(th_ref)
-        langs = t["lang"].to_pylist()
-        ce = t["ce_micro"].to_numpy(zero_copy_only=False)
-        buckets = []
-        for lang, c in zip(langs, ce // 1000):
-            t1, t2 = th[_NULL_LANG if lang is None else lang]
-            buckets.append("head" if c <= t1 else "middle" if c <= t2 else "tail")
-        return t.append_column("bucket", pa.array(buckets, pa.string()))
+        ce_milli = t["ce_micro"].to_numpy(zero_copy_only=False) // 1000
+        t1 = np.empty(len(ce_milli), dtype=np.int64)
+        t2 = np.empty(len(ce_milli), dtype=np.int64)
+        for lang, rows in _rows_by_lang(t["lang"].to_pylist()).items():
+            lo, hi = th[_NULL_LANG if lang is None else lang]
+            t1[rows], t2[rows] = lo, hi
+        buckets = np.where(
+            ce_milli <= t1, "head", np.where(ce_milli <= t2, "middle", "tail")
+        )
+        return t.append_column("bucket", pa.array(buckets.tolist(), pa.string()))
 
     return scored.read().map_batches(bucket, batch_format="pyarrow")
 
 
-def quality_buckets(sf_dir: str, spool_dir: str | None = None) -> ray.data.Dataset:
+def quality_buckets(
+    sf_dir: str,
+    spool_dir: str | None = None,
+    vocab_cap: int = QUALITY_LM_VOCAB_CAP,
+) -> ray.data.Dataset:
     docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
     )
-    return quality_buckets_ds(docs, spool_dir=spool_dir)
+    return quality_buckets_ds(docs, spool_dir=spool_dir, vocab_cap=vocab_cap)
 
 
 # --- Gopher-style rule filter ------------------------------------------------

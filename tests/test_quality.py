@@ -122,3 +122,92 @@ class TestNullLangRobustness:
         assert set(out["bucket"]) <= {"head", "middle", "tail"}
         # null-lang docs scored identically -> same bucket
         assert out.loc[3, "bucket"] == out.loc[4, "bucket"]
+
+
+def _wide_charset_table(n_docs: int = 40, n_chars: int = 3000) -> pa.Table:
+    """Deterministic CJK-range corpus: ~n_chars distinct code points, so
+    distinct bigrams dwarf any small cap — the case the vocabulary cap
+    exists for."""
+    ids, langs, texts = [], [], []
+    for i in range(n_docs):
+        ids.append(i)
+        langs.append("zh" if i % 2 == 0 else "ja")
+        texts.append(
+            "".join(chr(0x4E00 + (i * 31 + j * 7) % n_chars) for j in range(80))
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+class TestVocabCap:
+    def test_capped_model_matches_sql_oracle_with_cap_active(self, ray_session):
+        """Far-side test for QUALITY_LM_VOCAB_CAP: a wide-charset corpus
+        with the cap forced far below the distinct-bigram count must
+        still match the SQL oracle row for row — proving the engine's
+        (count DESC, bigram ASC) truncation and default-lp fallback are
+        byte-equal to the QUALIFY/coalesce mirror."""
+        import duckdb
+        import ray.data as rd
+
+        import __ray_entry__ as e
+        from ebook_ocr_ray.pipelines.quality import quality_buckets_ds
+
+        t = _wide_charset_table()
+        got = (
+            quality_buckets_ds(rd.from_arrow(t), vocab_cap=50)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = con.execute(e._quality_buckets_sql(vocab_cap=50)).df()
+        con.close()
+        assert got["ce_micro"].tolist() == want["ce_micro"].tolist()
+        assert got["bucket"].tolist() == want["bucket"].tolist()
+        # the cap is genuinely active: at least one doc contains a
+        # bigram past the cap (scored by the default slot)
+        from ebook_ocr_ray.pipelines.quality import train_bigram_model
+
+        model = train_bigram_model(rd.from_arrow(t), vocab_cap=50)
+        assert all(len(m["lp"]) == 50 for m in model.values())
+
+    def test_cap_changes_nothing_when_vocab_is_small(self, ray_session):
+        """On a small-charset corpus the cap is inert: capped == uncapped."""
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines.quality import quality_buckets_ds
+
+        rows = [(i, "en", "the cat sat on mat %d" % (i % 3)) for i in range(12)]
+        a = (
+            quality_buckets_ds(_docs_ds(rows))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            quality_buckets_ds(_docs_ds(rows), vocab_cap=10**9)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_distributed_model_build_equals_driver_path(
+        self, ray_session, monkeypatch
+    ):
+        """Far-side test for MODEL_DRIVER_MAX: forcing the flip to 0
+        routes the top-cap selection / totals / vocab through the keyed
+        distributed stages, which must produce the identical model."""
+        import ray.data as rd
+
+        from ebook_ocr_ray.pipelines import quality
+
+        t = _wide_charset_table(n_docs=16, n_chars=400)
+        driver_model = quality.train_bigram_model(
+            rd.from_arrow(t), vocab_cap=30
+        )
+        monkeypatch.setattr(quality, "MODEL_DRIVER_MAX", 0)
+        dist_model = quality.train_bigram_model(rd.from_arrow(t), vocab_cap=30)
+        assert driver_model == dist_model
