@@ -40,16 +40,29 @@ class BloomFilter:
         h2 = int(hex_digest[15:30], 16) | 1
         return [(h1 + i * h2) % self.n_bits for i in range(self.n_hashes)]
 
+    def _position_matrix(self, digests: list[str]) -> np.ndarray:
+        """(len(digests), n_hashes) int64 bit positions, vectorized.
+        Residues match ``_positions`` exactly: (h1 + i*h2) mod m ==
+        ((h1 mod m) + i*(h2 mod m)) mod m, and reducing mod m FIRST keeps
+        every intermediate < (n_hashes+1) * n_bits — int64-safe for any
+        realistic filter size."""
+        m = self.n_bits
+        h1 = np.fromiter((int(d[:15], 16) % m for d in digests), np.int64, len(digests))
+        h2 = np.fromiter(((int(d[15:30], 16) | 1) % m for d in digests), np.int64, len(digests))
+        i = np.arange(self.n_hashes, dtype=np.int64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % m
+
     def add_hex(self, digests: list[str]) -> None:
-        for d in digests:
-            for p in self._positions(d):
-                self.bits[p >> 3] |= np.uint8(1 << (p & 7))
+        if not digests:
+            return
+        pos = self._position_matrix(digests).ravel()
+        np.bitwise_or.at(
+            self.bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+        )
 
     def might_contain_hex(self, digests: list[str]) -> np.ndarray:
-        out = np.empty(len(digests), dtype=bool)
-        bits = self.bits
-        for i, d in enumerate(digests):
-            out[i] = all(
-                bits[p >> 3] & (1 << (p & 7)) for p in self._positions(d)
-            )
-        return out
+        if not digests:
+            return np.empty(0, dtype=bool)
+        pos = self._position_matrix(digests)
+        hit = self.bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))
+        return (hit != 0).all(axis=1)

@@ -19,6 +19,7 @@ everything after streams slim rows.
 
 from __future__ import annotations
 
+import logging
 import re
 
 import numpy as np
@@ -33,6 +34,8 @@ from ray.data.aggregate import Sum
 from ebook_ocr_ray.config import DEFAULT_NUM_PARTITIONS, ExtractionConfig
 from ebook_ocr_ray.sources.pages import pages_from_documents_batch
 from ebook_ocr_ray.stages.extract import DocumentExtractor, prepare_batch
+
+logger = logging.getLogger(__name__)
 
 # Task granularity: None = one task per block. Measured fastest here —
 # block counts are already sized to ~4 per core by the upstream
@@ -217,9 +220,10 @@ def dedup_survivor_state(slim: ray.data.Dataset) -> tuple[object, object]:
     )
 
 
-def survivor_state_from_partials(partials: ray.data.Dataset) -> tuple[object, object]:
+def _dup_groups_ds(partials: ray.data.Dataset) -> ray.data.Dataset:
     """Reduce side of pass A: keyed aggregate over ``_sha_partial`` rows,
-    then broadcast of the duplicate groups only."""
+    filtered to actual duplicate groups (n > 1). Rows: (content_sha,
+    min_key, n_at_min)."""
     agg = partials.groupby("content_sha").aggregate(
         Sum("n", alias_name="n"), _make_survivor_agg()
     )
@@ -240,13 +244,49 @@ def survivor_state_from_partials(partials: ray.data.Dataset) -> tuple[object, ob
             }
         )
 
-    dup_groups = agg.map_batches(dup_groups_only, batch_format="pyarrow").to_pandas()
+    return agg.map_batches(dup_groups_only, batch_format="pyarrow")
+
+
+def _broadcast_dup_groups(dup_groups: pd.DataFrame) -> tuple[object, object]:
     if "content_sha" in dup_groups.columns:              # empty frames lose columns
         survivors = dict(zip(dup_groups["content_sha"], dup_groups["min_key"]))
         tie_shas = set(dup_groups.loc[dup_groups["n_at_min"].gt(1), "content_sha"])
     else:
         survivors, tie_shas = {}, set()
     return ray.put(survivors), ray.put(tie_shas)
+
+
+def survivor_state_from_partials(partials: ray.data.Dataset) -> tuple[object, object]:
+    """Broadcast form of pass A's result: collect the duplicate groups
+    and ``ray.put`` them. Callers that may face mirror-heavy corpora
+    should go through ``dedup_exact``, which counts the groups first and
+    flips to the Bloom strategy past ``SURVIVORS_BROADCAST_MAX``."""
+    return _broadcast_dup_groups(_dup_groups_ds(partials).to_pandas())
+
+
+# Per-worker-process cache of the survivor broadcast state, keyed on the
+# ObjectRef: ray.get of the dict is already plasma-cached per node, but
+# the pa.array value-set built from it was O(|dup-group map|) PER BATCH
+# — millions of entries x thousands of batches on a mirror-heavy crawl.
+# Bounded at a handful of entries (a worker only ever sees one or two
+# dedup states at a time).
+_SURVIVOR_CACHE: dict = {}
+
+
+def _cached_survivor_state(survivors_ref: object, ties_ref: object):
+    key = survivors_ref.hex()
+    hit = _SURVIVOR_CACHE.get(key)
+    if hit is None:
+        survivors = ray.get(survivors_ref)
+        hit = (
+            survivors,
+            ray.get(ties_ref),
+            pa.array(list(survivors), pa.string()),
+        )
+        if len(_SURVIVOR_CACHE) >= 4:
+            _SURVIVOR_CACHE.clear()
+        _SURVIVOR_CACHE[key] = hit
+    return hit
 
 
 def dedup_apply(
@@ -259,14 +299,15 @@ def dedup_apply(
     share a url, hence a part_id, hence a wave."""
 
     def keep_survivors(batch: pa.Table) -> pa.Table:
-        survivors = ray.get(survivors_ref)
+        survivors, ties, value_set = _cached_survivor_state(
+            survivors_ref, ties_ref
+        )
         if not survivors:
             return batch
-        ties = ray.get(ties_ref)
         # vectorized: only rows whose sha is in a duplicate group need the
         # survivor-key comparison; everything else streams through untouched
         in_dup = pa.compute.is_in(
-            batch["content_sha"], value_set=pa.array(list(survivors), pa.string())
+            batch["content_sha"], value_set=value_set
         ).to_numpy(zero_copy_only=False)
         if not in_dup.any():
             return batch
@@ -305,20 +346,35 @@ def dedup_apply(
     return out
 
 
+# Auto-flip bound for the exact-dedup survivor broadcast: above this many
+# duplicate GROUPS the {sha -> survivor key} dict stops being a sane
+# broadcast (5M groups x ~110 bytes ~ 0.5 GB per worker heap) and
+# ``dedup_exact`` switches to the fixed-size Bloom strategy. Far-side
+# equality test forces the bound to 0 (test_pipeline_e2e).
+SURVIVORS_BROADCAST_MAX = 5_000_000
+
+
 def dedup_exact(
     prepared: ray.data.Dataset,
     slim: ray.data.Dataset | None = None,
+    broadcast_max: int = SURVIVORS_BROADCAST_MAX,
 ) -> ray.data.Dataset:
     """Keep one row per payload hash — the earliest crawl (warc_ts, url as
     the deterministic tiebreak). Exact-hash analog of the reference's
     sequential frame dedup (src/preprocessing/deduplicate.py:9-66).
 
     Scale design: duplicate rows are NEVER shuffled, and no per-unique-
-    hash state touches the driver. Pass A (``dedup_survivor_state``) runs
-    the keyed survivor aggregate over a slim projection; pass B
-    (``dedup_apply``) filters each payload row locally against the
+    hash state touches the driver. Pass A runs the keyed survivor
+    aggregate over a slim projection and materializes ONLY the duplicate
+    groups (a small fraction of any real corpus, distributed in the
+    object store); pass B filters each payload row locally against the
     broadcast duplicate-group map, with byte-identical tie groups routed
-    through a tiny keyed first-wins pass.
+    through a tiny keyed first-wins pass. Past ``broadcast_max``
+    duplicate groups the broadcast dict would itself be corpus-sized
+    (mirror-heavy crawls), so the apply flips to the Bloom strategy
+    (``dedup_exact_bloom``'s split + keyed first-wins, reusing pass A's
+    materialized groups for the filter build) — same survivors, only the
+    worker-memory / shuffle-volume trade moves.
 
     ``slim`` optionally supplies a second instance of the prepared dataset
     for the counting pass (each Dataset executes once; re-reading slim
@@ -326,10 +382,25 @@ def dedup_exact(
     warc_ts, url) are read from it.
     """
     src = slim if slim is not None else prepared
-    survivors_ref, ties_ref = dedup_survivor_state(
-        src.select_columns(["content_sha", "warc_ts", "url"])
+    partials = src.select_columns(["content_sha", "warc_ts", "url"]).map_batches(
+        _sha_partial, batch_format="pyarrow"
     )
-    return dedup_apply(prepared, survivors_ref, ties_ref)
+    dup_groups = _dup_groups_ds(partials).materialize()
+    n_groups = dup_groups.count()
+    if n_groups <= broadcast_max:
+        return dedup_apply(
+            prepared, *_broadcast_dup_groups(dup_groups.to_pandas())
+        )
+    logger.info(
+        "dedup_exact: %d duplicate groups > SURVIVORS_BROADCAST_MAX=%d, "
+        "flipping to the Bloom strategy",
+        n_groups,
+        broadcast_max,
+    )
+    bloom_ref = ray.put(
+        _bloom_from_shas(dup_groups.select_columns(["content_sha"]), n_groups)
+    )
+    return _bloom_split_apply(prepared, bloom_ref)
 
 
 def dedup_exact_bloom(
@@ -353,8 +424,6 @@ def dedup_exact_bloom(
     row. Semantics are identical to ``dedup_exact``; only the worker
     memory / shuffle-volume trade moves.
     """
-    from ebook_ocr_ray.functions.bloom import BloomFilter
-
     src = slim if slim is not None else prepared
 
     def sha_counts(batch: pa.Table) -> pa.Table:
@@ -373,10 +442,63 @@ def dedup_exact_bloom(
         )
         .materialize()
     )
-    bloom = BloomFilter.sized(max(1, dup_shas.count()), fp_rate)
-    for batch in dup_shas.iter_batches(batch_format="pyarrow"):
-        bloom.add_hex(batch["content_sha"].to_pylist())
-    bloom_ref = ray.put(bloom)
+    bloom_ref = ray.put(
+        _bloom_from_shas(dup_shas, dup_shas.count(), fp_rate=fp_rate)
+    )
+    return _bloom_split_apply(prepared, bloom_ref)
+
+
+def _bloom_from_shas(
+    shas: ray.data.Dataset, n_items: int, fp_rate: float = 0.01
+):
+    """Distributed Bloom build: per-block partial bitsets OR-reduced in a
+    task tree. Raw Ray tasks on purpose — the Dataset API has no ndarray
+    fold, and the single-threaded driver loop this replaces was the last
+    serial step of the bloom path. Peak memory anywhere = one bitset x
+    fan-in; blocks are consumed from the already-materialized dup-sha
+    dataset without re-executing it."""
+    from ebook_ocr_ray.functions.bloom import BloomFilter
+
+    proto = BloomFilter.sized(max(1, n_items), fp_rate)
+    n_bits, n_hashes = proto.n_bits, proto.n_hashes
+
+    @ray.remote
+    def build_partial(*blocks) -> np.ndarray:
+        b = BloomFilter(n_bits, n_hashes)
+        for t in blocks:
+            tt = t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+            b.add_hex(tt["content_sha"].to_pylist())
+        return b.bits
+
+    @ray.remote
+    def or_reduce(*bitsets: np.ndarray) -> np.ndarray:
+        out = bitsets[0].copy()
+        for b in bitsets[1:]:
+            out |= b
+        return out
+
+    refs = shas.to_arrow_refs()
+    fan = 8
+    if not refs:
+        return proto
+    parts = [
+        build_partial.remote(*refs[i : i + fan]) for i in range(0, len(refs), fan)
+    ]
+    while len(parts) > 1:
+        parts = [
+            or_reduce.remote(*parts[i : i + fan]) for i in range(0, len(parts), fan)
+        ]
+    bloom = BloomFilter(n_bits, n_hashes)
+    bloom.bits = ray.get(parts[0])
+    return bloom
+
+
+def _bloom_split_apply(
+    prepared: ray.data.Dataset, bloom_ref: object
+) -> ray.data.Dataset:
+    """Apply side of the Bloom strategy: misses stream through untouched;
+    hits (every duplicate + ~fp_rate of uniques) go through ONE keyed
+    first-wins groupby that restores exactness."""
 
     def split(keep_candidates: bool):
         def fn(batch: pa.Table) -> pa.Table:

@@ -345,6 +345,36 @@ class TestBloomDedup:
         fp = bf.might_contain_hex(others).mean()
         assert fp < 0.05                                  # fp rate in the ballpark
 
+    def test_vectorized_positions_match_scalar(self):
+        """The numpy position matrix must reproduce the scalar double-
+        hashing positions bit for bit (the filter is persisted-state-free
+        but processes must agree across versions)."""
+        import hashlib
+
+        from ebook_ocr_ray.functions.bloom import BloomFilter
+
+        bf = BloomFilter.sized(1000, fp_rate=0.001)
+        items = [hashlib.md5(str(i).encode()).hexdigest() for i in range(64)]
+        mat = bf._position_matrix(items)
+        for row, d in zip(mat, items):
+            assert row.tolist() == bf._positions(d)
+
+    def test_auto_flip_equals_broadcast(self, ray_session):
+        """Far-side test for SURVIVORS_BROADCAST_MAX: forcing the bound
+        to 0 routes dedup_exact through the distributed-Bloom strategy,
+        which must pick the identical survivor set (byte-identical ties
+        included)."""
+        from ebook_ocr_ray.pipelines.extraction import (
+            dedup_exact,
+            pages_dataset,
+            prepare_pages,
+        )
+
+        prepared = prepare_pages(pages_dataset(SF, with_duplicates=True)).materialize()
+        a = dedup_exact(prepared, slim=prepared).to_pandas()
+        b = dedup_exact(prepared, slim=prepared, broadcast_max=0).to_pandas()
+        assert sorted(zip(a.url, a.warc_ts)) == sorted(zip(b.url, b.warc_ts))
+
 
 class TestSpoolMode:
     def test_spool_matches_reread(self, extracted, tmp_path):
