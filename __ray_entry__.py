@@ -596,14 +596,29 @@ def _dedup_spans_sql(k: int = 8, min_count: int = 2) -> str:
     """
 
 
+# Queries whose latest driver-recorded green is oldest enumerate FIRST:
+# the driver samples a prefix-biased subset of queries(), and insertion
+# order is the only lever to refresh stale records (VERDICT r04 "Next
+# round" item 3). Order: never-recorded, then last-green r1, r2, r3.
+_STALE_RECORD_FIRST = [
+    "minhash_clusters_cascade_fuzzy",                      # never recorded
+    "heading_rules", "site_boilerplate",                   # last green r1
+    "heading_pattern_stats", "corpus_metrics",
+    "extract_metrics", "structural_xml",                   # last green r2
+    "structural_xml_embedded", "structural_stats",
+    "media_image_features", "media_frame_counts",
+    "vlm_captions", "preview_trim_grid",
+    "dedup_incremental", "text_profile", "quality_buckets",  # last green r3
+    "knn_brute", "knn_ivf", "embedding_dup_pairs",
+    "dedup_semantic", "minhash_clusters",
+    "minhash_clusters_cascade", "simhash_pairs",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ebook_ocr_ray.pipelines import analytics, decontam, neardup, neighbors, quality
 
-    return {
-        # Never-yet-driver-recorded queries enumerate FIRST: the driver
-        # samples a prefix-biased subset of this dict, and insertion order
-        # is the only lever to guarantee these five get a recorded green
-        # (VERDICT r03 "Next round" item 2).
+    base = {
         "jaccard_dup_pairs": lambda sf: _sorted_frame(
             neardup.jaccard_dup_pairs(sf), ["id_a", "id_b"]
         ),
@@ -738,6 +753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global pipeline metrics (one-row aggregate)
         "corpus_metrics": _corpus_metrics,
     }
+    front = {k: base[k] for k in _STALE_RECORD_FIRST}
+    return front | {k: v for k, v in base.items() if k not in front}
 
 
 # Shared CTE fragments for the sketch oracles: exact re-expression of
