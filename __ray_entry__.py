@@ -601,6 +601,7 @@ def _dedup_spans_sql(k: int = 8, min_count: int = 2) -> str:
 # order is the only lever to refresh stale records (VERDICT r04 "Next
 # round" item 3). Order: never-recorded, then last-green r1, r2, r3.
 _STALE_RECORD_FIRST = [
+    "training_data_job",                                   # new this round
     "minhash_clusters_cascade_fuzzy",                      # never recorded
     "heading_rules", "site_boilerplate",                   # last green r1
     "heading_pattern_stats", "corpus_metrics",
@@ -615,10 +616,31 @@ _STALE_RECORD_FIRST = [
 ]
 
 
+def _training_job(sf_dir: str):
+    """The composed extract->filter->dedup-cascade->decontaminate->pack
+    job (pipelines/trainjob.py); the collected result is the packing
+    plan, which transitively pins every upstream stage. Scratch waves
+    live in a fresh tmp dir, deleted after collection."""
+    import shutil
+    import tempfile
+
+    from ebook_ocr_ray.pipelines.trainjob import training_data_job
+
+    scratch = tempfile.mkdtemp(prefix="trainjob_q_")
+    try:
+        return _sorted_frame(
+            training_data_job(sf_dir, scratch)["pack"],
+            ["bucket", "seq_idx", "doc_id", "chunk_idx"],
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ebook_ocr_ray.pipelines import analytics, decontam, neardup, neighbors, quality
 
     base = {
+        "training_data_job": _training_job,
         "jaccard_dup_pairs": lambda sf: _sorted_frame(
             neardup.jaccard_dup_pairs(sf), ["id_a", "id_b"]
         ),
@@ -769,23 +791,26 @@ _MULT_CTE = """mult(i, m) AS (VALUES (0, 1::HUGEINT), (1, 256::HUGEINT),
 # word_shingles semantics (textstats.py:97-106): split on single spaces
 # (empties kept), len(words) < k collapses to ONE whole-text shingle,
 # empty/whitespace-only docs produce no shingles at all (sketch sentinels).
-def _shingle_ctes(k: int) -> str:
+def _shingle_ctes(k: int, src: str = "documents", prefix: str = "") -> str:
+    """``src``/``prefix`` let one query host several shingle chains (the
+    composed training-job oracle shingles two different corpora at two
+    different k) without CTE-name collisions."""
     joined = " || ' ' || ".join(f"w[i+{d}]" if d else "w[i]" for d in range(k))
     # trim's second argument lists every char Python str.strip() removes
     # for ASCII input (bare trim() strips ONLY spaces, which would keep a
     # '\\n'-only doc alive in the oracle while the pipeline sentinels it)
-    return f"""docs AS (
+    return f"""{prefix}docs AS (
   SELECT doc_id, string_split(text, ' ') AS w
-  FROM documents
+  FROM {src}
   WHERE text IS NOT NULL
     AND trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> ''
 ),
-shingled AS (
+{prefix}shingled AS (
   SELECT doc_id,
     CASE WHEN len(w) < {k} THEN [array_to_string(w, ' ')]
          ELSE list_transform(range(1, len(w) - {k - 2}), i -> {joined})
     END AS shingles
-  FROM docs
+  FROM {prefix}docs
 )"""
 
 
@@ -1218,8 +1243,184 @@ def _quality_buckets_sql(vocab_cap: int | None = None) -> str:
     """
 
 
+def _training_job_sql() -> str:
+    """Full-value oracle for trainjob.training_data_job — the composed
+    extract -> Gopher -> fuzzy-dedup -> MinHash cascade -> decontaminate
+    -> chunk+pack pipeline, replayed as one CTE chain of the per-stage
+    oracles. The output (the packing plan) transitively pins every
+    upstream stage: any drift in extraction bytes, rule thresholds,
+    dedup keys, cluster labels, or bench membership changes doc
+    membership and hence pack order. Stage mirrors:
+
+    - doc_id = stable_hash63(url): md5 first-8-bytes little-endian via
+      the _MULT_CTE byte fold, mod 2^63 (textstats.stable_hash63);
+    - Gopher: _gopher_quality_sql's integer thresholds inlined;
+    - fuzzy survivors: dedup_fuzzy_exact's normalization, MIN(doc_id);
+    - MinHash: _minhash_clusters_sql verbatim over the survivors
+      (same no-bucket-overflow precondition), training keeps docs whose
+      component label is their own id;
+    - decontamination: _decontaminate_sql's shingle semantics, bench =
+      the Gopher-kept corpus's doc_id % BENCH_MOD slice, survivors must
+      be outside the slice with zero shared n-grams;
+    - chunk+pack: the pack_sequences recursive greedy fold."""
+    from ebook_ocr_ray.functions.sketches import _A, _B
+    from ebook_ocr_ray.pipelines.analytics import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        PACK_BUCKETS,
+        PACK_BUDGET_TOKENS,
+    )
+    from ebook_ocr_ray.pipelines.decontam import BENCH_MOD, DECONTAM_NGRAM
+
+    perms = ", ".join(
+        f"({p}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+        for p, (a, b) in enumerate(zip(_A, _B))
+    )
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    return f"""
+        WITH RECURSIVE {_MULT_CTE},
+        perms(p, a, b) AS (VALUES {perms}),
+        u AS (SELECT {_URL_SQL} AS url, {_TEXT_SQL} AS text FROM documents),
+        corpus AS (
+          SELECT (SELECT SUM(
+               ((strpos('0123456789abcdef', substr(md5(u.url), 2*i+1, 1))-1) * 16
+              + (strpos('0123456789abcdef', substr(md5(u.url), 2*i+2, 1))-1))::HUGEINT * m
+            ) % 9223372036854775808 FROM mult)::BIGINT AS doc_id,
+            u.text
+          FROM u),
+        gw AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS w
+               FROM corpus),
+        gwc AS (SELECT doc_id, w, COUNT(*) AS c FROM gw GROUP BY 1, 2),
+        gper AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_words,
+                 CAST(SUM(c * length(w)) AS BIGINT) AS sum_wlen,
+                 CAST(COALESCE(SUM(CASE WHEN w IN ({_STOPLIST_SQL})
+                                        THEN c END), 0) AS BIGINT) AS n_stop,
+                 CAST(MAX(c) AS BIGINT) AS top_n
+          FROM gwc GROUP BY doc_id),
+        kept AS (
+          SELECT c.doc_id, c.text FROM corpus c JOIN gper g USING (doc_id)
+          WHERE g.n_words >= 40 AND 3 * g.n_words <= g.sum_wlen
+            AND g.sum_wlen <= 10 * g.n_words AND g.n_stop >= 2
+            AND 5 * g.top_n <= g.n_words),
+        normed AS (
+          SELECT doc_id, text,
+                 trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+          FROM kept),
+        freps AS (SELECT nt, MIN(doc_id) AS rep FROM normed GROUP BY nt),
+        surv AS (SELECT n.doc_id, n.text FROM normed n
+                 JOIN freps r ON r.nt = n.nt AND r.rep = n.doc_id),
+        {_shingle_ctes(3, src="surv", prefix="m")},
+        sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM mshingled),
+        mhash AS (
+          SELECT doc_id, (
+            SELECT SUM(
+               ((strpos('0123456789abcdef', substr(md5(sh.s), 2*i+1, 1))-1) * 16
+              + (strpos('0123456789abcdef', substr(md5(sh.s), 2*i+2, 1))-1))::HUGEINT * m
+            ) % 2147483647 FROM mult
+          ) AS x FROM sh
+        ),
+        sigs AS (
+          SELECT doc_id, p, MIN((a * x + b) % 2147483647) AS sig
+          FROM mhash CROSS JOIN perms
+          GROUP BY doc_id, p
+        ),
+        bandsigs AS (
+          SELECT doc_id, p // 4 AS band,
+            MAX(CASE WHEN p % 4 = 0 THEN sig END) AS s0,
+            MAX(CASE WHEN p % 4 = 1 THEN sig END) AS s1,
+            MAX(CASE WHEN p % 4 = 2 THEN sig END) AS s2,
+            MAX(CASE WHEN p % 4 = 3 THEN sig END) AS s3
+          FROM sigs GROUP BY doc_id, p // 4
+        ),
+        bands AS (
+          SELECT doc_id, band,
+            ((((((s0 * 1000003 + s1) % 9223372036854775808) * 1000003 + s2)
+               % 9223372036854775808) * 1000003 + s3)
+               % 9223372036854775808)::BIGINT AS key
+          FROM bandsigs
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.key = b.key
+                      AND a.doc_id < b.doc_id
+        ),
+        shc AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS i
+          FROM cands c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b AND sa.s = sb.s
+          GROUP BY c.id_a, c.id_b
+        ),
+        edges AS (
+          SELECT c.id_a AS a, c.id_b AS b
+          FROM cands c
+          JOIN shc na ON na.doc_id = c.id_a
+          JOIN shc nb ON nb.doc_id = c.id_b
+          LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+          WHERE COALESCE(i.i, 0)::DOUBLE
+                  / (na.n + nb.n - COALESCE(i.i, 0)) >= 0.7
+        ),
+        sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+        reach AS (
+          SELECT a AS node, b AS r FROM sym
+          UNION
+          SELECT r.node, e.b AS r FROM reach r JOIN sym e ON r.r = e.a
+        ),
+        labels AS (SELECT node, LEAST(MIN(r), node) AS label
+                   FROM reach GROUP BY node),
+        final AS (
+          SELECT s.doc_id, s.text FROM surv s
+          LEFT JOIN labels l ON l.node = s.doc_id
+          WHERE COALESCE(l.label, s.doc_id) = s.doc_id),
+        {_shingle_ctes(DECONTAM_NGRAM, src="kept", prefix="d")},
+        dsh AS (SELECT doc_id, unnest(shingles) AS s FROM dshingled),
+        bench AS (SELECT DISTINCT s FROM dsh WHERE doc_id % {BENCH_MOD} = 0),
+        hits AS (
+          SELECT dsh.doc_id, COUNT(*) AS nh
+          FROM dsh JOIN bench USING (s) GROUP BY 1),
+        train AS (
+          SELECT f.doc_id, f.text FROM final f
+          LEFT JOIN hits h ON h.doc_id = f.doc_id
+          WHERE f.doc_id % {BENCH_MOD} <> 0 AND COALESCE(h.nh, 0) = 0),
+        w AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM train),
+        ch AS (
+          SELECT doc_id, i.i AS chunk_idx,
+                 least({CHUNK_TOKENS}, n - i.i * {stride}) AS n_tokens
+          FROM w, LATERAL (
+            SELECT unnest(range(0, greatest(1,
+              (n - {CHUNK_OVERLAP} + {stride - 1}) // {stride}))) AS i) i),
+        rows_r AS (
+          SELECT doc_id % {PACK_BUCKETS} AS bucket, doc_id, chunk_idx, n_tokens,
+                 row_number() OVER (PARTITION BY doc_id % {PACK_BUCKETS}
+                                    ORDER BY doc_id, chunk_idx) AS rn
+          FROM ch),
+        packed AS (
+          SELECT bucket, rn, doc_id, chunk_idx, n_tokens,
+                 CAST(0 AS BIGINT) AS seq_idx, n_tokens AS filled
+          FROM rows_r WHERE rn = 1
+          UNION ALL
+          SELECT r.bucket, r.rn, r.doc_id, r.chunk_idx, r.n_tokens,
+                 CASE WHEN p.filled > 0
+                       AND p.filled + r.n_tokens > {PACK_BUDGET_TOKENS}
+                      THEN p.seq_idx + 1 ELSE p.seq_idx END,
+                 CASE WHEN p.filled > 0
+                       AND p.filled + r.n_tokens > {PACK_BUDGET_TOKENS}
+                      THEN r.n_tokens ELSE p.filled + r.n_tokens END
+          FROM packed p
+          JOIN rows_r r ON r.bucket = p.bucket AND r.rn = p.rn + 1)
+        SELECT bucket, seq_idx, doc_id, chunk_idx, n_tokens
+        FROM packed ORDER BY bucket, seq_idx, doc_id, chunk_idx
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "training_data_job": _training_job_sql(),
         "dedup_url": _dedup_url_sql(),
         "gopher_quality": _gopher_quality_sql(),
         # crawl set replayed from the duplicates+versions fixture rules

@@ -156,6 +156,35 @@ def cmd_gopher(args) -> int:
     return 0
 
 
+def cmd_trainjob(args) -> int:
+    """The composed training-data job (pipelines/trainjob.py): extract ->
+    Gopher filter -> fuzzy+MinHash dedup cascade -> decontaminate ->
+    chunk + pack, one streamed chain of spool waves. Writes the final
+    corpus, the chunk table and the packing plan as parquet under
+    --out; --scratch holds the spool waves (fresh tmp dir if omitted)."""
+    import shutil
+    import tempfile
+
+    ray = _ray_session(args.num_cpus)
+    from ebook_ocr_ray.pipelines.trainjob import training_data_job
+
+    own_scratch = args.scratch is None
+    scratch = args.scratch or tempfile.mkdtemp(prefix="trainjob_")
+    try:
+        out = training_data_job(args.sf_dir, scratch)
+        counts = {}
+        for name in ("docs", "chunks", "pack"):
+            path = os.path.join(args.out, name)
+            out[name].write_parquet(path)
+            counts[name] = out[name].count()
+        print(json.dumps({"out": args.out, "scratch": scratch, **counts}))
+    finally:
+        if own_scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
+    ray.shutdown()
+    return 0
+
+
 def cmd_crawl_delta(args) -> int:
     """CDX-style diff of the two synthetic crawl snapshots -> parquet."""
     ray = _ray_session(args.num_cpus)
@@ -310,6 +339,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_gopher)
+
+    p = sub.add_parser(
+        "trainjob",
+        help="composed training-data job: extract -> filter -> dedup "
+        "cascade -> decontaminate -> chunk+pack -> parquet",
+    )
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--scratch", default=None, help="spool-wave dir (kept)")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_trainjob)
 
     p = sub.add_parser("crawl-history", help="per-url crawl index -> parquet")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")

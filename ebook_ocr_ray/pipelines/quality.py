@@ -486,6 +486,66 @@ GOPHER_MIN_STOPWORDS = 2
 GOPHER_TOP_WORD_DEN = 5       # top word must be <= 1/5 of all tokens
 
 
+def _gopher_stats(keys: np.ndarray, texts: pd.Series) -> pd.DataFrame:
+    """Per-key Gopher-rule metrics + keep verdict over (key, text) rows,
+    fully vectorized (one pandas explode, C-level split/groupby). ``keys``
+    may be doc ids or batch positions — each distinct key is one doc.
+    Returns columns (k, n_words, sum_wlen, n_stop, top_n, keep)."""
+    from ebook_ocr_ray.functions.textstats import STOPWORDS
+
+    stop = sorted(STOPWORDS)
+    df = pd.DataFrame({"k": keys, "text": texts.fillna("")})
+    words = df.set_index("k")["text"].str.split(" ").explode()
+    wc = (
+        words.groupby([words.index, words.rename("w")], sort=False)
+        .size()
+        .rename("c")
+        .reset_index()
+    )
+    wc["wlen"] = wc["w"].str.len() * wc["c"]
+    wc["is_stop"] = wc["w"].isin(stop)
+    per = (
+        wc.groupby("k", sort=False)
+        .agg(
+            n_words=("c", "sum"),
+            sum_wlen=("wlen", "sum"),
+            top_n=("c", "max"),
+        )
+        .reset_index()
+    )
+    stops = (
+        wc.loc[wc["is_stop"]]
+        .groupby("k", sort=False)["c"]
+        .sum()
+        .rename("n_stop")
+    )
+    per = per.merge(stops, on="k", how="left")
+    per["n_stop"] = per["n_stop"].fillna(0).astype("int64")
+    for c in ("n_words", "sum_wlen", "top_n"):
+        per[c] = per[c].astype("int64")
+    keep = (
+        (per.n_words >= GOPHER_MIN_WORDS)
+        & (GOPHER_MEAN_WLEN_MIN * per.n_words <= per.sum_wlen)
+        & (per.sum_wlen <= GOPHER_MEAN_WLEN_MAX * per.n_words)
+        & (per.n_stop >= GOPHER_MIN_STOPWORDS)
+        & (GOPHER_TOP_WORD_DEN * per.top_n <= per.n_words)
+    )
+    per["keep"] = keep.astype("int64")
+    return per
+
+
+def gopher_keep_mask(texts: list) -> np.ndarray:
+    """Positional boolean keep mask for a batch of texts — the map-side
+    filter form of the Gopher rules (training_data_job consumes this so
+    filtering never needs a join back on doc ids)."""
+    if not texts:
+        return np.empty(0, dtype=bool)
+    per = _gopher_stats(
+        np.arange(len(texts), dtype=np.int64), pd.Series(texts, dtype=object)
+    ).sort_values("k")
+    return per["keep"].to_numpy(dtype=np.int64).astype(bool)
+
+
 def gopher_rule_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Per-doc Gopher-rule metrics + the keep verdict, fully vectorized:
     one pandas explode per batch (C-level split/explode/groupby), no
@@ -493,10 +553,6 @@ def gopher_rule_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     shuffle at any corpus size. Output: (doc_id, n_words, sum_wlen,
     n_stop, top_n, keep) with keep as int64 0/1 so the value hash is
     dtype-stable against the SQL oracle."""
-    from ebook_ocr_ray.functions.textstats import STOPWORDS
-
-    stop = sorted(STOPWORDS)
-
     out_schema = pa.schema(
         [(c, pa.int64())
          for c in ("doc_id", "n_words", "sum_wlen", "n_stop", "top_n", "keep")]
@@ -505,46 +561,9 @@ def gopher_rule_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     def rules(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return out_schema.empty_table()
-        df = pd.DataFrame(
-            {"doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
-             "text": t["text"].to_pandas().fillna("")}
-        )
-        words = df.set_index("doc_id")["text"].str.split(" ").explode()
-        wc = (
-            words.groupby([words.index, words.rename("w")], sort=False)
-            .size()
-            .rename("c")
-            .reset_index()
-        )
-        wc["wlen"] = wc["w"].str.len() * wc["c"]
-        wc["is_stop"] = wc["w"].isin(stop)
-        per = (
-            wc.groupby("doc_id", sort=False)
-            .agg(
-                n_words=("c", "sum"),
-                sum_wlen=("wlen", "sum"),
-                top_n=("c", "max"),
-            )
-            .reset_index()
-        )
-        stops = (
-            wc.loc[wc["is_stop"]]
-            .groupby("doc_id", sort=False)["c"]
-            .sum()
-            .rename("n_stop")
-        )
-        per = per.merge(stops, on="doc_id", how="left")
-        per["n_stop"] = per["n_stop"].fillna(0).astype("int64")
-        for c in ("n_words", "sum_wlen", "top_n"):
-            per[c] = per[c].astype("int64")
-        keep = (
-            (per.n_words >= GOPHER_MIN_WORDS)
-            & (GOPHER_MEAN_WLEN_MIN * per.n_words <= per.sum_wlen)
-            & (per.sum_wlen <= GOPHER_MEAN_WLEN_MAX * per.n_words)
-            & (per.n_stop >= GOPHER_MIN_STOPWORDS)
-            & (GOPHER_TOP_WORD_DEN * per.top_n <= per.n_words)
-        )
-        per["keep"] = keep.astype("int64")
+        per = _gopher_stats(
+            t["doc_id"].to_numpy(zero_copy_only=False), t["text"].to_pandas()
+        ).rename(columns={"k": "doc_id"})
         # explicit types: an empty batch must still emit the declared
         # int64 schema (from_pandas would infer nulls)
         return pa.table(

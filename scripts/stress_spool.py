@@ -28,6 +28,7 @@ import pyarrow.parquet as pq
 CORPUS = "/tmp/stress_spool_corpus"
 FARM = "/tmp/stress_fuzzy_farm"
 SUFFIX = "/tmp/stress_suffix_farm"
+TRAIN = "/tmp/stress_train_corpus"
 
 N_DOCS = 320_000
 DUP_GROUPS = 1_600           # x4 one-word-apart variants = 2% dup fraction
@@ -108,6 +109,78 @@ def build_farms() -> None:
         print("built", out, len(ids), "docs")
 
 
+def build_train_corpus() -> None:
+    """320k Gopher-PASSING docs for the composed training job: the
+    spool-corpus recipe (1,600 groups x 4 one-word-apart variants +
+    uniques) with six stopwords woven in per doc, so every text clears
+    all five Gopher rules (61 words, mean wlen ~5, 6 stopwords, top
+    word 1/61) and the job's filter stage is non-vacuous."""
+    os.makedirs(TRAIN, exist_ok=True)
+    out = os.path.join(TRAIN, "documents.parquet")
+    if os.path.exists(out):
+        print("corpus exists:", out)
+        return
+    stops = ["the", "and", "of", "to", "in", "is"]
+
+    def weave(words: list[str]) -> str:
+        woven = []
+        for j, w in enumerate(words):
+            if j % 10 == 0 and j // 10 < len(stops):
+                woven.append(stops[j // 10])
+            woven.append(w)
+        return " ".join(woven)
+
+    ids, texts, langs = [], [], []
+    doc_id = 0
+    for g in range(DUP_GROUPS):
+        base = [f"g{g}w{j}" for j in range(WORDS)]
+        for v in range(4):
+            w = list(base)
+            w[10 + v] = f"g{g}v{v}"
+            ids.append(doc_id)
+            texts.append(weave(w))
+            langs.append(LANGS[doc_id % 3])
+            doc_id += 1
+    while doc_id < N_DOCS:
+        ids.append(doc_id)
+        texts.append(weave([f"u{doc_id}w{j}" for j in range(WORDS)]))
+        langs.append(LANGS[doc_id % 3])
+        doc_id += 1
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        out,
+    )
+    print("built", out, N_DOCS, "docs")
+
+
+def run_trainjob() -> None:
+    """Composed training-data job over the 320k Gopher-passing corpus,
+    spool waves on /tmp — the single-submission stress record."""
+    _init_ray()
+    import tempfile
+
+    from ebook_ocr_ray.pipelines.trainjob import training_data_job
+
+    scratch = tempfile.mkdtemp(prefix="trainjob_stress_")
+    t0 = time.time()
+    out = training_data_job(TRAIN, scratch)
+    n_docs = out["docs"].count()
+    n_pack = out["pack"].count()
+    dt = round(time.time() - t0, 1)
+    shutil.rmtree(scratch, ignore_errors=True)
+    print(json.dumps({
+        "probe": "training_data_job_320k", "sec": dt,
+        "n_docs_in": N_DOCS, "n_docs_out": n_docs, "n_pack_rows": n_pack,
+        "docs_per_sec": round(N_DOCS / dt, 1),
+    }))
+
+
 def _init_ray() -> None:
     import ray
 
@@ -172,9 +245,13 @@ if __name__ == "__main__":
     if cmd == "build":
         build_corpus()
         build_farms()
+        build_train_corpus()
     elif cmd in ("spool", "materialize"):
         run_pipelines(cmd)
     elif cmd == "fuzzy":
         run_fuzzy()
+    elif cmd == "trainjob":
+        build_train_corpus()
+        run_trainjob()
     else:
         raise SystemExit(f"unknown command {cmd!r}")
