@@ -9,17 +9,26 @@ continuation merge -> text.   Re-expresses the reference's layout path:
 - reading-order sort               src/layout/reading_order.py:22-65
 - continuation merge               src/book_converter/parser/paragraph.py:97-159
 
-Payload format: real PDF decoding libraries (pdfminer et al.) are not in
-this container, so the binary payload is a clearly-marked synthetic
-container — ``%PDF-1.4`` magic followed by a ``%EBOOKRAY-CHARBOX`` comment
-line carrying a JSON word-box layout. ``decode_pdf_words`` is the single
-stub seam: swapping in a real pdfminer char-box reader changes nothing
-downstream.
+Payload decode (``decode_pdf_words``, the single seam) has two branches:
+
+1. the synthetic ``%EBOOKRAY-CHARBOX`` container (a ``%PDF-1.4`` magic +
+   JSON word-box comment line) — the test-corpus format, exercising the
+   full layout path with exact boxes;
+2. a minimal REAL PDF text decoder (``_parse_pdf_text_words``): walks
+   UNCOMPRESSED content streams' BT/ET text objects per the public PDF
+   1.x spec — Tm / Td / TD / TL / T* positioning, Tf sizing, Tj / ' /
+   TJ show operators, literal strings with escapes and balanced parens,
+   /MediaBox page geometry — and emits word spans with a fixed 0.5 em
+   advance width (no font program in scope; a pdfminer-style extractor
+   with true metrics slots into the same seam). Compressed streams and
+   image-only PDFs still raise the documented ValueError (the M36
+   error-row fallback).
 """
 
 from __future__ import annotations
 
 import json
+import re
 
 from ebook_ocr_ray.config import (
     SENTENCE_TERMINATORS,
@@ -39,12 +48,14 @@ def is_pdf_payload(payload: bytes) -> bool:
 
 
 def decode_pdf_words(payload: bytes) -> tuple[float, list[Span]]:
-    """Decode the synthetic char-box container into (page_width, word spans).
+    """Decode a PDF payload into (page_width, word spans): the synthetic
+    char-box container when present, else the minimal real text-object
+    decoder (module docstring). Everything downstream operates on
+    (text, bbox, conf) spans only.
 
-    STUB SEAM: a production build replaces this with a pdfminer-style char
-    extractor; everything after operates on (text, bbox, conf) spans only.
-
-    Raises ValueError for PDF bytes without an embedded char-box layout.
+    Raises ValueError for PDF bytes with neither an embedded char-box
+    layout nor parseable uncompressed text objects (scanned/image-only
+    or compressed-stream PDFs — the documented error-row fallback).
     """
     for line in payload.split(b"\n"):
         if line.startswith(CHARBOX_MARKER):
@@ -54,7 +65,190 @@ def decode_pdf_words(payload: bytes) -> tuple[float, list[Span]]:
                 for t, x, y, w, h in doc["words"]
             ]
             return float(doc["w"]), spans
-    raise ValueError("PDF payload carries no char-box layout (real PDF decode is stubbed)")
+    width, spans = _parse_pdf_text_words(payload)
+    if spans:
+        return width, spans
+    raise ValueError(
+        "PDF payload carries no char-box layout and no uncompressed text "
+        "objects (image-only or compressed streams)"
+    )
+
+
+# ---- minimal real-PDF text decoder (public PDF 1.x spec subset) -----------
+
+# Average glyph advance as a fraction of the font size — the Helvetica
+# ballpark; real metrics would come from the font program, out of scope.
+_CHAR_ADVANCE_EM = 0.5
+
+_MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s*\]")
+_TEXTOBJ_RE = re.compile(rb"(?<![A-Za-z])BT\b(.*?)\bET(?![A-Za-z])", re.DOTALL)
+_NUM_BYTES = b"0123456789+-."
+_DELIMS = b" \t\r\n()[]/<>"
+
+_STRING_ESCAPES = {
+    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+    b"(": "(", b")": ")", b"\\": "\\",
+}
+
+
+def _pdf_string(buf: bytes, i: int) -> tuple[str, int]:
+    """Parse a literal string starting at buf[i] == '(': backslash
+    escapes (incl. 1-3 digit octal), balanced nested parentheses.
+    Returns (text, index past the closing paren). Bytes decode latin-1
+    (the StandardEncoding approximation for the ASCII range)."""
+    assert buf[i:i + 1] == b"("
+    out: list[str] = []
+    depth, j, n = 1, i + 1, len(buf)
+    while j < n and depth:
+        c = buf[j:j + 1]
+        if c == b"\\":
+            nxt = buf[j + 1:j + 2]
+            if nxt in _STRING_ESCAPES:
+                out.append(_STRING_ESCAPES[nxt])
+                j += 2
+            elif nxt.isdigit():
+                k = j + 1
+                while k < min(j + 4, n) and buf[k:k + 1].isdigit():
+                    k += 1
+                out.append(chr(int(buf[j + 1:k], 8)))
+                j = k
+            else:  # line continuation / unknown escape: drop the backslash
+                j += 1
+        elif c == b"(":
+            depth += 1
+            out.append("(")
+            j += 1
+        elif c == b")":
+            depth -= 1
+            if depth:
+                out.append(")")
+            j += 1
+        else:
+            out.append(c.decode("latin-1"))
+            j += 1
+    return "".join(out), j
+
+
+def _content_tokens(buf: bytes):
+    """(kind, value) stream over a text object's content: 'str', 'num',
+    'name', 'arr_open'/'arr_close', 'op'."""
+    i, n = 0, len(buf)
+    while i < n:
+        c = buf[i:i + 1]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == b"(":
+            s, i = _pdf_string(buf, i)
+            yield ("str", s)
+        elif c == b"[":
+            yield ("arr_open", None)
+            i += 1
+        elif c == b"]":
+            yield ("arr_close", None)
+            i += 1
+        elif c == b"/":
+            j = i + 1
+            while j < n and buf[j:j + 1] not in _DELIMS:
+                j += 1
+            yield ("name", buf[i:j].decode("latin-1"))
+            i = j
+        elif c in _NUM_BYTES:
+            j = i
+            while j < n and buf[j:j + 1] in _NUM_BYTES:
+                j += 1
+            try:
+                yield ("num", float(buf[i:j]))
+            except ValueError:
+                pass
+            i = j
+        else:
+            j = i + 1
+            while j < n and buf[j:j + 1] not in _DELIMS and buf[j:j + 1] not in _NUM_BYTES:
+                j += 1
+            yield ("op", buf[i:j].decode("latin-1"))
+            i = j
+
+
+def _parse_pdf_text_words(payload: bytes) -> tuple[float, list[Span]]:
+    """Interpret every BT/ET text object in the raw bytes (uncompressed
+    streams only — FlateDecode bodies simply contain no parseable BT/ET
+    and fall through to the ValueError). PDF user space is y-up; spans
+    are emitted y-DOWN (top-origin) to match the layout kernels, using
+    the MediaBox height (letter-size default when absent)."""
+    m = _MEDIABOX_RE.search(payload)
+    if m:
+        x0, y0, x1, y1 = (float(v) for v in m.groups())
+        page_w, page_h = x1 - x0, y1 - y0
+    else:
+        page_w, page_h = 612.0, 792.0
+
+    spans: list[Span] = []
+
+    for tobj in _TEXTOBJ_RE.finditer(payload):
+        size, leading = 12.0, 0.0
+        lx, ly = 0.0, 0.0          # line origin
+        x, y = 0.0, 0.0            # cursor
+        stack: list = []           # operand stack
+        in_array: bool = False
+        array_items: list = []
+
+        def show(s: str) -> None:
+            nonlocal x
+            cw = _CHAR_ADVANCE_EM * size
+            for w in re.finditer(r"\S+", s):
+                wx = x + w.start() * cw
+                spans.append(
+                    make_span(
+                        w.group(),
+                        wx,
+                        page_h - y - size,
+                        wx + len(w.group()) * cw,
+                        page_h - y,
+                        1.0,
+                    )
+                )
+            x += len(s) * cw
+
+        for kind, val in _content_tokens(tobj.group(1)):
+            if kind == "arr_open":
+                in_array, array_items = True, []
+            elif kind == "arr_close":
+                in_array = False
+                stack.append(array_items)
+            elif kind in ("num", "str", "name"):
+                (array_items if in_array else stack).append(val)
+            elif kind == "op":
+                op = val
+                if op == "Tf" and stack:
+                    size = float(stack[-1])
+                elif op == "Tm" and len(stack) >= 6:
+                    lx, ly = float(stack[-2]), float(stack[-1])
+                    x, y = lx, ly
+                elif op in ("Td", "TD") and len(stack) >= 2:
+                    tx, ty = float(stack[-2]), float(stack[-1])
+                    lx, ly = lx + tx, ly + ty
+                    x, y = lx, ly
+                    if op == "TD":
+                        leading = -ty
+                elif op == "TL" and stack:
+                    leading = float(stack[-1])
+                elif op == "T*":
+                    ly -= leading
+                    x, y = lx, ly
+                elif op == "Tj" and stack and isinstance(stack[-1], str):
+                    show(stack[-1])
+                elif op == "'" and stack and isinstance(stack[-1], str):
+                    ly -= leading
+                    x, y = lx, ly
+                    show(stack[-1])
+                elif op == "TJ" and stack and isinstance(stack[-1], list):
+                    for item in stack[-1]:
+                        if isinstance(item, str):
+                            show(item)
+                        else:  # kerning adjustment, thousandths of an em
+                            x -= float(item) / 1000.0 * size
+                stack = []
+    return page_w, spans
 
 
 def words_to_line_regions(
