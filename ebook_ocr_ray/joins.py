@@ -61,6 +61,24 @@ def _sentinel_table(schema: pa.Schema, key_col: str, keys: list[int]) -> pa.Tabl
     return pa.Table.from_arrays(arrays, schema=pa.schema(schema))
 
 
+def filler_if_empty(t: pa.Table, key_col: str) -> pa.Table:
+    """Typed one-row stand-in for an entirely-empty map output.
+
+    Ray's map tasks drop empty output blocks, so a task whose filter
+    removed every row emits a zero-block, schema-less RefBundle, and the
+    executor logs a schema-divergence warning for the operator
+    (streaming_executor_state.py:286,793). Returning one sentinel-keyed
+    row instead keeps every bundle typed at zero semantic cost: the key
+    sits below ``SENTINEL_CEILING``, so whichever sentinel-aware stage
+    consumes the stream next (``map_partitions_typed`` /
+    ``map_groups_typed`` wrappers, ``safe_join``'s drop_sentinels)
+    filters it with the machinery it already runs. Only use upstream of
+    such a stage, keyed on the column that stage filters."""
+    if len(t):
+        return t
+    return _sentinel_table(t.schema, key_col, [SENTINEL_CEILING - 1])
+
+
 def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
     s = ds.schema()
     base = getattr(s, "base_schema", None)

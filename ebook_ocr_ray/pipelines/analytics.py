@@ -835,32 +835,66 @@ def token_quantiles_per_source(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    hist = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby(["source", "n_tokens"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    # ONE hash shuffle on a 63-bit source surrogate replaces the previous
+    # two all-to-alls (sort-based groupby(source, n_tokens).Sum + a second
+    # sort-based map_groups on source): the per-batch partials already
+    # shrink each block to its distinct (source, n_tokens) histogram, so
+    # co-locating by SOURCE alone merges the partials AND reads the
+    # quantiles in one vectorized per-partition kernel — and the
+    # sentinel-backed repartition never emits the sort path's schema-less
+    # empty bundles. Shuffle volume per source is bounded by
+    # blocks x distinct token counts, not document count.
+    import hashlib
 
-    def quantiles(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("n_tokens", kind="mergesort")
-        vals = g.n_tokens.to_numpy()
-        cum = g.n.to_numpy().cumsum()
-        total = int(cum[-1])
+    from ebook_ocr_ray.groups import map_partitions_typed
 
-        def q(p: float) -> int:
-            rank = math.ceil(p * total)                  # quantile_disc rule
-            return int(vals[np.searchsorted(cum, rank)])
+    def add_gkey(t: pa.Table) -> pa.Table:
+        keys = [
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+            & ((1 << 63) - 1)
+            for s in t["source"].to_pylist()
+        ]
+        return t.append_column("gkey", pa.array(keys, pa.int64()))
 
-        return pd.DataFrame(
-            {
-                "source": [g.source.iloc[0]],
-                "n_docs": pd.array([total], dtype="int64"),
-                "p50_tokens": pd.array([q(0.5)], dtype="int64"),
-                "p90_tokens": pd.array([q(0.9)], dtype="int64"),
-            }
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        hist = (
+            df.groupby(["source", "n_tokens"], sort=False)["n"].sum().reset_index()
+        )
+        rows = []
+        for src, g in hist.groupby("source", sort=False):
+            g = g.sort_values("n_tokens", kind="mergesort")
+            vals = g.n_tokens.to_numpy()
+            cum = g.n.to_numpy().cumsum()
+            total = int(cum[-1])
+
+            def q(p: float) -> int:
+                rank = math.ceil(p * total)              # quantile_disc rule
+                return int(vals[np.searchsorted(cum, rank)])
+
+            rows.append((src, total, q(0.5), q(0.9)))
+        out = pd.DataFrame(
+            rows, columns=["source", "n_docs", "p50_tokens", "p90_tokens"]
+        )
+        return out.astype(
+            {"n_docs": "int64", "p50_tokens": "int64", "p90_tokens": "int64"}
         )
 
-    return hist.groupby("source").map_groups(quantiles, batch_format="pandas")
+    return map_partitions_typed(
+        docs.map_batches(partial, batch_format="pyarrow").map_batches(
+            add_gkey, batch_format="pyarrow"
+        ),
+        "gkey",
+        quantiles,
+        schema=pa.schema(
+            [("source", pa.string()), ("n_tokens", pa.int64()),
+             ("n", pa.int64()), ("gkey", pa.int64())]
+        ),
+        empty_fn=lambda: pa.schema(
+            [("source", pa.string()), ("n_docs", pa.int64()),
+             ("p50_tokens", pa.int64()), ("p90_tokens", pa.int64())]
+        ).empty_table(),
+        num_partitions=4,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1538,26 +1572,55 @@ def distinct_terms_hll(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    merged = (
-        docs.map_batches(reg_partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Max("rank", alias_name="rank"))
-        .to_pandas()                              # bounded: <= HLL_M rows
-    )
+    # both reduces ride the sentinel-backed hash repartition
+    # (map_partitions_typed), not the sort-based aggregate whose
+    # unpopulated output partitions emit schema-less empty bundles —
+    # the same conversion as the other low-cardinality reduces
+    from ebook_ocr_ray.groups import map_partitions_typed
+
+    merged = map_partitions_typed(
+        docs.map_batches(reg_partial, batch_format="pyarrow"),
+        "bucket",
+        lambda df: df.groupby("bucket", sort=False)["rank"]
+        .max()
+        .reset_index()
+        .astype({"bucket": "int64", "rank": "int64"}),
+        schema=pa.schema([("bucket", pa.int64()), ("rank", pa.int64())]),
+        empty_fn=lambda: pa.schema(
+            [("bucket", pa.int64()), ("rank", pa.int64())]
+        ).empty_table(),
+        num_partitions=4,
+    ).to_pandas()                                 # bounded: <= HLL_M rows
     regs = np.zeros(HLL_M, dtype=np.uint8)
-    if "bucket" in merged.columns:
+    if len(merged):
         regs[merged["bucket"].to_numpy()] = merged["rank"].to_numpy()
     est = hll_estimate(regs)
 
     def term_partial(batch: pa.Table) -> pa.Table:
-        # no sort: the keyed groupby hashes rows regardless of order
-        return pa.table({"term": pa.array(list(batch_terms(batch)), pa.string())})
+        # batch-local DISTINCT terms only (the combiner), routed by their
+        # 63-bit surrogate: equal terms always co-locate, so the global
+        # distinct count is exactly the sum of per-partition nunique over
+        # the TRUE strings (a surrogate collision merely co-locates two
+        # terms; nunique still counts both)
+        terms = sorted(batch_terms(batch))
+        return pa.table(
+            {
+                "tkey": pa.array([stable_hash63(t) for t in terms], pa.int64()),
+                "term": pa.array(terms, pa.string()),
+            }
+        )
 
-    n_exact = (
-        docs.map_batches(term_partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Count(alias_name="n"))
-        .count()
+    n_exact = int(
+        map_partitions_typed(
+            docs.map_batches(term_partial, batch_format="pyarrow"),
+            "tkey",
+            lambda df: pd.DataFrame({"n": pd.array([df["term"].nunique()], dtype="int64")}),
+            schema=pa.schema([("tkey", pa.int64()), ("term", pa.string())]),
+            empty_fn=lambda: pa.schema([("n", pa.int64())]).empty_table(),
+            num_partitions=4,
+        )
+        .to_pandas()["n"]
+        .sum()
     )
     return pd.DataFrame(
         {

@@ -135,12 +135,17 @@ def decontaminate_ds_join(
             sh = sorted(sh)
             ids.extend([d] * len(sh))
             strs.extend(sh)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "gkey": pa.array(_shingle_key64(strs), pa.int64()),
-                "shingle": pa.array(strs, pa.string()),
-            }
+        from ebook_ocr_ray.joins import filler_if_empty
+
+        return filler_if_empty(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "gkey": pa.array(_shingle_key64(strs), pa.int64()),
+                    "shingle": pa.array(strs, pa.string()),
+                }
+            ),
+            "gkey",
         )
 
     def bench_rows(batch: pa.Table) -> pa.Table:
@@ -148,11 +153,20 @@ def decontaminate_ds_join(
         for t in batch["text"].to_pylist():
             out.update(word_shingles(t or "", n))
         strs = sorted(out)
-        return pa.table(
-            {
-                "gkey": pa.array(_shingle_key64(strs), pa.int64()),
-                "shingle_b": pa.array(strs, pa.string()),
-            }
+        from ebook_ocr_ray.joins import filler_if_empty
+
+        # the bench side is a tiny filtered slice of the corpus read, so
+        # whole-block-empty outputs are the NORMAL case; the sentinel
+        # filler keeps the bundle typed and the downstream
+        # map_partitions_typed wrapper filters it (joins.filler_if_empty)
+        return filler_if_empty(
+            pa.table(
+                {
+                    "gkey": pa.array(_shingle_key64(strs), pa.int64()),
+                    "shingle_b": pa.array(strs, pa.string()),
+                }
+            ),
+            "gkey",
         )
 
     # global distinct on the bench side: hash-partitioned per-partition
@@ -185,10 +199,17 @@ def decontaminate_ds_join(
     )
 
     def hit_partial(t: pa.Table) -> pa.Table:
+        from ebook_ocr_ray.joins import filler_if_empty
+
         t = t.filter(pa.compute.equal(t["shingle"], t["shingle_b"]))  # exact
         df = pd.DataFrame({"doc_id": t["doc_id"].to_pylist()})
         agg = df.groupby("doc_id", sort=False).size().rename("h").reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+        out = pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+        if len(out) == 0:
+            out = pa.table(
+                {"doc_id": pa.array([], pa.int64()), "h": pa.array([], pa.int64())}
+            )
+        return filler_if_empty(out, "doc_id")
 
     def hit_reduce(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("doc_id", sort=False)["h"].sum().rename("n_hits").reset_index()
@@ -277,7 +298,14 @@ def decontaminate_join(
 
     def keep_bench(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids % bench_mod == 0)).select(["text"])
+        out = t.filter(pa.array(ids % bench_mod == 0)).select(["text"])
+        if len(out) == 0:
+            # empty-TEXT filler, not an empty table: Ray skips the fused
+            # bench_rows UDF on an empty batch and emits a schema-less
+            # block; "" shingles to nothing, so bench_rows turns this row
+            # into its own sentinel-keyed filler (joins.filler_if_empty)
+            out = pa.table({"text": pa.array([""], pa.string())})
+        return out
 
     bench = read_parquet_clean(path, columns=["doc_id", "text"]).map_batches(
         keep_bench, batch_format="pyarrow"

@@ -334,13 +334,10 @@ def dedup_apply(
             mask = [s in ties for s in batch["content_sha"].to_pylist()]
             return batch.filter(pa.array(mask, pa.bool_()))
 
-        def first_row(group: pd.DataFrame) -> pd.DataFrame:
-            return group.sort_values(["warc_ts", "url"], kind="mergesort").head(1)
-
         resolved = (
             prepared.map_batches(only_ties, batch_format="pyarrow")
             .groupby("content_sha")
-            .map_groups(first_row, batch_format="pandas")
+            .map_groups(_first_row_arrow, batch_format="pandas")
         )
         out = out.union(resolved)
     return out
@@ -352,6 +349,22 @@ def dedup_apply(
 # ``dedup_exact`` switches to the fixed-size Bloom strategy. Far-side
 # equality test forces the bound to 0 (test_pipeline_e2e).
 SURVIVORS_BROADCAST_MAX = 5_000_000
+
+
+def _first_row_arrow(group: "pd.DataFrame") -> pa.Table:
+    """First-wins pick for a tie/bloom-candidate group, emitted as an
+    ARROW block in the exact prepared-page schema. Both dedup resolvers
+    union this stream back into an Arrow passthrough branch; a pandas
+    return would give the union a PandasBlockSchema bundle alongside the
+    Arrow ones (one executor schema-divergence warning per run) and
+    from_pandas inference alone could type an all-null html group as
+    `null`, so the cast goes through PREPARED_PAGE_SCHEMA explicitly."""
+    from ebook_ocr_ray.stages.extract import PREPARED_PAGE_SCHEMA
+
+    head = group.sort_values(["warc_ts", "url"], kind="mergesort").head(1)
+    return pa.Table.from_pandas(
+        head, schema=PREPARED_PAGE_SCHEMA, preserve_index=False
+    )
 
 
 def dedup_exact(
@@ -509,14 +522,11 @@ def _bloom_split_apply(
 
         return fn
 
-    def first_row(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["warc_ts", "url"], kind="mergesort").head(1)
-
     passthrough = prepared.map_batches(split(False), batch_format="pyarrow")
     resolved = (
         prepared.map_batches(split(True), batch_format="pyarrow")
         .groupby("content_sha")
-        .map_groups(first_row, batch_format="pandas")
+        .map_groups(_first_row_arrow, batch_format="pandas")
     )
     return passthrough.union(resolved)
 

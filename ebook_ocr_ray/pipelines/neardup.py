@@ -70,11 +70,33 @@ def _hot_bucket_table(hot: pd.DataFrame) -> pa.Table:
 def _only_hot_fn(hot_ref):
     """Vectorized semi-join filter: keep only bucket rows whose (band, key)
     appears in the broadcast multi-member table — an Arrow hash join per
-    batch, not a per-row Python membership loop."""
+    batch, not a per-row Python membership loop.
+
+    A batch that filters to NOTHING (the normal case on a clean corpus)
+    becomes one negative-key filler row instead: Ray skips the remaining
+    fused UDFs on an empty batch and emits a schema-less empty block, so
+    the filler must be born HERE, not appended downstream
+    (joins.filler_if_empty). All real bucket keys are 63-bit masked
+    (lsh_band_keys_batch / stable_hash63), so key < SENTINEL_CEILING can
+    never name a real bucket: the LSH/simhash pair kernels see it as a
+    single-doc bucket (doc_id 0 repeated -> no pairs), and jaccard's
+    key-partitioned stage drops it with its sentinel filter."""
+    from ebook_ocr_ray.joins import SENTINEL_CEILING
 
     def only_hot(t: pa.Table) -> pa.Table:
         wanted = ray.get(hot_ref)
-        return t.join(wanted, keys=["band", "key"], join_type="left semi")
+        out = t.join(wanted, keys=["band", "key"], join_type="left semi")
+        if len(out) == 0:
+            out = pa.Table.from_arrays(
+                [
+                    pa.array(
+                        [SENTINEL_CEILING - 1] if f.name == "key" else [0], f.type
+                    )
+                    for f in out.schema
+                ],
+                schema=out.schema,
+            )
+        return out
 
     return only_hot
 
@@ -99,18 +121,30 @@ def _add_bkey(t: pa.Table) -> pa.Table:
     """THE bkey column builder — hot-filter join, LSH pair expansion and
     simhash pair expansion must shuffle on the identical key, so they all
     call this one helper (three drifting copies would silently
-    desynchronize the hot filter from the pair kernels)."""
+    desynchronize the hot filter from the pair kernels).
+
+    Empty batches (a hot filter that removed a whole block — the normal
+    case on a clean corpus, where almost no bucket is multi-member)
+    become one sentinel-keyed filler row: every consumer of this stream
+    (map_partitions_typed on bkey, safe_join on bkey) filters sentinels
+    anyway, and the filler keeps the task's output bundle typed (see
+    joins.filler_if_empty)."""
+    from ebook_ocr_ray.joins import filler_if_empty
+
     if "bkey" in t.column_names:     # join-path rows already carry it
-        return t
-    return t.append_column(
-        "bkey",
-        pa.array(
-            _bucket_join_key(
-                t["band"].to_numpy(zero_copy_only=False),
-                t["key"].to_numpy(zero_copy_only=False),
+        return filler_if_empty(t, "bkey")
+    return filler_if_empty(
+        t.append_column(
+            "bkey",
+            pa.array(
+                _bucket_join_key(
+                    t["band"].to_numpy(zero_copy_only=False),
+                    t["key"].to_numpy(zero_copy_only=False),
+                ),
+                pa.int64(),
             ),
-            pa.int64(),
         ),
+        "bkey",
     )
 
 
@@ -273,7 +307,25 @@ def hot_filtered_buckets(
         )
         # keep bkey: the pair kernels shuffle on it next, and _add_bkey
         # is a no-op when the column is already present
-        return t.filter(keep).select(list(bucket_schema.names) + ["bkey"])
+        from ebook_ocr_ray.joins import SENTINEL_CEILING
+
+        out = t.filter(keep).select(list(bucket_schema.names) + ["bkey"])
+        if len(out) == 0:
+            # typed filler with SENTINEL key AND bkey (both are shuffle
+            # keys downstream — jaccard partitions on key, LSH/simhash on
+            # bkey — and both wrappers filter sub-ceiling values); real
+            # keys are 63-bit masked so no collision is possible
+            out = pa.Table.from_arrays(
+                [
+                    pa.array(
+                        [SENTINEL_CEILING - 1] if f.name in ("key", "bkey") else [0],
+                        f.type,
+                    )
+                    for f in out.schema
+                ],
+                schema=out.schema,
+            )
+        return out
 
     return _ret(joined.map_batches(exact, batch_format="pyarrow"))
 
@@ -1298,9 +1350,16 @@ def jaccard_dup_pairs(
         )
     from ebook_ocr_ray.groups import map_partitions_typed
 
+    from ebook_ocr_ray.joins import filler_if_empty
+
     pair_rows = map_partitions_typed(
+        # filler_if_empty: the hot filter empties most blocks on a clean
+        # corpus; the sentinel-keyed filler keeps those task outputs
+        # typed, and the wrapped fn's sentinel filter drops it (null-key
+        # rows from the join branch's bkey filler drop there too)
         filtered.map_batches(
-            lambda t: t.select(["key", "doc_id"]), batch_format="pyarrow"
+            lambda t: filler_if_empty(t.select(["key", "doc_id"]), "key"),
+            batch_format="pyarrow",
         ),
         "key",
         partition_pairs,

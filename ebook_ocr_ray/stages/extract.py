@@ -76,6 +76,29 @@ def prepare_batch(batch: pa.Table, num_partitions: int = DEFAULT_NUM_PARTITIONS)
     )
 
 
+# Arrow schema of prepare_batch's output (pages columns + the five
+# appended ones, in emission order). Stages that rebuild prepared rows
+# from pandas (the dedup tie/bloom resolvers' per-group first-wins picks)
+# convert through THIS schema so their blocks unify with the Arrow
+# passthrough branch they union into — from_pandas inference would type
+# an all-null html group as `null` and a text column as plain `string`
+# vs the branch's, splitting the union's schema.
+PREPARED_PAGE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("content_sha", pa.string()),
+        ("doc_kind", pa.string()),
+        ("part_id", pa.int32()),
+        ("site", pa.string()),
+        ("payload_bytes", pa.int64()),
+    ]
+)
+
+
 # compiled once at import: this runs in the synthesis/split hot path on
 # every payload byte-string
 _ARTICLE_RE = re.compile(rb"<article>.*?</article>", re.DOTALL)
