@@ -97,6 +97,7 @@ def safe_join(
     join_type: str = "inner",
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    drop_sentinels: bool = True,
 ) -> ray.data.Dataset:
     """``left.join(right)`` on a single int64 key, guaranteed safe for any
     key sparsity. Supports "inner" and "left_outer". Costs one extra row
@@ -105,7 +106,19 @@ def safe_join(
 
     Pass ``left_schema``/``right_schema`` explicitly when the side is a
     lazy multi-stage dataset: ``Dataset.schema()`` on those triggers a
-    partial execution whose work is then thrown away."""
+    partial execution whose work is then thrown away.
+
+    ``drop_sentinels=False`` returns the RAW join output — sentinel rows
+    included — for callers whose next map stage filters AND refills
+    itself. Rationale: Ray skips fused UDFs on empty intermediate
+    batches, so a caller UDF placed after the built-in filter never runs
+    on a partition the filter emptied and cannot emit its
+    ``filler_if_empty`` row; with the raw output, every join partition
+    carries at least its sentinel-pair row (matched sentinel keys exist
+    on both sides, surviving inner AND left_outer), so the caller's UDF
+    always runs. The caller MUST drop rows with ``on`` <
+    ``SENTINEL_CEILING + 1`` (null-safe: pa.compute.greater_equal
+    propagates null to dropped)."""
     assert join_type in ("inner", "left_outer")
     keys = sentinel_keys(num_partitions)
     lschema = left_schema if left_schema is not None else _arrow_schema(left)
@@ -125,8 +138,10 @@ def safe_join(
         on=(on,),
         right_on=(right_on,),
     )
+    if not drop_sentinels:
+        return joined
 
-    def drop_sentinels(t: pa.Table) -> pa.Table:
+    def _drop_sentinels(t: pa.Table) -> pa.Table:
         return t.filter(pa.compute.greater_equal(t[on], SENTINEL_CEILING + 1))
 
-    return joined.map_batches(drop_sentinels, batch_format="pyarrow")
+    return joined.map_batches(_drop_sentinels, batch_format="pyarrow")

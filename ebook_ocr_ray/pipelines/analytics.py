@@ -844,16 +844,10 @@ def token_quantiles_per_source(sf_dir: str) -> ray.data.Dataset:
     # sentinel-backed repartition never emits the sort path's schema-less
     # empty bundles. Shuffle volume per source is bounded by
     # blocks x distinct token counts, not document count.
-    import hashlib
-
     from ebook_ocr_ray.groups import map_partitions_typed
 
     def add_gkey(t: pa.Table) -> pa.Table:
-        keys = [
-            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
-            & ((1 << 63) - 1)
-            for s in t["source"].to_pylist()
-        ]
+        keys = [stable_hash63(s) for s in t["source"].to_pylist()]
         return t.append_column("gkey", pa.array(keys, pa.int64()))
 
     def quantiles(df: pd.DataFrame) -> pd.DataFrame:
@@ -1602,8 +1596,8 @@ def distinct_terms_hll(sf_dir: str) -> pd.DataFrame:
         # distinct count is exactly the sum of per-partition nunique over
         # the TRUE strings (a surrogate collision merely co-locates two
         # terms; nunique still counts both)
-        terms = sorted(batch_terms(batch))
-        return pa.table(
+        terms = list(batch_terms(batch))   # no sort: routing and nunique
+        return pa.table(                   # are both order-independent
             {
                 "tkey": pa.array([stable_hash63(t) for t in terms], pa.int64()),
                 "term": pa.array(terms, pa.string()),

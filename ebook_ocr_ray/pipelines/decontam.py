@@ -186,6 +186,12 @@ def decontaminate_ds_join(
         num_partitions=4,
     )
 
+    # drop_sentinels=False: the raw join keeps one sentinel-pair row per
+    # partition, so hit_partial ALWAYS runs (Ray skips fused UDFs on
+    # empty batches — with the built-in sentinel filter first, a
+    # no-overlap partition would empty before hit_partial and its filler
+    # could never fire); hit_partial owns both the sentinel drop and the
+    # refill
     joined = safe_join(
         docs.map_batches(corpus_rows, batch_format="pyarrow"),
         bench_distinct,
@@ -196,11 +202,13 @@ def decontaminate_ds_join(
             [("doc_id", pa.int64()), ("gkey", pa.int64()), ("shingle", pa.string())]
         ),
         right_schema=pa.schema([("gkey", pa.int64()), ("shingle_b", pa.string())]),
+        drop_sentinels=False,
     )
 
     def hit_partial(t: pa.Table) -> pa.Table:
-        from ebook_ocr_ray.joins import filler_if_empty
+        from ebook_ocr_ray.joins import SENTINEL_CEILING, filler_if_empty
 
+        t = t.filter(pa.compute.greater_equal(t["gkey"], SENTINEL_CEILING + 1))
         t = t.filter(pa.compute.equal(t["shingle"], t["shingle_b"]))  # exact
         df = pd.DataFrame({"doc_id": t["doc_id"].to_pylist()})
         agg = df.groupby("doc_id", sort=False).size().rename("h").reset_index()
@@ -229,6 +237,14 @@ def decontaminate_ds_join(
     doc_ids = docs.map_batches(
         lambda t: t.select(["doc_id"]), batch_format="pyarrow"
     )
+    # drop_sentinels=False + finish owning the sentinel filter: a join
+    # partition holding no real doc would otherwise be emptied by the
+    # fused built-in filter BEFORE finish, Ray would skip finish on the
+    # empty batch, and the operator would emit a schema-less bundle.
+    # With the raw join, finish always runs (every partition keeps its
+    # sentinel-pair row); its typed-EMPTY return emits a typed block,
+    # which suffices here because this is the terminal stage — no filler
+    # row that could leak into user-visible output.
     out = safe_join(
         doc_ids,
         counts,
@@ -238,9 +254,13 @@ def decontaminate_ds_join(
         join_type="left_outer",
         left_schema=pa.schema([("doc_id", pa.int64())]),
         right_schema=pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())]),
+        drop_sentinels=False,
     )
 
     def finish(t: pa.Table) -> pa.Table:
+        from ebook_ocr_ray.joins import SENTINEL_CEILING
+
+        t = t.filter(pa.compute.greater_equal(t["doc_id"], SENTINEL_CEILING + 1))
         h = pa.compute.fill_null(t["n_hits"].combine_chunks(), 0)
         return pa.table(
             {
@@ -261,6 +281,23 @@ def decontaminate_ds_join(
     return final
 
 
+def bench_slice_batch(t: pa.Table, bench_mod: int) -> pa.Table:
+    """THE benchmark-slice filter, shared by both decontaminate variants
+    (two drifting copies previously) and importable by composed jobs:
+    keeps doc_id % bench_mod == 0, text column only. A block holding no
+    bench member emits one empty-TEXT row instead of an empty table —
+    Ray skips downstream fused UDFs on an empty batch and emits a
+    schema-less block; "" shingles to nothing, so the join variant's
+    bench_rows turns the row into its own sentinel-keyed filler
+    (joins.filler_if_empty) and the broadcast variant's n-gram set
+    ignores it."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    out = t.filter(pa.array(ids % bench_mod == 0)).select(["text"])
+    if len(out) == 0:
+        out = pa.table({"text": pa.array([""], pa.string())})
+    return out
+
+
 def decontaminate(
     sf_dir: str, n: int = DECONTAM_NGRAM, bench_mod: int = BENCH_MOD
 ) -> ray.data.Dataset:
@@ -273,14 +310,12 @@ def decontaminate(
     drop the slice or the overlap."""
     path = f"{sf_dir}/documents.parquet"
 
-    def keep_bench(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids % bench_mod == 0)).select(["text"])
-
     bench_texts = [
         r["text"]
         for r in read_parquet_clean(path, columns=["doc_id", "text"])
-        .map_batches(keep_bench, batch_format="pyarrow")
+        .map_batches(
+            lambda t: bench_slice_batch(t, bench_mod), batch_format="pyarrow"
+        )
         .take_all()
     ]
     bench_ref = ray.put(bench_ngram_set(bench_texts, n))
@@ -296,19 +331,8 @@ def decontaminate_join(
     no driver-side n-gram set at any point."""
     path = f"{sf_dir}/documents.parquet"
 
-    def keep_bench(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        out = t.filter(pa.array(ids % bench_mod == 0)).select(["text"])
-        if len(out) == 0:
-            # empty-TEXT filler, not an empty table: Ray skips the fused
-            # bench_rows UDF on an empty batch and emits a schema-less
-            # block; "" shingles to nothing, so bench_rows turns this row
-            # into its own sentinel-keyed filler (joins.filler_if_empty)
-            out = pa.table({"text": pa.array([""], pa.string())})
-        return out
-
     bench = read_parquet_clean(path, columns=["doc_id", "text"]).map_batches(
-        keep_bench, batch_format="pyarrow"
+        lambda t: bench_slice_batch(t, bench_mod), batch_format="pyarrow"
     )
     docs = read_parquet_clean(path, columns=["doc_id", "text"])
     return decontaminate_ds_join(docs, bench, n)

@@ -283,6 +283,14 @@ def hot_filtered_buckets(
         t = _add_bkey(t)
         return t.rename_columns(["band_h", "key_h", "bkey"])
 
+    # drop_sentinels=False: the raw join keeps one sentinel-pair row per
+    # partition, so `exact` ALWAYS runs and can refill a batch its own
+    # filters emptied (Ray skips fused UDFs on empty batches — with the
+    # built-in sentinel filter first, a partition whose rows all fail
+    # the exact re-check would empty before `exact` and the filler could
+    # never fire). The sentinel rows themselves fall to the band/key
+    # equality filter: their null band/band_h compare to null, and
+    # Arrow's filter drops nulls.
     joined = safe_join(
         buckets.map_batches(_add_bkey, batch_format="pyarrow"),
         hot_ds.map_batches(hot_renamed, batch_format="pyarrow"),
@@ -298,6 +306,7 @@ def hot_filtered_buckets(
                 ("bkey", pa.int64()),
             ]
         ),
+        drop_sentinels=False,
     )
 
     def exact(t: pa.Table) -> pa.Table:

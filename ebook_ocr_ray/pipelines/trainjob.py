@@ -155,14 +155,14 @@ def training_data_job(
     ).map_batches(lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")
 
     # ---- decontaminate: benchmark = the clean wave's % slice ------------
-    def keep_bench(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids % bench_mod == 0)).select(["text"])
+    from ebook_ocr_ray.pipelines.decontam import bench_slice_batch
 
     bench_texts = [
         r["text"]
         for r in read_parquet_clean(clean_dir, columns=["doc_id", "text"])
-        .map_batches(keep_bench, batch_format="pyarrow")
+        .map_batches(
+            lambda t: bench_slice_batch(t, bench_mod), batch_format="pyarrow"
+        )
         .take_all()
     ]
     bench_ref = ray.put(bench_ngram_set(bench_texts, decontam_n))

@@ -33,6 +33,7 @@ from ebook_ocr_ray.functions.ensemble import merge_sources
 from ebook_ocr_ray.functions.html_dom import parse_blocks
 from ebook_ocr_ray.functions.html_extract import EXTRACTOR_FNS, figure_zones
 from ebook_ocr_ray.functions.pdf_extract import extract_pdf_text, is_pdf_payload
+from ebook_ocr_ray.sources.pages import PAGES_SCHEMA
 
 
 def url_partition(url: str, num_partitions: int = DEFAULT_NUM_PARTITIONS) -> int:
@@ -76,25 +77,22 @@ def prepare_batch(batch: pa.Table, num_partitions: int = DEFAULT_NUM_PARTITIONS)
     )
 
 
-# Arrow schema of prepare_batch's output (pages columns + the five
-# appended ones, in emission order). Stages that rebuild prepared rows
-# from pandas (the dedup tie/bloom resolvers' per-group first-wins picks)
-# convert through THIS schema so their blocks unify with the Arrow
-# passthrough branch they union into — from_pandas inference would type
-# an all-null html group as `null` and a text column as plain `string`
-# vs the branch's, splitting the union's schema.
+# Arrow schema of prepare_batch's output: the pages source schema plus
+# the five appended columns, composed from sources.pages.PAGES_SCHEMA
+# (ONE source of truth — a hand-copied field list would silently drift
+# if the pages schema ever changes). Stages that rebuild prepared rows
+# from pandas (the dedup tie/bloom resolvers' per-group first-wins
+# picks) convert through THIS schema so their blocks unify with the
+# Arrow passthrough branch they union into — from_pandas inference would
+# type an all-null html group as `null`, splitting the union's schema.
 PREPARED_PAGE_SCHEMA = pa.schema(
-    [
-        ("url", pa.string()),
-        ("warc_ts", pa.timestamp("us")),
-        ("html", pa.binary()),
-        ("text", pa.string()),
-        ("lang", pa.string()),
-        ("content_sha", pa.string()),
-        ("doc_kind", pa.string()),
-        ("part_id", pa.int32()),
-        ("site", pa.string()),
-        ("payload_bytes", pa.int64()),
+    list(PAGES_SCHEMA)
+    + [
+        pa.field("content_sha", pa.string()),
+        pa.field("doc_kind", pa.string()),
+        pa.field("part_id", pa.int32()),
+        pa.field("site", pa.string()),
+        pa.field("payload_bytes", pa.int64()),
     ]
 )
 

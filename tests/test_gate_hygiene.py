@@ -15,8 +15,9 @@ import logging
 import pyarrow as pa
 import pytest
 
+from conftest import SF_SMOKE
+
 RAY_EXEC_LOGGER = "ray.data._internal.execution.streaming_executor_state"
-SF_SMOKE = "/root/testdata/sf0.001"
 
 
 class _Collector(logging.Handler):
@@ -101,9 +102,49 @@ class TestWarningFreePipelines:
                 ).distinct_terms_hll(sf),
                 id="distinct_terms_hll",
             ),
+            pytest.param(
+                # the at-scale hot path: safe_join(drop_sentinels=False)
+                # + the `exact` re-check owning both filter and refill
+                lambda sf: __import__(
+                    "ebook_ocr_ray.pipelines.neardup", fromlist=["x"]
+                ).minhash_clusters(sf, hot_strategy="join").count(),
+                id="minhash_join_path",
+            ),
         ],
     )
     def test_pipeline_warning_free(self, ray_session, runner):
         with capture_executor_warnings() as h:
             runner(SF_SMOKE)
+        assert not h.divergences, h.divergences
+
+    def test_decontam_join_no_overlap_warning_free(self, ray_session):
+        """The clean-corpus case: NO shingle overlap between corpus and
+        bench, so every join partition's output empties after the exact
+        re-check — the exact situation where a filler placed after the
+        join's built-in sentinel filter could never fire (review finding;
+        safe_join(drop_sentinels=False) + hit_partial owning the filter
+        fixed it)."""
+        import ray.data
+
+        from ebook_ocr_ray.pipelines.decontam import decontaminate_ds_join
+
+        docs = ray.data.from_arrow(
+            [
+                pa.table(
+                    {
+                        "doc_id": pa.array([i], pa.int64()),
+                        "text": pa.array(
+                            [f"alpha bravo charlie delta doc{i}"], pa.string()
+                        ),
+                    }
+                )
+                for i in range(8)
+            ]
+        )
+        bench = ray.data.from_arrow(
+            pa.table({"text": pa.array(["zulu yankee xray whiskey victor"], pa.string())})
+        )
+        with capture_executor_warnings() as h:
+            out = decontaminate_ds_join(docs, bench, n=3).to_pandas()
+        assert len(out) == 8 and out.contaminated.sum() == 0
         assert not h.divergences, h.divergences
