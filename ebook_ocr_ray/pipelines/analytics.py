@@ -162,6 +162,19 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# NOTE on the four per-user group-applies below (events_gaps, sessionize,
+# purchase_attribution, clicks_before_purchase): they deliberately stay
+# on the sort-based ``groupby("user_id").map_groups`` path. A round-5
+# conversion to the sentinel-backed hash repartition
+# (groups.map_groups_typed) was measured 2.5x SLOWER at sf0.1 (sessionize
+# 1.45s -> 3.7s; saturates at ~3.8s even at 16 hash partitions — the
+# hash-shuffle aggregator actors plus the single-task-per-partition group
+# apply lose to the sort path's finer task fan-out) and was reverted. The
+# cost: at SPARSE user cardinality the sort's unpopulated output
+# partitions each emit one benign schema-less empty bundle (one executor
+# schema-divergence warning per query run) — the documented residual
+# class in groups.py; at real event volume the partitions are dense and
+# the warning does not fire.
 def events_gaps(sf_dir: str) -> ray.data.Dataset:
     """Per-event gap (microseconds) to the user's previous event — the
     lag/as-of pattern: groupby(user) co-locates each user's history, the
@@ -400,18 +413,83 @@ def top_terms(sf_dir: str, k: int = 50) -> ray.data.Dataset:
 
 
 def source_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-source count/sum/min/max: per-batch partials shrink each block
+    to its distinct sources, then ONE single-partition sentinel-backed
+    merge reduces AND sorts (replacing the sort aggregate + global Sort,
+    both of which emit schema-less empty bundles at low source
+    cardinality). One partition is right because the post-combine rows
+    are bounded by distinct sources x blocks — a web-scale source
+    cardinality would raise num_partitions and sort downstream."""
+    from ebook_ocr_ray.groups import map_partitions_typed
+
     docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
     )
-    return (
-        docs.groupby("source")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_chars", alias_name="total_chars"),
-            Min("doc_id", alias_name="first_doc"),
-            Max("doc_id", alias_name="last_doc"),
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "n_chars": t["n_chars"].to_numpy(zero_copy_only=False),
+            }
         )
-        .sort("source")
+        agg = (
+            df.groupby("source", sort=False)
+            .agg(
+                n_docs=("doc_id", "size"),
+                total_chars=("n_chars", "sum"),
+                first_doc=("doc_id", "min"),
+                last_doc=("doc_id", "max"),
+            )
+            .reset_index()
+        )
+        agg["skey"] = [stable_hash63(s) for s in agg["source"]]
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("source", sort=False)
+            .agg(
+                n_docs=("n_docs", "sum"),
+                total_chars=("total_chars", "sum"),
+                first_doc=("first_doc", "min"),
+                last_doc=("last_doc", "max"),
+            )
+            .reset_index()
+            .sort_values("source", kind="mergesort")
+        )
+        return out[
+            ["source", "n_docs", "total_chars", "first_doc", "last_doc"]
+        ].astype(
+            {"n_docs": "int64", "total_chars": "int64",
+             "first_doc": "int64", "last_doc": "int64"}
+        )
+
+    return map_partitions_typed(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "skey",
+        merge,
+        schema=pa.schema(
+            [
+                ("source", pa.string()),
+                ("n_docs", pa.int64()),
+                ("total_chars", pa.int64()),
+                ("first_doc", pa.int64()),
+                ("last_doc", pa.int64()),
+                ("skey", pa.int64()),
+            ]
+        ),
+        empty_fn=lambda: pa.schema(
+            [
+                ("source", pa.string()),
+                ("n_docs", pa.int64()),
+                ("total_chars", pa.int64()),
+                ("first_doc", pa.int64()),
+                ("last_doc", pa.int64()),
+            ]
+        ).empty_table(),
+        num_partitions=1,
     )
 
 

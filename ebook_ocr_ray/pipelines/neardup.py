@@ -1294,7 +1294,9 @@ def jaccard_dup_pairs(
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             sh = set(word_shingles(t or "", k))
             ids.extend([d] * len(sh))
-            keys.extend(stable_hash63(s) for s in sorted(sh))
+            # no sort: key routing and the keyed reduces are all
+            # order-independent
+            keys.extend(stable_hash63(s) for s in sh)
         return pa.table(
             {
                 "band": pa.array(np.zeros(len(ids), dtype=np.int32), pa.int32()),
