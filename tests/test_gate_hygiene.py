@@ -110,6 +110,14 @@ class TestWarningFreePipelines:
                 ).minhash_clusters(sf, hot_strategy="join").count(),
                 id="minhash_join_path",
             ),
+            pytest.param(
+                # 20-source cardinality at the sparsest corpus: the old
+                # sort aggregate + Sort warned here
+                lambda sf: __import__(
+                    "ebook_ocr_ray.pipelines.analytics", fromlist=["x"]
+                ).source_stats(sf).count(),
+                id="source_stats",
+            ),
         ],
     )
     def test_pipeline_warning_free(self, ray_session, runner):
