@@ -208,8 +208,12 @@ def _headline_subprocess(ncpu: int, factor: int) -> dict:
         RAY_GRAFT_CPUS=str(ncpu),
         GRAFT_BENCH_HEADLINE_ONLY="1",
         GRAFT_BENCH_NO_SCALING="1",
+        # FORCE the factor: an ambient GRAFT_BENCH_FACTOR would silently
+        # change the legs' amplification while the JSON still records the
+        # requested factor — mislabeled scaling evidence. run_scaling
+        # reads the env override itself and passes it here explicitly.
+        GRAFT_BENCH_FACTOR=str(factor),
     )
-    env.setdefault("GRAFT_BENCH_FACTOR", str(factor))
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,

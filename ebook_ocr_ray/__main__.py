@@ -173,10 +173,14 @@ def cmd_trainjob(args) -> int:
     try:
         out = training_data_job(args.sf_dir, scratch)
         counts = {}
+        from ebook_ocr_ray.reads import parquet_num_rows
+
         for name in ("docs", "chunks", "pack"):
             path = os.path.join(args.out, name)
             out[name].write_parquet(path)
-            counts[name] = out[name].count()
+            # count from the just-written footers: out[name].count() would
+            # re-execute the whole lazy chunk/pack chain a second time
+            counts[name] = parquet_num_rows(path)
         print(json.dumps({"out": args.out, "scratch": scratch, **counts}))
     finally:
         if own_scratch:

@@ -106,13 +106,20 @@ def _pdf_string(buf: bytes, i: int) -> tuple[str, int]:
             if nxt in _STRING_ESCAPES:
                 out.append(_STRING_ESCAPES[nxt])
                 j += 2
-            elif nxt.isdigit():
-                k = j + 1
-                while k < min(j + 4, n) and buf[k:k + 1].isdigit():
-                    k += 1
+            elif nxt and nxt in b"01234567":   # 1-3 digit OCTAL (not \8/\9:
+                k = j + 1                      # int(..., 8) would raise and
+                while k < min(j + 4, n) and buf[k:k + 1] in b"01234567":
+                    k += 1                     # poison the whole document)
                 out.append(chr(int(buf[j + 1:k], 8)))
                 j = k
-            else:  # line continuation / unknown escape: drop the backslash
+            elif nxt in (b"\n", b"\r"):
+                # line continuation: backslash + EOL both drop (spec
+                # 7.3.4.2) — keeping the newline would split a word
+                # continued across lines into two words
+                j += 2
+                if nxt == b"\r" and buf[j:j + 1] == b"\n":
+                    j += 1
+            else:  # invalid escape: drop the backslash, keep the char
                 j += 1
         elif c == b"(":
             depth += 1
@@ -174,7 +181,24 @@ def _parse_pdf_text_words(payload: bytes) -> tuple[float, list[Span]]:
     streams only — FlateDecode bodies simply contain no parseable BT/ET
     and fall through to the ValueError). PDF user space is y-up; spans
     are emitted y-DOWN (top-origin) to match the layout kernels, using
-    the MediaBox height (letter-size default when absent)."""
+    the MediaBox height (letter-size default when absent).
+
+    Multi-page handling: each ``stream...endstream`` body is treated as
+    one page and its spans are y-offset by a running page counter, so
+    pages stack in document order instead of interleaving into one
+    coordinate space (a 2-page document previously merged both pages'
+    words into shared rows). Approximation: a page whose /Contents is an
+    ARRAY of streams renders as consecutive page slabs — words stay in
+    document order, they just never merge across stream boundaries.
+    Without full object-graph resolution (out of scope for the
+    uncompressed-text seam) the per-stream split is the documented
+    page-accurate behavior for the 1-stream-per-page common case.
+    Remaining approximation: reading_order's column split is global, so
+    a TWO-column multi-page document emits all pages' left columns
+    before any right column; single-column multi-page text (the common
+    text-PDF case) is fully ordered. Per-page column ordering needs the
+    page boundary carried through the span seam — the pdfminer-style
+    replacement that slots in here would provide it."""
     m = _MEDIABOX_RE.search(payload)
     if m:
         x0, y0, x1, y1 = (float(v) for v in m.groups())
@@ -182,8 +206,22 @@ def _parse_pdf_text_words(payload: bytes) -> tuple[float, list[Span]]:
     else:
         page_w, page_h = 612.0, 792.0
 
-    spans: list[Span] = []
+    bodies = [b.group(1) for b in _STREAM_RE.finditer(payload)]
+    if not bodies:            # bare content (no stream wrappers): one page
+        bodies = [payload]
 
+    spans: list[Span] = []
+    for page_no, body in enumerate(bodies):
+        _scan_text_objects(body, page_h, page_no * page_h, spans)
+    return page_w, spans
+
+
+_STREAM_RE = re.compile(rb"\bstream\r?\n(.*?)endstream", re.DOTALL)
+
+
+def _scan_text_objects(
+    payload: bytes, page_h: float, y_base: float, spans: list[Span]
+) -> None:
     for tobj in _TEXTOBJ_RE.finditer(payload):
         size, leading = 12.0, 0.0
         lx, ly = 0.0, 0.0          # line origin
@@ -201,9 +239,9 @@ def _parse_pdf_text_words(payload: bytes) -> tuple[float, list[Span]]:
                     make_span(
                         w.group(),
                         wx,
-                        page_h - y - size,
+                        y_base + page_h - y - size,
                         wx + len(w.group()) * cw,
-                        page_h - y,
+                        y_base + page_h - y,
                         1.0,
                     )
                 )
@@ -248,7 +286,6 @@ def _parse_pdf_text_words(payload: bytes) -> tuple[float, list[Span]]:
                         else:  # kerning adjustment, thousandths of an em
                             x -= float(item) / 1000.0 * size
                 stack = []
-    return page_w, spans
 
 
 def words_to_line_regions(

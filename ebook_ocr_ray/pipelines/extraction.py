@@ -122,11 +122,21 @@ def prepare_pages(
 # [0, 2^64), always exactly 20 digits.
 _TS_BIAS = 1 << 63
 
+# Stand-in for a NULL url inside the composite key: f-string interpolation
+# of None would embed the literal string "None", which dedup_url's unpack
+# then emits as a REAL url for the null-url group. "\x00" cannot be a
+# crawled url, sorts before every printable url (null urls win ties at
+# equal warc_ts — deterministic, documented), and decodes back to null.
+_NULL_URL_KEY = "\x00"
+
 
 def _survivor_key(ts_us: np.ndarray, urls: list[str]) -> list[str]:
     """Total order for picking the surviving crawl of a duplicate group:
-    earliest warc_ts, then lexicographic url."""
-    return [f"{int(t) + _TS_BIAS:020d}|{u}" for t, u in zip(ts_us, urls)]
+    earliest warc_ts, then lexicographic url (null urls first)."""
+    return [
+        f"{int(t) + _TS_BIAS:020d}|{u if u is not None else _NULL_URL_KEY}"
+        for t, u in zip(ts_us, urls)
+    ]
 
 
 def _make_survivor_agg():
@@ -317,7 +327,11 @@ def dedup_apply(
         urls = batch["url"].take(pa.array(idx)).to_pylist()
         shas = batch["content_sha"].take(pa.array(idx)).to_pylist()
         for i, u, s in zip(idx, urls, shas):
-            # tie groups are excluded here and resolved by the keyed pass
+            # tie groups are excluded here and resolved by the keyed pass;
+            # the key expression must match _survivor_key exactly (incl.
+            # the null-url stand-in)
+            if u is None:
+                u = _NULL_URL_KEY
             mask[i] = (
                 s not in ties
                 and survivors[s] == f"{int(ts_us[i]) + _TS_BIAS:020d}|{u}"
@@ -1048,7 +1062,10 @@ def dedup_url(
     def unpack(t: pa.Table) -> pa.Table:
         keys = t["min_key"].to_pylist()
         ts = [int(k.split("|", 1)[0]) - _TS_BIAS for k in keys]
-        urls = [k.split("|", 1)[1] for k in keys]
+        urls = [
+            None if (tail := k.split("|", 1)[1]) == _NULL_URL_KEY else tail
+            for k in keys
+        ]
         return pa.table(
             {
                 "url_norm": t["url_norm"],

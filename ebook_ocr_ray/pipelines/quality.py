@@ -97,11 +97,6 @@ def _quantize_lp(p_num: int, p_den: int) -> int:
     return int(round(-math.log(p_num / p_den) * CE_QUANT))
 
 
-def _bigrams(text: str | None) -> list[str]:
-    t = text or ""
-    return [t[i : i + 2] for i in range(len(t) - 1)]
-
-
 def _g_code(g: str) -> int:
     """Pack a 2-char bigram into one int64 pair code."""
     return (ord(g[0]) << _PAIR_SHIFT) | ord(g[1])

@@ -45,7 +45,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ebook_ocr_ray.reads import read_parquet_clean
+from ebook_ocr_ray.reads import parquet_num_rows, read_parquet_clean
 
 # Mirrors analytics.CHUNK_* / PACK_* defaults (the chunk/pack oracles).
 from ebook_ocr_ray.pipelines.analytics import (
@@ -129,6 +129,12 @@ def training_data_job(
     claim_spool_target(clean_dir)
     extracted.map_batches(to_docs, batch_format="pyarrow").write_parquet(clean_dir)
     release_spool_claim(clean_dir)
+    if parquet_num_rows(clean_dir) == 0:
+        # every document failed the Gopher rules: write_parquet of an
+        # empty dataset leaves NO files, so the downstream wave reads
+        # would raise — return typed empty handles instead (the same
+        # zero-row guard pin_reusable applies to its spools)
+        return _empty_outputs()
 
     # ---- wave 2: fuzzy + minhash cascade, keep cluster representatives --
     clusters = minhash_clusters_cascade(
@@ -183,9 +189,44 @@ def training_data_job(
     claim_spool_target(final_dir)
     final.write_parquet(final_dir)
     release_spool_claim(final_dir)
+    if parquet_num_rows(final_dir) == 0:
+        # decontamination removed every survivor (a corpus that IS the
+        # benchmark): same zero-row guard as the clean wave
+        return _empty_outputs()
 
     return {
         "docs": read_parquet_clean(final_dir, columns=["doc_id", "text"]),
         "chunks": chunk_documents(final_root, chunk_tokens, overlap),
         "pack": pack_sequences(final_root, budget_tokens, chunk_tokens, overlap),
+    }
+
+
+def _empty_outputs() -> dict:
+    """Typed zero-row handles in the exact schemas of the non-degenerate
+    outputs (docs / chunk_documents / pack_sequences)."""
+    return {
+        "docs": ray.data.from_arrow(
+            pa.schema([("doc_id", pa.int64()), ("text", pa.string())]).empty_table()
+        ),
+        "chunks": ray.data.from_arrow(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("chunk_idx", pa.int64()),
+                    ("chunk_text", pa.string()),
+                    ("n_tokens", pa.int64()),
+                ]
+            ).empty_table()
+        ),
+        "pack": ray.data.from_arrow(
+            pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("seq_idx", pa.int64()),
+                    ("doc_id", pa.int64()),
+                    ("chunk_idx", pa.int64()),
+                    ("n_tokens", pa.int64()),
+                ]
+            ).empty_table()
+        ),
     }

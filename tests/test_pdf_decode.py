@@ -116,3 +116,56 @@ class TestRealPdfDecode:
         assert width == 500.0
         assert [s.text for s in spans] == ["hello"]
         assert spans[0].x2 == 50.0
+
+
+def _pdf2(body1: str, body2: str, mediabox: str = "0 0 400 200") -> bytes:
+    """Two-page PDF: two page objects, one content stream each."""
+    c1, c2 = body1.encode("latin-1"), body2.encode("latin-1")
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [" + mediabox.encode() + b"]"
+        b" /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(c1)).encode() + b" >>\nstream\n"
+        + c1 + b"\nendstream\nendobj\n"
+        b"5 0 obj << /Type /Page /Parent 2 0 R /MediaBox [" + mediabox.encode() + b"]"
+        b" /Contents 6 0 R >> endobj\n"
+        b"6 0 obj << /Length " + str(len(c2)).encode() + b" >>\nstream\n"
+        + c2 + b"\nendstream\nendobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+class TestMultiPageAndEscapes:
+    def test_two_pages_never_interleave(self):
+        """Both pages place text at the SAME page-local y: page stacking
+        must keep them on separate lines in document order (previously
+        they merged into one shared row — the word-interleave bug)."""
+        from ebook_ocr_ray.functions.pdf_extract import extract_pdf_text
+
+        pdf = _pdf2(
+            "BT /F1 10 Tf 20 150 Td (page one line.) Tj ET\n",
+            "BT /F1 10 Tf 20 150 Td (page two line.) Tj ET\n",
+        )
+        text, n_lines, _ = extract_pdf_text(pdf)
+        assert text == "page one line.\npage two line."
+        assert n_lines == 2
+
+    def test_invalid_digit_escape_keeps_char(self):
+        """\\8 / \\9 are NOT octal: spec behavior is drop-backslash,
+        keep-char (previously int(..., 8) raised and the whole document
+        fell to the error row)."""
+        from ebook_ocr_ray.functions.pdf_extract import _pdf_string
+
+        text, _ = _pdf_string(b"(a\\8b)", 0)
+        assert text == "a8b"
+
+    def test_backslash_eol_line_continuation_drops_both(self):
+        """Backslash + EOL is a line continuation: both characters drop
+        (spec 7.3.4.2), so a word split across lines stays one word."""
+        from ebook_ocr_ray.functions.pdf_extract import _pdf_string
+
+        assert _pdf_string(b"(foo\\\nbar)", 0)[0] == "foobar"
+        assert _pdf_string(b"(foo\\\r\nbar)", 0)[0] == "foobar"
+        assert _pdf_string(b"(foo\\\rbar)", 0)[0] == "foobar"

@@ -126,3 +126,35 @@ class TestComposedEqualsStagewise:
             assert not os.path.exists(os.path.join(scratch, wave) + ".claim")
         with pytest.raises(ValueError, match="not empty|claimed"):
             training_data_job(SF_SMOKE, scratch)
+
+    def test_degenerate_corpus_returns_empty_typed_outputs(
+        self, ray_session, tmp_path
+    ):
+        """A corpus where EVERY doc fails the Gopher word-count floor
+        empties the clean wave; write_parquet of an empty dataset leaves
+        no files, so the job must return typed zero-row handles instead
+        of crashing on the file-less wave read."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ebook_ocr_ray.pipelines.trainjob import training_data_job
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(10), pa.int64()),
+                    "text": pa.array(["too short"] * 10, pa.string()),
+                    "lang": pa.array(["en"] * 10, pa.string()),
+                }
+            ),
+            str(sf / "documents.parquet"),
+        )
+        out = training_data_job(str(sf), str(tmp_path / "scratch"))
+        assert out["docs"].count() == 0
+        assert out["chunks"].count() == 0
+        assert out["pack"].count() == 0
+        assert out["chunks"].schema().names == [
+            "doc_id", "chunk_idx", "chunk_text", "n_tokens",
+        ]

@@ -3,6 +3,7 @@ quality filter, inlink anchor-text aggregation."""
 
 import datetime as dt
 
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -406,7 +407,11 @@ class TestNullKeyGroups:
         out = dedup_url(ray.data.from_arrow(t), num_partitions=2).to_pandas()
         assert len(out) == 2
         assert out.url_norm.isna().sum() == 1
-        assert int(out.loc[out.url_norm.isna(), "n_crawls"].iloc[0]) == 1
+        null_row = out.loc[out.url_norm.isna()].iloc[0]
+        assert int(null_row["n_crawls"]) == 1
+        # the surviving url of the null group is NULL, not the literal
+        # string "None" (the f-string interpolation bug in _survivor_key)
+        assert pd.isna(null_row["url"])
 
     def test_crawl_history_keeps_null_url_group(self, ray_session):
         import ray
