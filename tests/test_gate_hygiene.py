@@ -156,3 +156,26 @@ class TestWarningFreePipelines:
             out = decontaminate_ds_join(docs, bench, n=3).to_pandas()
         assert len(out) == 8 and out.contaminated.sum() == 0
         assert not h.divergences, h.divergences
+
+
+class TestFillerIfEmpty:
+    """Unit lock for joins.filler_if_empty — the primitive every
+    empty-producing filter leans on."""
+
+    def test_passthrough_when_nonempty(self):
+        from ebook_ocr_ray.joins import filler_if_empty
+
+        t = pa.table({"k": pa.array([5], pa.int64()), "v": pa.array(["x"])})
+        assert filler_if_empty(t, "k") is t
+
+    def test_empty_becomes_one_subceiling_row_same_schema(self):
+        from ebook_ocr_ray.joins import SENTINEL_CEILING, filler_if_empty
+
+        t = pa.schema(
+            [("k", pa.int64()), ("v", pa.string()), ("w", pa.int32())]
+        ).empty_table()
+        out = filler_if_empty(t, "k")
+        assert len(out) == 1
+        assert out.schema == t.schema
+        assert out["k"][0].as_py() < SENTINEL_CEILING + 1  # filtered downstream
+        assert out["v"][0].as_py() is None and out["w"][0].as_py() is None
