@@ -55,7 +55,7 @@ _NULL_TEXT = "\x00text-null"
 
 
 def _text_keys(texts: list) -> np.ndarray:
-    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63
 
     return np.fromiter(
         (
@@ -68,13 +68,17 @@ def _text_keys(texts: list) -> np.ndarray:
 
 
 def _snapshot_survivors(
-    docs: ray.data.Dataset, key_fn=None
+    docs: ray.data.Dataset, key_fn=None, num_partitions: int = 4
 ) -> ray.data.Dataset:
     """(key, doc_id) — min doc_id per text key within the snapshot (the
     keyed survivor aggregate, no driver state). ``key_fn`` maps a list of
     texts to int63 keys; default is the byte-exact ``_text_keys``
     (callers can pass a normalized-text key, e.g. the fuzzy-dedup recipe,
-    to get fuzzy survivor groups from the same machinery)."""
+    to get fuzzy survivor groups from the same machinery).
+    ``num_partitions`` sizes the keyed reduce — forward the caller's
+    knob: each partition lands in ONE task as one in-memory frame, so a
+    mostly-novel billion-doc snapshot needs far more than the
+    bench-scale default."""
     from ebook_ocr_ray.groups import map_partitions_typed
 
     key_fn = key_fn or _text_keys
@@ -103,7 +107,7 @@ def _snapshot_survivors(
         empty_fn=lambda: pa.schema(
             [("key", pa.int64()), ("doc_id", pa.int64())]
         ).empty_table(),
-        num_partitions=4,
+        num_partitions=num_partitions,
     )
 
 
@@ -116,8 +120,22 @@ def dedup_incremental_ds(
     """Surviving (doc_id, text) rows of the snapshot vs the persisted
     index at ``index_dir`` (None or missing dir = empty history). With
     ``update_index`` the survivors' keys are appended to the index by
-    atomic publish. See module docstring for semantics."""
-    survivors = _snapshot_survivors(snapshot).materialize()  # slim int rows
+    atomic publish. See module docstring for semantics.
+
+    Durability caveat with ``update_index=True``: the index is published
+    EAGERLY here while the survivor ROWS are returned lazily — a caller
+    that crashes before persisting them has lost those documents for
+    good (their keys already filter every future run). For crash-safe
+    end-to-end ingestion use ``ingest_snapshot`` (data first, index
+    second, both idempotent)."""
+    if update_index and index_dir is None:
+        raise ValueError(
+            "update_index=True requires index_dir (a None index_dir would "
+            "silently accumulate nothing and re-admit every text forever)"
+        )
+    survivors = _snapshot_survivors(
+        snapshot, num_partitions=num_partitions
+    ).materialize()                                          # slim int rows
 
     index_files = _index_files(index_dir)
     if index_files:
@@ -198,6 +216,86 @@ def dedup_incremental_ds(
         return t.filter(pa.array(ids[pos] == d))
 
     return snapshot.map_batches(keep_rows, batch_format="pyarrow")
+
+
+def ingest_snapshot(
+    snapshot: ray.data.Dataset,
+    index_dir: str,
+    out_dir: str,
+    num_partitions: int = 8,
+) -> int:
+    """Crash-safe end-to-end ingestion: DATA FIRST, INDEX SECOND.
+
+    ``dedup_incremental_ds(update_index=True)`` publishes the index
+    eagerly while returning the survivor rows lazily, so a crash between
+    the index publish and the caller persisting the rows loses those
+    documents forever. This helper fixes the ordering:
+
+      1. the survivors' full (doc_id, text) rows publish to ``out_dir``
+         atomically (with a completeness marker);
+      2. only THEN the index update, with keys re-derived from the
+         PUBLISHED rows, under an update-subdir name fingerprinted from
+         the published files — so a re-run after a crash between the two
+         steps skips step 1 (complete artifact wins, publish_build
+         contract) and completes step 2 idempotently (the deterministic
+         name either already exists or lands exactly once).
+
+    Returns the number of ingested rows."""
+    import hashlib
+    import shutil
+
+    from ebook_ocr_ray.reads import parquet_num_rows
+    from ebook_ocr_ray.state.atomic import publish_build, publish_into, staging_dir
+
+    marker = "_INGEST_COMPLETE"
+    out_dir = out_dir.rstrip("/")
+
+    def is_complete(d: str) -> bool:
+        return os.path.exists(os.path.join(d, marker))
+
+    if not is_complete(out_dir):
+        rows = dedup_incremental_ds(
+            snapshot, index_dir, update_index=False, num_partitions=num_partitions
+        )
+        tmp = staging_dir(out_dir, kind="ingest")
+        rows.write_parquet(tmp)
+        with open(os.path.join(tmp, marker), "w", encoding="utf-8") as f:
+            f.write("complete\n")
+        publish_build(tmp, out_dir, is_complete)
+
+    n = parquet_num_rows(out_dir)
+    if n == 0:
+        return 0                       # nothing new: no index keys to add
+
+    files = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(out_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    fp = hashlib.md5(
+        json.dumps(
+            [(os.path.relpath(f, out_dir), os.path.getsize(f)) for f in files]
+        ).encode("utf-8")
+    ).hexdigest()[:12]
+    upd_name = f"ing-{fp}"
+    if not os.path.isdir(os.path.join(index_dir, upd_name)):
+        def key_rows(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"key": pa.array(_text_keys(t["text"].to_pylist()), pa.int64())}
+            )
+
+        tmp2 = staging_dir(index_dir, kind="update")
+        read_parquet_clean(files, columns=["text"]).map_batches(
+            key_rows, batch_format="pyarrow"
+        ).write_parquet(tmp2)
+        try:
+            publish_into(tmp2, index_dir, upd_name)
+        except OSError:
+            # lost the race to a concurrent/idempotent re-publish of the
+            # SAME fingerprint: the update is in place, discard ours
+            shutil.rmtree(tmp2, ignore_errors=True)
+    return n
 
 
 def _index_files(index_dir: str | None) -> list[str]:

@@ -420,9 +420,11 @@ def candidate_pair_dataset(
     repartition on id_a plus a partition-local drop_duplicates, which is
     globally exact because canonical (id_a < id_b) orientation means
     every occurrence of a pair co-locates. Pair-stage partition counts
-    scale with input rows (_pair_partitions) so no partition ever holds
-    more than ~PAIR_PARTITION_ROWS buckets' pairs in one heap — slim int
-    pairs end to end, never a driver collect."""
+    scale with the post-filter HOT bucket count (_pair_partitions: one
+    partition per HOT_BUCKETS_PER_PARTITION hot buckets, cap
+    MAX_PAIR_PARTITIONS) so no partition ever holds more than a bounded
+    pair slice in one heap — slim int pairs end to end, never a driver
+    collect."""
     from ebook_ocr_ray.groups import map_partitions_typed
 
     cap = MAX_BUCKET if max_bucket is None else max_bucket
@@ -547,7 +549,6 @@ def label_propagation_clusters(
     (hard cap 200; a warning is logged if the cap is ever hit — wrong
     labels must never be silent); returns (node, label).
     """
-    import ray.data as rd
     from ray.data.aggregate import Min
 
     labels = (
@@ -1070,8 +1071,11 @@ def simhash_pairs(
     needs max_hamming+1 bands; the default 3 -> 4x16-bit bands). Raising
     the threshold automatically narrows the bands (e.g. 7 -> 8x8-bit).
 
-    Buckets are capped at ``max_bucket`` rows (deterministic lowest-id
-    keep, logged) so one degenerate band key cannot go quadratic, and
+    Buckets over ``max_bucket`` rows take the STAR fallback (same as the
+    LSH kernel): the overflow tail pairs only with the bucket's min id
+    (logged bounded recall — tail-tail pairs whose only shared bucket is
+    the over-cap one are not generated; no row is dropped), so one
+    degenerate band key cannot go quadratic, and
     pairs found in several bands are deduped by a hash repartition on
     id_a plus a partition-local drop_duplicates (globally exact: a
     pair's canonical orientation co-locates every occurrence, and its
@@ -1276,7 +1280,7 @@ def jaccard_dup_pairs(
     intersection by 1; at 63 bits that is ~n^2/2^64 and DETERMINISTIC —
     the driver's value-hash equality against the string-exact SQL oracle
     is the proof it never fires at oracle scale."""
-    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64, word_shingles
+    from ebook_ocr_ray.functions.textstats import stable_hash63, word_shingles
     from ebook_ocr_ray.groups import typed_keyed_sum
     from ebook_ocr_ray.joins import safe_join
 
@@ -1506,7 +1510,7 @@ def _fuzzy_text_keys(texts: list) -> "np.ndarray":
     """int63 normalized-text keys — EXACTLY dedup_fuzzy_exact_ds's key
     recipe (analytics.py): stable_hash64(fuzzy_normalize(text)). None
     normalizes to '' like the fuzzy dedup does."""
-    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63
     from ebook_ocr_ray.pipelines.analytics import fuzzy_normalize
 
     return np.fromiter(
@@ -1562,11 +1566,13 @@ def minhash_clusters_cascade(
     if own_scratch:
         scratch_dir = tempfile.mkdtemp(prefix=f"minhash_cascade_{uuid.uuid4().hex[:8]}_")
     table_dir = os.path.join(scratch_dir, "documents.parquet")
-    if os.path.isdir(table_dir) and os.listdir(table_dir):
-        raise ValueError(
-            f"cascade scratch {table_dir!r} is not empty (write_parquet "
-            "appends); pass a fresh scratch path"
-        )
+    # atomic O_EXCL claim, not a bare emptiness check: two concurrent
+    # cascades sharing a scratch_dir could both pass check-then-act and
+    # write_parquet APPENDS — the survivor table would silently double
+    # (state/spool.py's claim discipline, same as every other spool)
+    from ebook_ocr_ray.state.spool import claim_spool_target, release_spool_claim
+
+    claim_spool_target(table_dir)
     try:
         docs = read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -1650,7 +1656,10 @@ def minhash_clusters_cascade(
             lambda t: t.select(["doc_id", "cluster_id"]), batch_format="pyarrow"
         )
         # the joins consume the spool lazily: force execution before the
-        # scratch dir can be deleted
+        # scratch dir can be deleted. The claim releases only on SUCCESS
+        # — a crashed run leaves it behind on purpose (its directory
+        # state is unknown; the spool.py discipline)
+        release_spool_claim(table_dir)
         return out.materialize() if own_scratch else out
     finally:
         if own_scratch:

@@ -66,7 +66,7 @@ HOT_SPAN_BROADCAST_MAX = 1_000_000
 def _span_hashes(text: str | None, k: int) -> np.ndarray:
     """63-bit stable hashes of the k-word spans of ``text`` in position
     order (index i hashes words[i:i+k]). Shorter-than-k docs -> empty."""
-    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63
 
     words = (text or "").split(" ")
     n = len(words)
@@ -173,7 +173,11 @@ def remove_duplicated_spans(
     docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return remove_duplicated_spans_ds(docs, k, min_count, hot_strategy, num_partitions)
+    # pin=False: this docs is already a cheap column-pruned parquet
+    # re-read; pinning would only copy it into the object store
+    return remove_duplicated_spans_ds(
+        docs, k, min_count, hot_strategy, num_partitions, pin=False
+    )
 
 
 def remove_duplicated_spans_ds(
@@ -182,10 +186,29 @@ def remove_duplicated_spans_ds(
     min_count: int = 2,
     hot_strategy: str = "auto",
     num_partitions: int = 8,
+    pin: bool = True,
+    spool_dir: str | None = None,
 ) -> ray.data.Dataset:
-    """Dataset-level span removal over (doc_id, text) rows."""
+    """Dataset-level span removal over (doc_id, text) rows.
+
+    ``docs`` is consumed by the count pass PLUS one (broadcast path) or
+    two (join path) downstream passes; with ``pin`` (the default for
+    arbitrary caller lineage) it executes ONCE — materialized, or
+    spooled to scratch parquet when ``spool_dir`` is set (the
+    pin_reusable discipline the near-dup bucket rows use). Callers whose
+    docs is already a cheap re-readable source (a bare parquet read)
+    pass ``pin=False``."""
     if hot_strategy not in ("auto", "broadcast", "join"):
         raise ValueError(f"unknown hot_strategy {hot_strategy!r}")
+    if pin:
+        from ebook_ocr_ray.state.spool import pin_reusable
+
+        docs = pin_reusable(
+            docs,
+            spool_dir,
+            "span_docs",
+            schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        ).read()
 
     # two consumers of the count pass output (count + either broadcast
     # gather or join side) — the rows are slim (one int64 per duplicated

@@ -115,3 +115,80 @@ class TestIncrementalDedup:
         out = dedup_incremental(SF_SMOKE).to_pandas()
         assert len(out) > 0
         assert (out.doc_id % 3 == 0).all()
+
+
+class TestIngestSnapshot:
+    """Crash-safe ingestion ordering: DATA FIRST, INDEX SECOND — a crash
+    between the two must lose nothing and double nothing."""
+
+    def test_happy_path_and_idempotent_rerun(self, ray_session, tmp_path):
+        import os
+
+        from ebook_ocr_ray.pipelines.incremental import (
+            dedup_incremental_ds, ingest_snapshot,
+        )
+        from ebook_ocr_ray.reads import parquet_num_rows, read_parquet_clean
+
+        idx = str(tmp_path / "idx")
+        out1 = str(tmp_path / "out1")
+        snap = _ds([(1, "alpha"), (2, "beta"), (3, "alpha")])
+        assert ingest_snapshot(snap, idx, out1) == 2       # intra-snapshot dedup
+        assert parquet_num_rows(out1) == 2
+        # rerun over the SAME published artifact: nothing recomputed or
+        # doubled (complete artifact wins; fingerprinted index subdir
+        # already exists)
+        assert ingest_snapshot(snap, idx, out1) == 2
+        n_index_parts = sum(
+            1 for r, _d, fs in os.walk(idx) for f in fs if f.endswith(".parquet")
+        )
+        # a second snapshot consults the accumulated index
+        out2 = str(tmp_path / "out2")
+        snap2 = _ds([(10, "alpha"), (11, "gamma")])
+        assert ingest_snapshot(snap2, idx, out2) == 1      # only gamma is new
+        got = read_parquet_clean(out2).to_pandas()
+        assert list(got.doc_id) == [11]
+
+    def test_crash_between_data_and_index_loses_nothing(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        """Simulate dying AFTER the data publish but BEFORE the index
+        update: re-running completes the index from the published rows;
+        the documents are never lost (the update_index=True ordering
+        would have lost them)."""
+        import ebook_ocr_ray.pipelines.incremental as inc
+        from ebook_ocr_ray.reads import parquet_num_rows, read_parquet_clean
+
+        idx = str(tmp_path / "idx")
+        out = str(tmp_path / "out")
+        snap = _ds([(1, "delta"), (2, "epsilon")])
+
+        import ebook_ocr_ray.state.atomic as atomic
+
+        orig = atomic.publish_into
+
+        def crash(*a, **k):
+            raise RuntimeError("simulated crash before index update")
+
+        monkeypatch.setattr(inc, "dedup_incremental_ds", inc.dedup_incremental_ds)
+        monkeypatch.setattr(atomic, "publish_into", crash)
+        try:
+            inc.ingest_snapshot(snap, idx, out)
+        except RuntimeError:
+            pass
+        monkeypatch.setattr(atomic, "publish_into", orig)
+        # data survived the crash; index not yet updated
+        assert parquet_num_rows(out) == 2
+        # re-run: completes the index idempotently, rows unchanged
+        assert inc.ingest_snapshot(snap, idx, out) == 2
+        assert parquet_num_rows(out) == 2
+        # the keys are NOW indexed: a recrawl of the same texts yields 0
+        out2 = str(tmp_path / "out2")
+        assert inc.ingest_snapshot(_ds([(9, "delta")]), idx, out2) == 0
+
+    def test_update_index_requires_index_dir(self, ray_session):
+        import pytest
+
+        from ebook_ocr_ray.pipelines.incremental import dedup_incremental_ds
+
+        with pytest.raises(ValueError, match="requires index_dir"):
+            dedup_incremental_ds(_ds([(1, "x")]), None, update_index=True)
