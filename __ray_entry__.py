@@ -1238,7 +1238,11 @@ def _quality_buckets_sql(vocab_cap: int | None = None) -> str:
                CASE WHEN a.ce_micro // 1000 <= th.t1 THEN 'head'
                     WHEN a.ce_micro // 1000 <= th.t2 THEN 'middle'
                     ELSE 'tail' END AS bucket
-        FROM allscored a JOIN th ON th.lang = a.lang
+        -- IS NOT DISTINCT FROM: the engine deliberately keeps null-lang
+        -- documents (routed through its internal sentinel); a plain
+        -- equality join would drop the oracle's NULL-lang group and
+        -- diverge on any corpus with language-ID failures
+        FROM allscored a JOIN th ON th.lang IS NOT DISTINCT FROM a.lang
         ORDER BY a.doc_id
     """
 

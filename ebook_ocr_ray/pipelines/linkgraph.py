@@ -45,18 +45,47 @@ SCALE = 1_000_000
 PR_DRIVER_MAX = 1_000_000
 _MASK63 = (1 << 63) - 1
 
+# Ranks above this would wrap int64 in the 85*r contribution product —
+# reachable only for a hub with ~1e11+ distinct in-links. Fail LOUDLY:
+# numpy wraps silently to a negative contribution otherwise, and the
+# keyed path's exactness claim rests on the integer arithmetic never
+# overflowing.
+_RANK_OVERFLOW_MAX = (2**63 - 1) // 100
+
+
+def _check_rank_overflow(r: np.ndarray) -> None:
+    if len(r) and int(r.max()) > _RANK_OVERFLOW_MAX:
+        raise OverflowError(
+            f"pagerank rank {int(r.max())} exceeds the int64-safe bound "
+            f"{_RANK_OVERFLOW_MAX} (a ~1e11-in-link hub); rescale SCALE "
+            "down or shard the hub before ranking"
+        )
+
 
 def _resolve(src: str, href: str) -> str:
+    """Absolute link target for an outlink row. Hardened like
+    anchor_text_stats' site derivation: a null/empty href resolves to
+    the src itself (a self-edge — crawl noise, treated like any other
+    edge), and a schemeless src falls back to urlsplit rather than
+    crashing the whole edge-extraction task on one malformed row."""
+    if not href:
+        return src
     if href.startswith("http://") or href.startswith("https://"):
         return href
-    # scheme://host prefix = everything before the path
-    parts = src.split("/", 3)                    # ['https:', '', host, rest]
-    return f"{parts[0]}//{parts[2]}{href}"
+    if src.startswith("http://") or src.startswith("https://"):
+        # scheme://host prefix = everything before the path
+        parts = src.split("/", 3)                # ['https:', '', host, rest]
+        return f"{parts[0]}//{parts[2]}{href}"
+    from urllib.parse import urlsplit
+
+    u = urlsplit(src)
+    host = u.netloc or u.path.split("/", 1)[0]
+    return f"{u.scheme or 'https'}://{host}{href}"
 
 
 def _edges_dataset(sf_dir: str) -> ray.data.Dataset:
     """DISTINCT (src, dst) edge rows with 63-bit url keys."""
-    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63
     from ebook_ocr_ray.pipelines.extraction import outlinks
 
     def to_edges(t: pa.Table) -> pa.Table:
@@ -131,18 +160,20 @@ def _pagerank_driver(edges_df: pd.DataFrame, iters: int) -> pa.Table:
     r = np.full(n, SCALE, dtype=np.int64)
     base = (15 * SCALE) // 100
     for _ in range(iters):
+        _check_rank_overflow(r)
         contrib = (85 * r[src_idx]) // (100 * outdeg[src_idx])
         nxt = np.full(n, base, dtype=np.int64)
         np.add.at(nxt, dst_idx, contrib)
         r = nxt
 
-    rank_by_key = dict(zip(keys_sorted.tolist(), r.tolist()))
+    # vectorized rank lookup in the nodes frame's url order (a dict
+    # rebuild + per-row list comprehension here cost millions of Python
+    # hash/box ops on the driver near PR_DRIVER_MAX)
+    node_rank = r[np.searchsorted(keys_sorted, nodes["key"].to_numpy(np.int64))]
     return pa.table(
         {
             "url": pa.array(nodes["url"].tolist(), pa.string()),
-            "rank": pa.array(
-                [rank_by_key[int(k)] for k in nodes["key"]], pa.int64()
-            ),
+            "rank": pa.array(node_rank, pa.int64()),
         }
     )
 
@@ -283,6 +314,7 @@ def _pagerank_keyed(
             dst = t["dst_key"].to_numpy(zero_copy_only=False)
             r = t["rank"].to_numpy(zero_copy_only=False)
             d = t["outdeg"].to_numpy(zero_copy_only=False)
+            _check_rank_overflow(r)
             c = (85 * r) // (100 * d)
             df = pd.DataFrame({"key": dst, "n": c})
             agg = df.groupby("key", sort=False)["n"].sum().reset_index()
@@ -366,7 +398,7 @@ def anchor_text_stats(sf_dir: str, num_partitions: int = 4) -> ray.data.Dataset:
     pre-combined map-side; distinct anchors per (site, href) are bounded
     by the site's template vocabulary, so per-partition frames stay small
     at any corpus size."""
-    from ebook_ocr_ray.functions.textstats import stable_hash63, stable_hash64
+    from ebook_ocr_ray.functions.textstats import stable_hash63
     from ebook_ocr_ray.groups import map_partitions_typed
     from ebook_ocr_ray.pipelines.extraction import outlinks
     from ebook_ocr_ray.stages.extract import site_of

@@ -52,6 +52,12 @@ _PARTIAL_SCHEMA = pa.schema(
     [("qid", pa.int64()), ("nid", pa.int64()), ("sim", pa.float64())]
 )
 
+# final knn result shape — returned typed-empty when the query filter
+# selects no rows (offset/hashed id spaces, empty tables)
+_KNN_SCHEMA = pa.schema(
+    [("qid", pa.int64()), ("nid", pa.int64()), ("rank", pa.int64())]
+)
+
 
 def _reduce_topk(partials: "ray.data.Dataset", n_queries: int, k: int) -> "ray.data.Dataset":
     """Per-query reduce over the partial top-k rows. The key space is tiny
@@ -151,6 +157,11 @@ def knn_brute(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.data.Dataset:
     qt = pd.read_parquet(
         f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "<", n_queries)]
     )
+    if qt.empty:
+        # offset/hashed id spaces (or an empty table) select no query
+        # rows: an empty (qid, nid, rank) result, not an AxisError from
+        # normalizing a 0-row matrix
+        return ray.data.from_arrow(_KNN_SCHEMA.empty_table())
     q_ids = qt.vec_id.to_numpy()
     q_mat = _normalize(np.asarray(qt.embedding.to_list(), dtype=np.float64))
     query_ref = ray.put((q_ids, q_mat))
@@ -324,6 +335,8 @@ def knn_ivf(
     qt = pd.read_parquet(
         f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "<", n_queries)]
     ).sort_values("vec_id")
+    if qt.empty:
+        return ray.data.from_arrow(_KNN_SCHEMA.empty_table())
     q_ids = qt.vec_id.to_numpy()
     q_mat = _normalize(np.asarray(qt.embedding.to_list(), dtype=np.float64))
     q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]

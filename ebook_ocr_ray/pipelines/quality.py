@@ -117,8 +117,14 @@ def _pair_code_arrays(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     total = int(lens.sum())
     if total < 2:
         return np.empty(0, np.int64), n_pairs
+    # surrogatepass: Python str permits lone surrogates (e.g. a raw
+    # \ud800 escape survives JSON decoding), and a strict utf-32 encode
+    # raises UnicodeEncodeError inside the map task, killing the whole
+    # job for one malformed document. surrogatepass keeps each surrogate
+    # as its own code point — it participates in bigram counts like any
+    # other rare character.
     codes = np.frombuffer(
-        "".join(texts).encode("utf-32-le"), dtype="<u4"
+        "".join(texts).encode("utf-32-le", "surrogatepass"), dtype="<u4"
     ).astype(np.int64)
     pairs = (codes[:-1] << _PAIR_SHIFT) | codes[1:]
     # a pair starting at a text's last char spans into the next text

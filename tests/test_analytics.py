@@ -1029,3 +1029,36 @@ class TestRebalanceNullGroup:
         # the dominant null slice must NOT be exempt from the cap
         assert 20 <= len(nulls) <= 85, len(nulls)
         assert len(out[out.lang == "fr"]) == 10
+
+
+class TestKnnEmptyQuerySpace:
+    def test_offset_id_space_returns_empty_typed_result(
+        self, ray_session, tmp_path
+    ):
+        """An embeddings table whose vec_ids all exceed n_queries selects
+        zero query rows: knn must return an empty (qid, nid, rank)
+        result, not crash normalizing a 0-row matrix."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ebook_ocr_ray.pipelines.neighbors import knn_brute
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        rng = np.random.RandomState(0)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(1000, 1020), pa.int64()),
+                    "embedding": pa.array(
+                        [rng.rand(8).tolist() for _ in range(20)],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            str(sf / "embeddings.parquet"),
+        )
+        ds = knn_brute(str(sf), n_queries=10, k=3)
+        assert ds.count() == 0
+        assert sorted(ds.schema().names) == ["nid", "qid", "rank"]

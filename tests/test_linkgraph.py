@@ -46,3 +46,32 @@ class TestPagerank:
 
         with pytest.raises(ValueError):
             pagerank(SF_SMOKE, strategy="nope")
+
+
+class TestHardening:
+    def test_resolve_handles_schemeless_src_and_null_href(self):
+        from ebook_ocr_ray.pipelines.linkgraph import _resolve
+
+        # absolute href passes through regardless of src shape
+        assert _resolve("site.example/page", "https://x.example/y") == "https://x.example/y"
+        # schemeless src: urlsplit fallback instead of IndexError
+        assert _resolve("//host.example/page", "/a") == "https://host.example/a"
+        # null/empty href: self-edge, not AttributeError
+        assert _resolve("https://h.example/p", None) == "https://h.example/p"
+        assert _resolve("https://h.example/p", "") == "https://h.example/p"
+        # the normal root-relative case is unchanged
+        assert _resolve("https://h.example/p/q", "/r") == "https://h.example/r"
+
+    def test_rank_overflow_raises_loudly(self):
+        import numpy as np
+        import pytest
+
+        from ebook_ocr_ray.pipelines.linkgraph import (
+            _RANK_OVERFLOW_MAX, _check_rank_overflow,
+        )
+
+        _check_rank_overflow(np.array([_RANK_OVERFLOW_MAX], dtype=np.int64))
+        with pytest.raises(OverflowError, match="int64-safe bound"):
+            _check_rank_overflow(
+                np.array([_RANK_OVERFLOW_MAX + 1], dtype=np.int64)
+            )

@@ -211,3 +211,15 @@ class TestVocabCap:
         monkeypatch.setattr(quality, "MODEL_DRIVER_MAX", 0)
         dist_model = quality.train_bigram_model(rd.from_arrow(t), vocab_cap=30)
         assert driver_model == dist_model
+
+
+class TestSurrogateHardening:
+    def test_lone_surrogate_text_does_not_crash_the_kernel(self):
+        """Python str permits lone surrogates (a raw \\ud800 escape
+        survives JSON decoding); the utf-32 bigram encode must pass them
+        through instead of raising inside the map task."""
+        from ebook_ocr_ray.pipelines.quality import _pair_code_arrays
+
+        pairs, counts = _pair_code_arrays(["a\ud800b", "ok"])
+        assert list(counts) == [2, 1]
+        assert len(pairs) == 3
